@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the single-pass, per-partition column profile
+                (the reference needs ≤3 serial full scans PER COLUMN for
+                the same result, /root/reference/src/core/metrics.py:232-414).
+queries()     — one entry per implemented operator (SURVEY.md §2), each
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — matching DuckDB SQL with identical column aliases.
 """
 
 from __future__ import annotations
@@ -13,26 +14,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataprofiler_spark import queries as _q
+from dataprofiler_spark.operators.profile import profile
+from dataprofiler_spark.sources.tables import load_table
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: profile every column of `documents` per source partition
+    in ONE multi-aggregate DataFrame pass (A1-A11 of SURVEY.md §2.4)."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    return profile(docs, "documents", group_by=["source"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

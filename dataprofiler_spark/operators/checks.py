@@ -1,0 +1,398 @@
+"""Constraint suite: per-partition pass/fail verdicts + violation rows.
+
+The reference only *records* constraints as metadata (FKs at
+/root/reference/src/db/schema_extractor.py:231-278, uniqueness as the
+is_unique profile verdict at /root/reference/src/core/metrics.py:287, row
+counts at profiler.py:91's ``row_count > 0`` SodaCL check). The rebuild
+upgrades them to actual **data checks** (north_star): every check emits
+
+  verdicts:   (table_name, <part_col>, check_name, row_count,
+               violation_count, passed)
+  violations: (check_name, <part_col>, key, detail) — capped per check,
+              never collected unbounded to the driver (SURVEY.md §7.4).
+
+Scale notes (10^12-row design point):
+  * All row-level invariants fold into ONE conditional-aggregation scan
+    (no per-check scans).
+  * Uniqueness = single shuffle on the key via a count window (one
+    exchange; a groupBy+join-back would shuffle the table twice).
+  * RI = broadcast left-anti join when the parent is small (dimension
+    tables always are); falls back to shuffle anti-join + AQE otherwise.
+  * Reference-equality = shuffle join on doc_id + ONE vectorized Arrow
+    pandas UDF (the only UDF in the engine, per input_hint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.sources.synthetic import VOCAB_SIZE
+
+VERDICT_COLS = ["table_name", "partition_value", "check_name", "row_count", "violation_count", "passed"]
+VIOLATION_COLS = ["check_name", "partition_value", "key", "detail"]
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A row-level invariant. `fail_predicate` True ⇒ the row violates.
+
+    threshold_rate: partition passes while violation_rate <= threshold
+    (0.0 = any violation fails the partition)."""
+
+    name: str
+    fail_predicate: Column
+    detail: Column
+    threshold_rate: float = 0.0
+
+
+def sequence_row_checks(
+    vocab_size: int = VOCAB_SIZE,
+    null_rate_threshold: float = 0.0,
+) -> list[RowCheck]:
+    """Built-in invariants for the tokenized-sequence schema
+    (FIXTURES.md §4): n_tok consistency, token range, doc_id null rate."""
+    tokens, n_tok, doc_id = F.col("tokens"), F.col("n_tok"), F.col("doc_id")
+    return [
+        RowCheck(
+            "n_tok_matches_size",
+            tokens.isNotNull() & (n_tok != F.size(tokens)),
+            F.concat(F.lit("n_tok="), n_tok.cast("string"), F.lit(" size="), F.size(tokens).cast("string")),
+        ),
+        RowCheck(
+            "token_range",
+            tokens.isNotNull()
+            & ~F.forall(tokens, lambda t: (t >= 0) & (t < F.lit(vocab_size))),
+            F.concat(
+                F.lit("out_of_range="),
+                F.array_join(
+                    F.slice(F.filter(tokens, lambda t: (t < 0) | (t >= F.lit(vocab_size))), 1, 5).cast("array<string>"),
+                    ",",
+                ),
+            ),
+        ),
+        RowCheck(
+            "doc_id_not_null",
+            doc_id.isNull(),
+            F.lit("doc_id IS NULL"),
+            threshold_rate=null_rate_threshold,
+        ),
+    ]
+
+
+def run_row_checks(
+    df: DataFrame,
+    checks: list[RowCheck],
+    table_name: str,
+    part_col: str = "source",
+    key_col: str = "doc_id",
+    violation_cap: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """All row-level checks in ONE conditional-aggregation pass (verdicts)
+    plus one filtered scan (violations; filter is pushed to the scan)."""
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for i, ck in enumerate(checks):
+        aggs.append(F.sum(F.when(ck.fail_predicate, 1).otherwise(0)).alias(f"__v_{i}"))
+    wide = df.groupBy(part_col).agg(*aggs)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(ck.name).alias("check_name"),
+                F.col(f"__v_{i}").cast("long").alias("violation_count"),
+                F.lit(ck.threshold_rate).alias("threshold"),
+            )
+            for i, ck in enumerate(checks)
+        ]
+    )
+    verdicts = (
+        wide.select(F.col(part_col), F.col("row_count"), F.explode(entries).alias("e"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.col("e.check_name").alias("check_name"),
+            F.col("row_count").cast("long").alias("row_count"),
+            F.col("e.violation_count").alias("violation_count"),
+            (
+                F.col("e.violation_count")
+                <= F.col("e.threshold") * F.col("row_count")
+            ).alias("passed"),
+        )
+    )
+
+    # Violation rows: one scan, filter(any-fail) pushed down; per-check cap
+    # via window (violations are sparse by construction, so this is cheap).
+    fails = F.array_compact(
+        F.array(
+            *[
+                F.when(ck.fail_predicate, F.struct(F.lit(ck.name).alias("check_name"), ck.detail.alias("detail")))
+                for ck in checks
+            ]
+        )
+    )
+    any_fail = None
+    for ck in checks:
+        any_fail = ck.fail_predicate if any_fail is None else (any_fail | ck.fail_predicate)
+    w = Window.partitionBy("check_name").orderBy(F.col("key"))
+    violations = (
+        df.filter(any_fail)
+        .select(
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.col(key_col).cast("string").alias("key"),
+            F.explode(fails).alias("f"),
+        )
+        .select(F.col("f.check_name").alias("check_name"), "partition_value", "key", F.col("f.detail").alias("detail"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= violation_cap)
+        .drop("__rn")
+    )
+    return verdicts, violations
+
+
+def uniqueness_check(
+    df: DataFrame,
+    table_name: str,
+    key_col: str = "doc_id",
+    part_col: str = "source",
+    violation_cap: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact uniqueness with violation rows: one shuffle on the key
+    (count window), reference verdict semantics at metrics.py:287.
+    NULL keys are excluded (COUNT DISTINCT semantics); they are the
+    null-rate check's job."""
+    w = Window.partitionBy(key_col)
+    dups = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__cnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("__cnt") > 1)
+    )
+    per_part = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("row_count"))
+    dup_part = dups.groupBy(part_col).agg(F.count(F.lit(1)).alias("violation_count"))
+    verdicts = (
+        per_part.join(dup_part, part_col, "left")
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.lit(f"unique_{key_col}").alias("check_name"),
+            F.col("row_count").cast("long"),
+            F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+            (F.coalesce(F.col("violation_count"), F.lit(0)) == 0).alias("passed"),
+        )
+    )
+    violations = (
+        dups.select(
+            F.lit(f"unique_{key_col}").alias("check_name"),
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.col(key_col).cast("string").alias("key"),
+            F.concat(F.lit("duplicate_count="), F.col("__cnt").cast("string")).alias("detail"),
+        )
+        .limit(violation_cap)
+    )
+    return verdicts, violations
+
+
+def referential_integrity_check(
+    child: DataFrame,
+    parent: DataFrame,
+    table_name: str,
+    key_col: str = "source",
+    part_col: str = "source",
+    key_col_parent: str | None = None,
+    violation_cap: int = 1000,
+    broadcast_parent: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """RI as a real data check (left-anti join), upgrading the reference's
+    FK-metadata capture (schema_extractor.py:231-278) per north_star.
+    Parent key sets are tiny → broadcast; no shuffle of the child."""
+    pk = key_col_parent or key_col
+    keys = parent.select(F.col(pk).alias(key_col)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = child.join(keys, key_col, "left_anti")
+
+    per_part = child.groupBy(part_col).agg(F.count(F.lit(1)).alias("row_count"))
+    bad_part = orphans.groupBy(part_col).agg(F.count(F.lit(1)).alias("violation_count"))
+    verdicts = per_part.join(bad_part, part_col, "left").select(
+        F.lit(table_name).alias("table_name"),
+        F.col(part_col).cast("string").alias("partition_value"),
+        F.lit(f"ri_{key_col}").alias("check_name"),
+        F.col("row_count").cast("long"),
+        F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
+        (F.coalesce(F.col("violation_count"), F.lit(0)) == 0).alias("passed"),
+    )
+    violations = orphans.select(
+        F.lit(f"ri_{key_col}").alias("check_name"),
+        F.col(part_col).cast("string").alias("partition_value"),
+        F.col(key_col).cast("string").alias("key"),
+        F.concat(F.lit("orphan "), F.lit(key_col), F.lit("=") , F.col(key_col).cast("string")).alias("detail"),
+    ).limit(violation_cap)
+    return verdicts, violations
+
+
+def empty_partition_check(
+    df: DataFrame,
+    parts_ref: DataFrame,
+    table_name: str,
+    part_col: str = "source",
+) -> DataFrame:
+    """row_count > 0 per *registered* partition (reference precedent:
+    the generated SodaCL `row_count > 0` check, profiler.py:91).
+    Registered partitions come from the parent/reference table so empty
+    ones are visible at all."""
+    observed = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("row_count"))
+    return (
+        F.broadcast(parts_ref.select(part_col).distinct())
+        .join(observed, part_col, "left")
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.lit("row_count_gt_0").alias("check_name"),
+            F.coalesce(F.col("row_count"), F.lit(0)).cast("long").alias("row_count"),
+            F.when(F.coalesce(F.col("row_count"), F.lit(0)) == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("violation_count"),
+            (F.coalesce(F.col("row_count"), F.lit(0)) > 0).alias("passed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-array equality vs the golden reference copy — the engine's ONLY UDF
+# (input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)").
+# ---------------------------------------------------------------------------
+
+def _lists_equal_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized list<int> equality over an Arrow batch.
+
+    Hot path is pure numpy on the Arrow buffers: compare per-row lengths
+    (value_lengths), then compare the flattened value buffers and reduce
+    per-segment with np.logical_and.reduceat — no per-row Python when all
+    lengths match (the overwhelmingly common case). Rows with differing
+    lengths are False by definition and excluded before the flat compare.
+    """
+    aa = pa.array(a, from_pandas=True)
+    bb = pa.array(b, from_pandas=True)
+    n = len(aa)
+    la = pa.compute.fill_null(aa.value_lengths(), -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    lb = pa.compute.fill_null(bb.value_lengths(), -2).to_numpy(zero_copy_only=False).astype(np.int64)
+    valid = ~(np.asarray(pa.compute.is_null(aa)) | np.asarray(pa.compute.is_null(bb)))
+    same_len = valid & (la == lb)
+
+    out = np.zeros(n, dtype=bool)
+    if same_len.any():
+        idx = np.flatnonzero(same_len)
+        fa = aa.take(pa.array(idx)).flatten().to_numpy(zero_copy_only=False)
+        fb = bb.take(pa.array(idx)).flatten().to_numpy(zero_copy_only=False)
+        eq = fa == fb
+        lens = la[idx]
+        # segment all-true via cumsum: exact for empty segments (0 == 0)
+        offsets = np.zeros(len(idx), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        cs = np.concatenate(([0], np.cumsum(eq, dtype=np.int64)))
+        seg_true = cs[offsets + lens] - cs[offsets]
+        out[idx] = seg_true == lens
+    return pd.Series(out)
+
+
+def arrays_equal(a: Column, b: Column) -> Column:
+    """Apply the vectorized equality kernel as an Arrow pandas UDF.
+    Created lazily — pandas_udf type parsing needs an active session."""
+    udf = F.pandas_udf(_lists_equal_batch, "boolean")
+    return udf(a, b)
+
+
+def reference_equality_check(
+    df: DataFrame,
+    reference: DataFrame,
+    table_name: str,
+    key_col: str = "doc_id",
+    array_col: str = "tokens",
+    part_col: str = "source",
+    violation_cap: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-row invariant: tokens must equal the golden copy exactly
+    (input_hint). Shuffle equi-join on doc_id, then one Arrow-vectorized
+    pandas UDF over the joined pair. Rows missing from the reference are
+    not compared (uniqueness/RI checks own those)."""
+    ref = reference.select(
+        F.col(key_col), F.col(array_col).alias("__ref_arr")
+    )
+    joined = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(key_col, array_col, part_col)
+        .join(ref, key_col, "inner")
+        .withColumn("__eq", arrays_equal(F.col(array_col), F.col("__ref_arr")))
+    )
+    per_part = joined.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(~F.col("__eq"), 1).otherwise(0)).alias("violation_count"),
+    )
+    verdicts = per_part.select(
+        F.lit(table_name).alias("table_name"),
+        F.col(part_col).cast("string").alias("partition_value"),
+        F.lit(f"{array_col}_match_reference").alias("check_name"),
+        F.col("row_count").cast("long"),
+        F.col("violation_count").cast("long"),
+        (F.col("violation_count") == 0).alias("passed"),
+    )
+    violations = (
+        joined.filter(~F.col("__eq"))
+        .select(
+            F.lit(f"{array_col}_match_reference").alias("check_name"),
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.col(key_col).cast("string").alias("key"),
+            F.concat(
+                F.lit("len="), F.size(array_col).cast("string"),
+                F.lit(" ref_len="), F.size("__ref_arr").cast("string"),
+            ).alias("detail"),
+        )
+        .limit(violation_cap)
+    )
+    return verdicts, violations
+
+
+@dataclass
+class SuiteResult:
+    verdicts: DataFrame
+    violations: DataFrame
+    checks: list[str] = field(default_factory=list)
+
+
+def run_sequence_suite(
+    df: DataFrame,
+    sources_ref: DataFrame,
+    reference: DataFrame | None = None,
+    table_name: str = "sequences",
+    part_col: str = "source",
+    violation_cap: int = 1000,
+    null_rate_threshold: float = 0.0,
+) -> SuiteResult:
+    """The full constraint suite of the north_star: row invariants +
+    uniqueness + RI + empty-partition (+ reference equality when the
+    golden copy is supplied). Verdict/violation DataFrames are lazy —
+    callers union/write them in one job."""
+    v1, x1 = run_row_checks(
+        df, sequence_row_checks(null_rate_threshold=null_rate_threshold),
+        table_name, part_col=part_col, violation_cap=violation_cap,
+    )
+    v2, x2 = uniqueness_check(df, table_name, part_col=part_col, violation_cap=violation_cap)
+    v3, x3 = referential_integrity_check(
+        df, sources_ref, table_name, key_col=part_col, part_col=part_col, violation_cap=violation_cap
+    )
+    v4 = empty_partition_check(df, sources_ref, table_name, part_col=part_col)
+
+    verdicts = v1.unionByName(v2).unionByName(v3).unionByName(v4)
+    violations = x1.unionByName(x2).unionByName(x3)
+    names = ["n_tok_matches_size", "token_range", "doc_id_not_null",
+             "unique_doc_id", f"ri_{part_col}", "row_count_gt_0"]
+    if reference is not None:
+        v5, x5 = reference_equality_check(
+            df, reference, table_name, part_col=part_col, violation_cap=violation_cap
+        )
+        verdicts = verdicts.unionByName(v5)
+        violations = violations.unionByName(x5)
+        names.append("tokens_match_reference")
+    return SuiteResult(verdicts, violations, names)

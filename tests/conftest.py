@@ -1,0 +1,10 @@
+import pytest
+
+from dataprofiler_spark import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="dataprofiler-tests", master="local[8]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

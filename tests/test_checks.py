@@ -1,0 +1,95 @@
+"""Verdict-matrix and violation-row parity on the injected-violation fixture.
+
+Expected counts derive from ViolationSpec (FIXTURES.md §4): every defect is
+injected at exact row-id ranges, so the pass/fail matrix is known a priori —
+the rebuild analog of the reference's seeded prod/uat drift fixtures
+(/root/reference/init-scripts/postgres/01-sample-data.sql).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataprofiler_spark.operators.checks import (
+    _lists_equal_batch,
+    run_sequence_suite,
+)
+from dataprofiler_spark.sources import gen_sequences, gen_sources_ref, violation_spec
+
+N = 10_000
+
+
+@pytest.fixture(scope="module")
+def suite_result(spark):
+    bad = gen_sequences(spark, N, violations=True)
+    ref = gen_sequences(spark, N, violations=False)  # golden copy
+    res = run_sequence_suite(bad, gen_sources_ref(spark), reference=ref, violation_cap=10_000)
+    verdicts = {
+        (r.partition_value, r.check_name): r
+        for r in res.verdicts.collect()
+    }
+    violations = res.violations.groupBy("check_name").count().collect()
+    vio_counts = {r.check_name: r["count"] for r in violations}
+    return verdicts, vio_counts
+
+
+def test_expected_verdict_matrix(suite_result):
+    verdicts, _ = suite_result
+    u = violation_spec(N).dup_rows[1]  # 100
+
+    # duplicates: u rows forced into web, u/2 pairs → u violation rows
+    assert verdicts[("web", "unique_doc_id")].violation_count == u
+    assert not verdicts[("web", "unique_doc_id")].passed
+    assert verdicts[("books", "unique_doc_id")].passed
+
+    # orphans: 'ghost' partition fails RI entirely
+    assert verdicts[("ghost", "ri_source")].violation_count == u
+    assert not verdicts[("ghost", "ri_source")].passed
+    assert verdicts[("web", "ri_source")].passed
+
+    # registered-but-empty partition fails row_count_gt_0
+    assert not verdicts[("empty_src", "row_count_gt_0")].passed
+    assert verdicts[("web", "row_count_gt_0")].passed
+
+    # n_tok / range / null-doc totals across partitions == injected counts
+    for check in ("n_tok_matches_size", "token_range", "doc_id_not_null"):
+        total = sum(v.violation_count for (p, c), v in verdicts.items() if c == check)
+        assert total == u, check
+
+    # reference equality: perturbed rows + range rows (range injection also
+    # changes tokens vs the golden copy) = 2u mismatches
+    total_eq = sum(
+        v.violation_count for (p, c), v in verdicts.items() if c == "tokens_match_reference"
+    )
+    assert total_eq == 2 * u
+
+
+def test_expected_violation_rows(suite_result):
+    _, vio = suite_result
+    u = violation_spec(N).dup_rows[1]
+    assert vio["unique_doc_id"] == u
+    assert vio["ri_source"] == u
+    assert vio["n_tok_matches_size"] == u
+    assert vio["token_range"] == u
+    assert vio["doc_id_not_null"] == u
+    assert vio["tokens_match_reference"] == 2 * u
+
+
+def test_clean_data_all_pass(spark):
+    clean = gen_sequences(spark, 2000)
+    res = run_sequence_suite(clean, gen_sources_ref(spark), reference=clean)
+    failing = res.verdicts.filter(
+        (~res.verdicts.passed) & (res.verdicts.check_name != "row_count_gt_0")
+    ).count()
+    assert failing == 0
+    # the only expected failure: registered-but-empty partition
+    empty = res.verdicts.filter(~res.verdicts.passed).collect()
+    assert {(r.partition_value, r.check_name) for r in empty} == {("empty_src", "row_count_gt_0")}
+    assert res.violations.count() == 0
+
+
+def test_lists_equal_batch_vectorized():
+    a = pd.Series([np.array([1, 2, 3]), np.array([]), np.array([5]), None, np.array([7, 8])])
+    b = pd.Series([np.array([1, 2, 3]), np.array([]), np.array([6]), np.array([1]), np.array([7, 8, 9])])
+    out = _lists_equal_batch(a, b)
+    assert list(out) == [True, True, False, False, False]

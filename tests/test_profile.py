@@ -1,0 +1,106 @@
+"""Metric semantics parity with the reference's dbt-profiler conventions
+(/root/reference/src/core/metrics.py): gating, rounding, is_unique verdict,
+stringified min/max — on a hand-computed fixture."""
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from dataprofiler_spark.operators.profile import ProfileConfig, profile
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "b", None),
+        (4, None, 40.0),
+        (5, "c", 10.0),
+    ]
+    return spark.createDataFrame(rows, "id int, name string, val double")
+
+
+def prof_map(df):
+    return {r.column_name: r for r in df.collect()}
+
+
+def test_counts_proportions_unique(small):
+    p = prof_map(profile(small, "t"))
+    assert p["id"].row_count == 5
+    assert p["id"].not_null_count == 5
+    assert p["id"].distinct_count == 5
+    assert p["id"].is_unique is True  # metrics.py:287
+
+    assert p["name"].not_null_count == 4
+    assert p["name"].distinct_count == 3  # COUNT(DISTINCT) skips NULL
+    assert p["name"].not_null_proportion == 0.8  # round(·,4) metrics.py:404
+    assert p["name"].distinct_proportion == 0.6
+    assert p["name"].is_unique is False
+
+    assert p["val"].not_null_count == 4
+    assert p["val"].distinct_count == 3
+    assert p["val"].is_unique is False
+
+
+def test_minmax_stringified_and_gated(small):
+    p = prof_map(profile(small, "t"))
+    # numeric → supported, stringified (metrics.py:293-338)
+    assert p["id"].min_value == "1"
+    assert p["id"].max_value == "5"
+    assert p["val"].max_value == "40.0"
+    # string → not minmax-supported per dbt-profiler gate (metrics.py:211-229)
+    assert p["name"].min_value is None
+    assert p["name"].max_value is None
+
+
+def test_numeric_stats_rounding(small):
+    p = prof_map(profile(small, "t"))
+    vals = [10.0, 20.0, 40.0, 10.0]
+    mean = sum(vals) / 4
+    sdp = math.sqrt(sum((v - mean) ** 2 for v in vals) / 4)
+    sds = math.sqrt(sum((v - mean) ** 2 for v in vals) / 3)
+    assert p["val"].avg_value == round(mean, 6)  # round 6, metrics.py:410
+    assert p["val"].median_value == 15.0  # PERCENTILE_CONT(0.5), metrics.py:353
+    assert p["val"].stddev_pop == round(sdp, 6)
+    assert p["val"].stddev_samp == round(sds, 6)
+    # non-numeric columns gated out (metrics.py:193-208)
+    assert p["name"].avg_value is None
+    assert p["name"].median_value is None
+
+
+def test_zero_not_none(spark):
+    """Deliberate divergence from the reference's falsy-rounding bug
+    (metrics.py:404-413 maps 0.0 → None; SURVEY.md §4.3)."""
+    df = spark.createDataFrame([(0.0,), (0.0,)], "x double")
+    p = prof_map(profile(df, "t"))
+    assert p["x"].avg_value == 0.0
+    assert p["x"].stddev_pop == 0.0
+
+
+def test_empty_table(spark):
+    df = spark.createDataFrame([], T.StructType([T.StructField("x", T.IntegerType())]))
+    rows = profile(df, "t").collect()
+    # ungrouped agg on empty input still yields the single global group
+    assert len(rows) == 1
+    assert rows[0].row_count == 0
+    assert rows[0].not_null_proportion is None  # None-gated when row_count==0 (metrics.py:284-286)
+
+
+def test_approx_mode(spark):
+    df = spark.range(0, 5000).selectExpr("id", "cast(id % 97 as double) as v")
+    p = prof_map(profile(df, "t", cfg=ProfileConfig(exact=False)))
+    assert abs(p["id"].distinct_count - 5000) / 5000 < 0.05  # HLL++ rsd
+    assert abs(p["v"].median_value - 48.0) <= 1.0
+
+
+def test_grouped_profile(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, x int"
+    )
+    rows = profile(df, "t", group_by=["g"]).collect()
+    by = {(r.g, r.column_name): r for r in rows}
+    assert by[("a", "x")].row_count == 2
+    assert by[("b", "x")].row_count == 1
+    assert by[("a", "x")].avg_value == 1.5
