@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (it has no dedup at all), these are the
+first-class operators a 100 TB corpus pipeline needs: exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification. All are
+pure DataFrame plans — the only shuffles are the groupBys/joins stated in
+each docstring; no Python UDFs anywhere.
+
+Scale design notes:
+* exact dedup: one shuffle on a 128-bit content hash (not the full text).
+* MinHash LSH: signatures are computed map-side from shingle arrays with
+  expression-only hashing; the candidate join shuffles (band_id, band_hash)
+  keys — O(rows·bands) small fixed-width rows, never text.
+* n-gram Jaccard: the exact verifier; its shingle self-join is guarded by a
+  document-frequency cap on shingles (hot-shingle quadratic blowup is the
+  classic failure at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime for the minhash universal-hash family: with
+# x, a, b < 2^31 the product a·x stays under 2^62 — no int64 overflow
+# inside Spark OR DuckDB (both use Java/C++ 64-bit signed math).
+_MERSENNE = (1 << 31) - 1
+
+
+def content_hash(*cols: str | Column) -> Column:
+    """128-bit content fingerprint: md5 over unit-separator-joined columns."""
+    return F.md5(F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c for c in cols]))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, cols: list[str], key_col: str
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: (text_hash, copies, keys) for groups
+    with >1 member. One shuffle on the hash; text never moves."""
+    h = content_hash(*cols).alias("text_hash")
+    return (
+        df.select(h, F.col(key_col))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("copies"), F.sort_array(F.collect_list(key_col)).alias("keys"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
+    """Keep the min-key row per content hash (deterministic survivor)."""
+    ranked = df.select("*", content_hash(*cols).alias("__h")).withColumn(
+        "__rn", F.row_number().over(Window.partitionBy("__h").orderBy(key_col))
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__h", "__rn")
+
+
+def word_shingles(text_col: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text column —
+    pure array expressions (transform over sequence), no UDF."""
+    words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+    n = F.size(words)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(k)]
+    )
+    return F.array_distinct(
+        F.when(n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)).otherwise(
+            F.array(F.concat_ws(" ", words))
+        )
+    )
+
+
+def _shingle_long_hash(s: Column) -> Column:
+    """Portable shingle hash in [0, 2^31-1): first 7 hex chars of md5
+    (28 bits) — chosen over xxhash64 so DuckDB oracles can reproduce it
+    exactly (CAST('0x'||substr(md5(s),1,7) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long") % _MERSENNE
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i·x + b_i) mod p. Derived from a seeded LCG so both the
+    engine and any oracle can regenerate them."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text_col: str | Column, num_hashes: int = 16, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint>, entirely map-side expressions:
+    shingles → portable 60-bit hash → per-function min."""
+    shingle_hashes = F.transform(word_shingles(text_col, shingle_k), _shingle_long_hash)
+
+    def _hash_fn(a: int, b: int):
+        # closure factory: PySpark infers HOF arity from the lambda's
+        # parameter count, so default-arg capture (lambda x, a=a) breaks
+        return lambda x: (x * a + b) % _MERSENNE
+
+    sigs = [
+        F.array_min(F.transform(shingle_hashes, _hash_fn(a, b)))
+        for a, b in _minhash_params(num_hashes, seed)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join on
+    (band_id, band_hash), emit distinct (key1 < key2) pairs.
+
+    Shuffle cost is rows·bands fixed-width keys; the self-join happens
+    within buckets only. Collisions across ALL bands of disjoint docs are
+    the false-positive set — verify with ngram_jaccard_pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, shingle_k, seed)
+    banded = df.select(F.col(key_col).alias("key"), sig.alias("sig")).select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("key", "band.band_id", "band.band_hash")
+    other = banded.select(
+        F.col("key").alias("key2"), "band_id", "band_hash"
+    )
+    return (
+        banded.join(other, ["band_id", "band_hash"])
+        .filter(F.col("key") < F.col("key2"))
+        .select(F.col("key").alias("key1"), "key2")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold:
+    explode distinct shingles → self-join on shingle → |∩| / (|A|+|B|-|∩|).
+
+    max_shingle_doc_freq drops shingles appearing in more than N docs
+    before the self-join — the standard guard against quadratic blowup on
+    boilerplate shingles at corpus scale."""
+    sh = df.select(
+        F.col(key_col).alias("key"), F.explode(word_shingles(text_col, shingle_k)).alias("s")
+    )
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    other = sh.select(F.col("key").alias("key2"), "s")
+    inter = (
+        sh.join(other, "s")
+        .filter(F.col("key") < F.col("key2"))
+        .groupBy(F.col("key").alias("key1"), "key2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("key").alias("key1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("key").alias("key2"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "key1")
+        .join(sb, "key2")
+        .select(
+            "key1",
+            "key2",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text_col: str | Column, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens as a bigint, expression-only:
+    per-token xxhash64 → ±1 per bit position → sign of the column sum.
+
+    aggregate() folds an array<int> of per-bit counters across tokens —
+    all inside whole-stage codegen, no Python."""
+    words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def step(acc, w):
+        h = F.xxhash64(w)
+        # bit positions unrolled in Python: shiftright needs literal ints
+        deltas = F.array(
+            *[((F.shiftright(h, b) % 2 != 0).cast("int") * 2 - 1) for b in range(bits)]
+        )
+        return F.zip_with(acc, deltas, lambda a, d: a + d)
+
+    counters = F.aggregate(words, zero, step)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(
+            F.element_at(counters, b + 1) > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(bit)  # OR, not +: bit 63 is the sign bit
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, key_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: docs whose 64-bit simhashes differ in
+    ≤ max_hamming bits. Buckets by 4 × 16-bit chunks (pigeonhole: any pair
+    within hamming ≤3 shares at least one chunk) then verifies exact
+    hamming via bit_count(xor)."""
+    sh = df.select(F.col(key_col).alias("key"), simhash(text_col).alias("h"))
+    chunks = sh.select(
+        "key",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("h", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "h", "c.chunk_id", "c.chunk")
+    other = chunks.select(
+        F.col("key").alias("key2"), F.col("h").alias("h2"), "chunk_id", "chunk"
+    )
+    return (
+        chunks.join(other, ["chunk_id", "chunk"])
+        .filter(F.col("key") < F.col("key2"))
+        .select(
+            F.col("key").alias("key1"),
+            "key2",
+            F.bit_count(F.col("h").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

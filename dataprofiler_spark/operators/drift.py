@@ -1,0 +1,133 @@
+"""Distribution-drift detection: histograms, PSI, chi-squared, token-frequency.
+
+The reference's "drift" is metric-delta display and schema/inventory set-diffs
+(/root/reference/dashboard/backend/app.py:429-436, 1094-1177) — it has NO
+distributional test. The north_star requires PSI / chi-squared over n_tok
+histograms and token-frequency sketches vs a stored baseline profile, so this
+module is a designed extension (SURVEY.md §2.4 A15), built as plain DataFrame
+math: two histogram DataFrames joined on bucket — no UDF, one shuffle each.
+
+Scale shape: a histogram of a 10^12-row table is groupBy(bucket) over ~1e3
+buckets → partial aggregation collapses everything map-side; the PSI/χ² join
+is a tiny broadcast join of two histogram frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bucket_width: float,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram: (bucket = floor(col/width)*width, cnt).
+    NULLs land in a NULL bucket so drift in null-rate is visible too."""
+    group_by = group_by or []
+    bucket = (F.floor(F.col(col) / F.lit(bucket_width)) * F.lit(bucket_width)).cast(
+        "double"
+    )
+    return df.groupBy(*group_by, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _joined_proportions(
+    baseline: DataFrame, current: DataFrame, key_cols: list[str], eps: float
+) -> DataFrame:
+    """Full-outer join of two histograms with epsilon-smoothed proportions
+    (buckets present on one side only must not produce ±inf)."""
+    b_tot = baseline.agg(F.sum("cnt")).collect()[0][0] or 0
+    c_tot = current.agg(F.sum("cnt")).collect()[0][0] or 0
+    b = baseline.withColumnRenamed("cnt", "b_cnt")
+    c = current.withColumnRenamed("cnt", "c_cnt")
+    joined = b.join(c, key_cols, "full_outer").select(
+        *key_cols,
+        F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
+        F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+    )
+    return joined.select(
+        *key_cols,
+        "b_cnt",
+        "c_cnt",
+        F.greatest(F.col("b_cnt") / F.lit(max(b_tot, 1)), F.lit(eps)).alias("p_base"),
+        F.greatest(F.col("c_cnt") / F.lit(max(c_tot, 1)), F.lit(eps)).alias("p_cur"),
+    )
+
+
+def psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    key_cols: list[str] | None = None,
+    eps: float = 1e-6,
+) -> float:
+    """Population Stability Index: Σ (p_cur - p_base) · ln(p_cur / p_base).
+
+    Rule of thumb thresholds: <0.1 stable, 0.1-0.25 moderate, >0.25 major
+    shift (standard PSI convention; the reference has no analog)."""
+    key_cols = key_cols or ["bucket"]
+    j = _joined_proportions(baseline, current, key_cols, eps)
+    row = j.agg(
+        F.sum(
+            (F.col("p_cur") - F.col("p_base")) * F.log(F.col("p_cur") / F.col("p_base"))
+        ).alias("psi")
+    ).collect()[0]
+    return float(row["psi"] or 0.0)
+
+
+def chi_squared(
+    baseline: DataFrame,
+    current: DataFrame,
+    key_cols: list[str] | None = None,
+) -> tuple[float, int]:
+    """Pearson χ² of current counts vs expected counts scaled from the
+    baseline distribution. Returns (statistic, degrees_of_freedom).
+    Buckets with zero baseline mass are excluded (no expected count)."""
+    key_cols = key_cols or ["bucket"]
+    j = _joined_proportions(baseline, current, key_cols, eps=0.0)
+    c_tot = current.agg(F.sum("cnt")).collect()[0][0] or 0
+    stats = (
+        j.filter(F.col("b_cnt") > 0)
+        .select(
+            ((F.col("c_cnt") - F.col("p_base") * c_tot) ** 2 / (F.col("p_base") * c_tot)).alias("term")
+        )
+        .agg(F.sum("term").alias("stat"), F.count(F.lit(1)).alias("k"))
+        .collect()[0]
+    )
+    return float(stats["stat"] or 0.0), max(int(stats["k"]) - 1, 0)
+
+
+def token_frequency(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-token counts via explode + groupBy: (token, cnt).
+
+    At 10^12-row scale explode multiplies rows ~100×, but the groupBy
+    is over a bounded vocab (~50k keys) so map-side partial aggregation
+    collapses the explosion within each task; the shuffle moves only
+    |vocab| × partitions rows. top_k orders by (cnt desc, token) for a
+    deterministic cut."""
+    freq = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if top_k is not None:
+        freq = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    return freq
+
+
+def token_frequency_psi(
+    baseline_freq: DataFrame, current_freq: DataFrame, eps: float = 1e-9
+) -> float:
+    """PSI over token-frequency distributions (north_star drift surface)."""
+    return psi(
+        baseline_freq.withColumnRenamed("token", "bucket"),
+        current_freq.withColumnRenamed("token", "bucket"),
+        eps=eps,
+    )

@@ -1,0 +1,123 @@
+"""Growth-trend / capacity-overflow prediction.
+
+Semantics parity with the reference's auto-increment module
+(/root/reference/src/core/autoincrement_metrics.py), re-expressed for Spark:
+Spark/Iceberg has no sequences, so "current value" is max(id) over the table
+(SURVEY.md §7.4 documents this deliberate semantic mapping). Everything else
+is preserved exactly:
+
+  growth rate   linregress slope over (days-since-base, value); returned
+                only if > 0, else None          (autoincrement_metrics.py:78-125)
+  days_until_full  remaining / slope; 0.0 if already full; None if slope<=0
+                                                (:128-152)
+  usage %       (current / max_type) * 100      (autoincrement.py:207-231)
+  alert tiers   CRITICAL days<30 or usage>=90; WARNING days<90 or usage>=75;
+                days-based beats usage-based    (:24-28, :60-75)
+  rounding      usage 6dp, growth 2dp, days 2dp (:151-152, :292; autoincrement.py:228)
+
+The slope is the closed form covar_pop(x,y)/var_pop(x) — identical to
+scipy.stats.linregress's least-squares slope, but computed as two Spark
+aggregates instead of a driver-side scipy call (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Integer max values per type (reference autoincrement.py:24-56; Spark types)
+INT_MAX_VALUES = {
+    "smallint": 32767,
+    "int": 2147483647,
+    "integer": 2147483647,
+    "bigint": 9223372036854775807,
+}
+
+# Alert thresholds (autoincrement_metrics.py:24-28)
+CRITICAL_DAYS, WARNING_DAYS = 30, 90
+CRITICAL_USAGE, WARNING_USAGE = 90.0, 75.0
+
+
+@dataclass(frozen=True)
+class GrowthProfile:
+    current_value: int | None
+    max_type_value: int
+    usage_percentage: float
+    remaining_values: int
+    growth_rate_per_day: float | None
+    days_until_full: float | None
+    alert_status: str
+
+
+def regression_slope(history: DataFrame, ts_col: str, value_col: str) -> float | None:
+    """Least-squares slope per day over a (timestamp, value) series.
+    Mirrors calculate_growth_rate: needs ≥2 points, positive slope only
+    (autoincrement_metrics.py:78-125)."""
+    if history.limit(2).count() < 2:
+        return None
+    days = F.col(ts_col).cast("timestamp").cast("double") / 86400.0
+    row = history.agg(
+        (F.covar_pop(days, F.col(value_col)) / F.var_pop(days)).alias("slope")
+    ).collect()[0]
+    slope = row["slope"]
+    if slope is None or slope <= 0:
+        return None
+    return float(slope)
+
+
+def days_until_full(remaining: int, slope: float | None) -> float | None:
+    """autoincrement_metrics.py:128-152: 0.0 if already full, None if no
+    positive growth, else remaining/slope rounded 2dp."""
+    if remaining <= 0:
+        return 0.0
+    if slope is None or slope <= 0:
+        return None
+    return round(remaining / slope, 2)
+
+
+def alert_status(days: float | None, usage_pct: float) -> str:
+    """autoincrement_metrics.py:60-75 — days-based beats usage-based."""
+    if days is not None:
+        if days < CRITICAL_DAYS:
+            return "CRITICAL"
+        if days < WARNING_DAYS:
+            return "WARNING"
+    if usage_pct >= CRITICAL_USAGE:
+        return "CRITICAL"
+    if usage_pct >= WARNING_USAGE:
+        return "WARNING"
+    return "OK"
+
+
+def growth_profile(
+    df: DataFrame,
+    id_col: str,
+    id_type: str,
+    history: DataFrame | None = None,
+    ts_col: str = "scan_time",
+    value_col: str = "current_value",
+) -> GrowthProfile:
+    """Capacity profile for a monotonically-growing id column.
+
+    current = max(id) over the table (one agg job; the sequence point-read
+    of autoincrement.py:139-178 has no Spark analog). History is the
+    engine's own metrics sink — the same closed loop as the reference
+    (sink is also a source, autoincrement_metrics.py:155-212)."""
+    max_type = INT_MAX_VALUES[id_type.lower()]
+    row = df.agg(F.max(id_col).alias("mx")).collect()[0]
+    current = row["mx"]
+    if current is None:
+        # no rows: usage 0, full capacity remaining (autoincrement.py:213-219)
+        return GrowthProfile(None, max_type, 0.0, max_type, None, None, "OK")
+    current = int(current)
+    usage = round((current / max_type) * 100, 6)
+    remaining = max_type - current
+    slope = regression_slope(history, ts_col, value_col) if history is not None else None
+    slope_rounded = round(slope, 2) if slope is not None else None
+    days = days_until_full(remaining, slope)
+    return GrowthProfile(
+        current, max_type, usage, remaining, slope_rounded, days,
+        alert_status(days, usage),
+    )

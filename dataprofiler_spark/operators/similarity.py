@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (all-JVM expression math via
+zip_with/aggregate — no UDF, no collect); the scale paths are IVF (coarse
+quantizer + probed partitions) and random-hyperplane LSH. On a 1000-executor
+cluster the IVF index is the one you want: the centroid assignment is a
+broadcast join (centroids are tiny) and probing reads only matching
+partitions of a centroid-partitioned table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (whole-stage codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query: one scan + global top-k
+    (Spark's TakeOrderedAndProject — per-partition heaps, no full sort).
+    Deterministic tie-break on id."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_build(
+    df: DataFrame,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse index: centroids = the vectors with the `num_centroids`
+    smallest ids (deterministic seeding — one k-means sweep can refine
+    later; recall comes from probing, not centroid quality). Returns
+    (assigned_df with `centroid_id`, centroids_df).
+
+    At scale: write assigned_df partitioned by centroid_id; a probe then
+    reads only nprobe partitions (partition pruning does the pruning)."""
+    centroids = (
+        df.orderBy(id_col)
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+    )
+    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    assigned = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "centroid_vec")
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids, exact cosine within them.
+    Centroid ranking happens on the tiny centroid frame (collected — it is
+    the index metadata, not data)."""
+    q = _lit_vec(query_vec)
+    top_cents = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", cosine(F.col("centroid_vec"), q).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    return (
+        assigned.filter(F.col("centroid_id").isin(top_cents))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_id: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random hyperplane from a seeded LCG (no RNG
+    state, reproducible across engine and tests)."""
+    out, state = [], seed * 1_000_003 + plane_id
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append((state % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def lsh_cosine_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over num_planes
+    projections. Cosine-similar vectors collide with high probability;
+    candidate generation is then a bucket equi-join."""
+    bits = [
+        (dot(F.col(vec_col), _lit_vec(_hyperplane(dim, p, seed))) > 0).cast("int").cast("string")
+        for p in range(num_planes)
+    ]
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucket candidates, then
+    exact cosine verification ≥ threshold. The self-join is within-bucket
+    only — the scale path for 'find semantic duplicates in the corpus'."""
+    b = lsh_cosine_buckets(df, dim, num_planes, vec_col, seed).select(
+        F.col(id_col).alias("key1"), F.col(vec_col).alias("v1"), "bucket"
+    )
+    o = b.select(
+        F.col("key1").alias("key2"), F.col("v1").alias("v2"), "bucket"
+    )
+    return (
+        b.join(o, "bucket")
+        .filter(F.col("key1") < F.col("key2"))
+        .select(
+            "key1", "key2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim")
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )

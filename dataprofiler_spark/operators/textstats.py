@@ -1,0 +1,109 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All expression-only (split/size/filter/aggregate — whole-stage codegen);
+each has a DuckDB-expressible formulation so the driver's oracle can verify
+it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language marker sets for the n-gram/stopword heuristic.
+# Real corpora would load fastText-style models; the *operator shape*
+# (score per language → argmax with deterministic tie-break) is the point.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "value", "table", "row"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count (the 'token counting' baseline; a BPE-ish
+    estimate adds ceil(chars/4) blending, see bpe_token_estimate)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    return F.size(F.split(c, " "))
+
+
+def bpe_token_estimate(text_col: str | Column) -> Column:
+    """BPE-ish token estimate without a tokenizer: one token per word piece
+    of ≤4 chars — ceil(len(word)/4) summed over words. Deterministic,
+    portable to SQL (matches GPT-style ~4 chars/token heuristic)."""
+    c = text_col if isinstance(text_col, Column) else F.col(text_col)
+    words = F.split(c, " ")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, word count, mean word length,
+    distinct-word ratio, stopword ratio — the standard cheap quality
+    filters (C4/Gopher-style) as pure column math."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(text_col).cast("long"),
+            "n_words": n_words.cast("long"),
+            "mean_word_len": F.round((F.length(text_col) - (n_words - 1)) / n_words, 6),
+            "distinct_word_ratio": F.round(F.size(F.array_distinct(words)) / n_words, 6),
+            "stopword_ratio": F.round(n_stop / n_words, 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length docs, lexical
+    diversity, and presence (not dominance) of stopwords."""
+    feats = quality_features(df, text_col)
+    len_score = F.least(F.col("n_words") / 64.0, F.lit(1.0))
+    div_score = F.col("distinct_word_ratio")
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    return feats.withColumn(
+        "quality_score",
+        F.round(0.4 * len_score + 0.4 * div_score + 0.2 * stop_score, 6),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: per-language hit counts over the
+    token array → argmax with deterministic tie-break (lang code asc),
+    'und' when nothing matches. Pure expressions (one pass, no shuffle)."""
+    words = F.split(F.col(text_col), " ")
+    def _marker_filter(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return lambda w: F.array_contains(arr, w)
+
+    scores = [
+        F.struct(
+            (-F.size(F.filter(words, _marker_filter(markers)))).alias("neg_hits"),
+            F.lit(code).alias("lang"),
+        )
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    # ascending sort on (neg_hits, lang) = hits desc, lang asc tie-break
+    best = F.sort_array(F.array(*scores))[0]
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized, lowercased text —
+    the md5-definition-hash pattern of the reference's schema objects
+    (/root/reference/src/db/schema_extractor.py:29-33) applied to documents."""
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(c))

@@ -1,0 +1,114 @@
+"""Dedup operators: exact groups, MinHash-LSH candidates vs exact Jaccard,
+SimHash hamming, survivor selection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different words about spark query engines and shuffles"),
+        (5, "another unrelated document regarding database constraint validation"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = exact_duplicate_groups(docs, ["text"], "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].copies == 2 and groups[0].keys == [1, 2]
+
+
+def test_dedup_exact_keeps_min_key(spark, docs):
+    out = dedup_exact(docs, ["text"], "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {1, 3, 4, 5}  # 2 dropped, min-key survivor kept
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    row = df.select(word_shingles("t", 3).alias("s")).collect()[0]
+    assert sorted(row.s) == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], "t string")
+    assert short.select(word_shingles("t", 3).alias("s")).collect()[0].s == ["a b"]
+
+
+def test_minhash_identical_docs_equal_sigs(spark, docs):
+    sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in docs.select("doc_id", minhash_signature("text").alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    # near-dup shares most hash mins; disjoint docs share none
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near > shared_far
+
+
+def test_lsh_candidates_contain_true_pairs(spark, docs):
+    pairs = {(r.key1, r.key2) for r in lsh_candidate_pairs(docs, "doc_id").collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in ≥1 band
+    assert (4, 5) not in pairs  # disjoint docs don't
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → J = 1/3
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id int, text string")
+    rows = ngram_jaccard_pairs(df, "doc_id", threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "common shingle here unique" + str(i)) for i in range(10)],
+        "doc_id int, text string",
+    )
+    # 'common shingle here' appears in all 10 docs → capped out → no pairs
+    out = ngram_jaccard_pairs(df, "doc_id", threshold=0.0, max_shingle_doc_freq=5)
+    assert out.count() == 0
+
+
+def test_simhash_near_dup(spark):
+    # long docs: one changed word out of 64 → few bit flips (simhash is
+    # noisy on short texts where per-bit margins are ±1)
+    base = " ".join(f"word{i}" for i in range(64))
+    rows = [
+        (1, base),
+        (2, base),  # identical
+        (3, base.replace("word63", "changed")),  # near dup
+        (4, " ".join(f"other{i}" for i in range(64))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r.key1, r.key2): r.hamming for r in
+             simhash_near_dup_pairs(df, "doc_id", max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 16
+    assert (1, 4) not in pairs
+
+
+def test_lsh_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    cand = lsh_candidate_pairs(docs, "doc_id", num_hashes=16, bands=8)
+    verified = ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    cand_pairs = {(r.key1, r.key2) for r in cand.collect()}
+    true_pairs = {(r.key1, r.key2) for r in verified.collect()}
+    assert len(true_pairs) == 25  # injected near-dups in testdata
+    recall = len(cand_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.9, f"LSH recall {recall} over {len(cand_pairs)} candidates"

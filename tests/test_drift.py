@@ -1,0 +1,63 @@
+"""Drift: PSI/χ² cross thresholds on shifted distributions, stay quiet on
+identical ones (SURVEY.md §5 rebuild test plan item 3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.drift import (
+    chi_squared,
+    histogram,
+    psi,
+    token_frequency,
+    token_frequency_psi,
+)
+from dataprofiler_spark.sources import gen_sequences
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    a = gen_sequences(spark, 8000, seed=42)
+    b = gen_sequences(spark, 8000, seed=43)  # same distribution, new sample
+    # shifted: n_tok distribution moved right by filtering short docs
+    shifted = a.filter(F.col("n_tok") > 80)
+    return a, b, shifted
+
+
+def test_psi_stable_vs_shifted(spark, snapshots):
+    a, b, shifted = snapshots
+    ha = histogram(a, "n_tok", 16)
+    hb = histogram(b, "n_tok", 16)
+    hs = histogram(shifted, "n_tok", 16)
+    assert psi(ha, hb) < 0.1  # same distribution → stable
+    assert psi(ha, hs) > 0.25  # injected shift → major drift
+
+
+def test_psi_identical_is_zero(spark, snapshots):
+    a, _, _ = snapshots
+    h = histogram(a, "n_tok", 16)
+    assert psi(h, h) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_chi_squared(spark, snapshots):
+    a, b, shifted = snapshots
+    ha, hb, hs = (histogram(x, "n_tok", 16) for x in (a, b, shifted))
+    stat_same, dof_same = chi_squared(ha, hb)
+    stat_shift, dof_shift = chi_squared(ha, hs)
+    # same distribution: stat ≈ dof; shifted: stat ≫ dof
+    assert stat_same < 3 * dof_same
+    assert stat_shift > 10 * dof_shift
+
+
+def test_token_frequency_drift(spark):
+    a = gen_sequences(spark, 2000, seed=42)
+    b = gen_sequences(spark, 2000, seed=43)
+    fa, fb = token_frequency(a), token_frequency(b)
+    assert token_frequency_psi(fa, fa) == pytest.approx(0.0, abs=1e-12)
+    # uniform-vocab generator: cross-sample PSI small but nonzero
+    assert 0 < token_frequency_psi(fa, fb) < 1.0
+
+
+def test_histogram_null_bucket(spark):
+    df = spark.createDataFrame([(1,), (None,), (25,)], "x int")
+    h = {r.bucket: r.cnt for r in histogram(df, "x", 10).collect()}
+    assert h[0.0] == 1 and h[20.0] == 1 and h[None] == 1

@@ -1,0 +1,88 @@
+"""Growth-trend parity with the reference's own unit tests
+(/root/reference/tests/test_autoincrement.py:89-263): known slope
+100/day → 95-105; insufficient data → None; negative slope → None;
+alert thresholds; days-until-full arithmetic."""
+
+import datetime as dt
+
+import pytest
+
+from dataprofiler_spark.operators.growth import (
+    INT_MAX_VALUES,
+    alert_status,
+    days_until_full,
+    growth_profile,
+    regression_slope,
+)
+
+
+def _history(spark, values, start="2026-01-01"):
+    base = dt.datetime.fromisoformat(start)
+    rows = [(base + dt.timedelta(days=i), float(v)) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, "scan_time timestamp, current_value double")
+
+
+def test_known_slope(spark):
+    h = _history(spark, [1000 + 100 * i for i in range(10)])
+    slope = regression_slope(h, "scan_time", "current_value")
+    assert 95 <= slope <= 105  # reference test_autoincrement.py:186-198
+
+
+def test_insufficient_data_returns_none(spark):
+    h = _history(spark, [1000])
+    assert regression_slope(h, "scan_time", "current_value") is None
+
+
+def test_negative_slope_returns_none(spark):
+    h = _history(spark, [1000 - 50 * i for i in range(5)])
+    assert regression_slope(h, "scan_time", "current_value") is None
+
+
+def test_days_until_full():
+    # autoincrement_metrics.py:128-152
+    assert days_until_full(1000, 100.0) == 10.0
+    assert days_until_full(0, 100.0) == 0.0
+    assert days_until_full(-5, 100.0) == 0.0
+    assert days_until_full(1000, None) is None
+    assert days_until_full(1000, 0.0) is None
+
+
+def test_alert_thresholds():
+    # autoincrement_metrics.py:24-28, 60-75; days-based beats usage-based
+    assert alert_status(10, 50.0) == "CRITICAL"
+    assert alert_status(60, 50.0) == "WARNING"
+    assert alert_status(365, 95.0) == "CRITICAL"
+    assert alert_status(365, 80.0) == "WARNING"
+    assert alert_status(365, 50.0) == "OK"
+    assert alert_status(None, 92.0) == "CRITICAL"
+    assert alert_status(None, 10.0) == "OK"
+
+
+def test_growth_profile_end_to_end(spark):
+    df = spark.range(1, 1001).selectExpr("cast(id as int) as id")
+    h = _history(spark, [800 + 100 * i for i in range(5)])
+    p = growth_profile(df, "id", "int", history=h)
+    assert p.current_value == 1000
+    assert p.max_type_value == INT_MAX_VALUES["int"]
+    assert p.remaining_values == INT_MAX_VALUES["int"] - 1000
+    assert 95 <= p.growth_rate_per_day <= 105
+    assert p.days_until_full == round(p.remaining_values / p.growth_rate_per_day, 2)
+    assert p.alert_status == "OK"
+
+
+def test_growth_profile_empty_table(spark):
+    df = spark.range(0).selectExpr("cast(id as int) as id")
+    p = growth_profile(df, "id", "int")
+    # autoincrement.py:213-219: None current → usage 0, full remaining
+    assert p.current_value is None
+    assert p.usage_percentage == 0.0
+    assert p.remaining_values == INT_MAX_VALUES["int"]
+    assert p.alert_status == "OK"
+
+
+def test_near_overflow_critical(spark):
+    mx = INT_MAX_VALUES["int"]
+    df = spark.createDataFrame([(mx - 10,)], "id int")
+    p = growth_profile(df, "id", "int")
+    assert p.usage_percentage >= 99.9999
+    assert p.alert_status == "CRITICAL"
