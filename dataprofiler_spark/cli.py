@@ -1,0 +1,149 @@
+"""CLI mirroring the reference's argparse surface and flag-gating semantics
+(/root/reference/main.py:42-164, cross-validation :625-641), re-targeted at
+parquet/Iceberg inputs.
+
+Launch:  spark-submit --py-files dataprofiler_spark.zip -m dataprofiler_spark.cli ...
+   or:   python -m dataprofiler_spark.cli --input <dir> --data-profile
+
+Stages (flag-gated exactly like the reference's --data-profile /
+--profile-schema / --auto-increment):
+  --data-profile    single-pass column profile (per --partition-col)
+  --validate        full constraint suite (uniqueness/RI/invariants)
+  --drift           PSI/chi² vs --baseline histogram
+  --growth          max(id) capacity trending (auto-increment analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from dataprofiler_spark import get_spark
+from dataprofiler_spark.operators.drift import histogram
+from dataprofiler_spark.operators.profile import ProfileConfig, profile
+from dataprofiler_spark.pipeline import ValidationConfig, run_validation
+from dataprofiler_spark.plans.manifest import input_fingerprint
+from dataprofiler_spark.report import FORMATTERS, write_report
+from dataprofiler_spark.sources.synthetic import gen_sequences, gen_sources_ref
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dataprofiler-spark",
+        description="PySpark-native schema + constraint validation engine",
+    )
+    p.add_argument("--input", help="parquet path of the table to validate")
+    p.add_argument("--synthetic-rows", type=int, help="generate N synthetic sequence rows instead of reading --input")
+    p.add_argument("--synthetic-violations", action="store_true")
+    p.add_argument("--table-name", default="sequences")
+    p.add_argument("--partition-col", default="source")
+    # stage gates (reference main.py:625-641 semantics: at least one stage)
+    p.add_argument("--data-profile", action="store_true")
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--drift", action="store_true")
+    p.add_argument("--growth", action="store_true")
+    p.add_argument("--baseline", help="parquet path of baseline n_tok histogram (for --drift)")
+    p.add_argument("--reference", help="parquet path of golden sequence copy (token equality)")
+    p.add_argument("--output-dir", help="sink dir for profiles/verdicts/violations")
+    p.add_argument("--manifest-dir", help="checkpoint manifest dir (enables resume)")
+    p.add_argument("--format", choices=list(FORMATTERS), default="table")
+    p.add_argument("--output-file")
+    p.add_argument("--append", action="store_true")
+    p.add_argument("--approx", action="store_true", help="HLL/approx quantiles instead of exact")
+    p.add_argument("--violation-cap", type=int, default=1000)
+    p.add_argument("--master")
+    p.add_argument("--shuffle-partitions", type=int)
+    return p
+
+
+def validate_args(args) -> str | None:
+    if not (args.data_profile or args.validate or args.drift or args.growth):
+        return "at least one stage flag required (--data-profile/--validate/--drift/--growth)"
+    if not args.input and not args.synthetic_rows:
+        return "--input or --synthetic-rows required"
+    if args.drift and not args.baseline:
+        return "--drift requires --baseline"
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    err = validate_args(args)
+    if err:
+        print(f"error: {err}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(
+        master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic_rows:
+        df = gen_sequences(spark, args.synthetic_rows, violations=args.synthetic_violations)
+        lineage = f"synthetic:{args.synthetic_rows}:{args.synthetic_violations}"
+    else:
+        df = spark.read.parquet(args.input)
+        lineage = input_fingerprint(args.input)
+
+    exit_code = 0
+
+    if args.data_profile:
+        prof = profile(
+            df,
+            args.table_name,
+            group_by=[args.partition_col] if args.partition_col in df.columns else None,
+            cfg=ProfileConfig(exact=not args.approx),
+        )
+        rows = prof.collect()
+        write_report(
+            FORMATTERS[args.format](rows, args.table_name),
+            args.output_file,
+            args.append,
+        )
+        if args.output_dir:
+            prof.write.mode("append").parquet(f"{args.output_dir}/data_profiles")
+
+    if args.validate or args.drift:
+        baseline_hist = (
+            spark.read.parquet(args.baseline) if (args.drift and args.baseline) else None
+        )
+        reference = spark.read.parquet(args.reference) if args.reference else None
+        cfg = ValidationConfig(
+            table_name=args.table_name,
+            part_col=args.partition_col,
+            violation_cap=args.violation_cap,
+            exact=not args.approx,
+            output_dir=args.output_dir,
+            manifest_dir=args.manifest_dir,
+            lineage=lineage,
+        )
+        res = run_validation(
+            spark,
+            df,
+            gen_sources_ref(spark),
+            reference=reference,
+            baseline_hist=baseline_hist,
+            cfg=cfg,
+        )
+        print(json.dumps(res.summary))
+        if not res.summary["passed"]:
+            exit_code = 1  # reference main.py:809-819 exit semantics
+
+    if args.growth:
+        from dataprofiler_spark.operators.growth import growth_profile
+
+        id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
+        num = df.select(
+            F.regexp_extract(F.col(id_col).cast("string"), r"(\d+)", 1).cast("long").alias("id")
+        )
+        gp = growth_profile(num, "id", "bigint")
+        print(json.dumps(gp.__dict__, default=str))
+
+    return exit_code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,44 @@ def chi_squared(
     return float(stats["stat"] or 0.0), max(int(stats["k"]) - 1, 0)
 
 
+def drift_by_group(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group PSI and χ² between two grouped histograms
+    ((group, bucket, cnt) each) — fully distributed, one row per group:
+    (group, psi, chi2_stat, chi2_dof). This is the per-partition drift
+    verdict input for the validation pipeline."""
+    b_tot = baseline.groupBy(group_col).agg(F.sum("cnt").alias("b_tot"))
+    c_tot = current.groupBy(group_col).agg(F.sum("cnt").alias("c_tot"))
+    b = baseline.withColumnRenamed("cnt", "b_cnt")
+    c = current.withColumnRenamed("cnt", "c_cnt")
+    j = (
+        b.join(c, [group_col, "bucket"], "full_outer")
+        .fillna(0, ["b_cnt", "c_cnt"])
+        .join(b_tot, group_col)
+        .join(c_tot, group_col)
+    )
+    p_base = F.greatest(F.col("b_cnt") / F.greatest(F.col("b_tot"), F.lit(1)), F.lit(eps))
+    p_cur = F.greatest(F.col("c_cnt") / F.greatest(F.col("c_tot"), F.lit(1)), F.lit(eps))
+    expected = p_base * F.col("c_tot")
+    return j.groupBy(group_col).agg(
+        F.round(F.sum((p_cur - p_base) * F.log(p_cur / p_base)), 6).alias("psi"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("b_cnt") > 0,
+                    (F.col("c_cnt") - expected) ** 2 / expected,
+                )
+            ),
+            6,
+        ).alias("chi2_stat"),
+        (F.sum(F.when(F.col("b_cnt") > 0, 1).otherwise(0)) - 1).alias("chi2_dof"),
+    )
+
+
 def token_frequency(
     df: DataFrame,
     tokens_col: str = "tokens",

@@ -215,3 +215,222 @@ def growth_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_day"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup / similarity / text-analysis queries (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+_P31 = (1 << 31) - 1
+
+
+def _duck_minhash_cte(num_hashes: int, seed: int = 42) -> str:
+    """DuckDB CTEs reproducing minhash_signature() bit-for-bit (same md5
+    prefix hash, same LCG-derived (a,b) params)."""
+    from dataprofiler_spark.operators.dedup import _minhash_params
+
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_P31})) AS s{i}"
+        for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
+    )
+    return f"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+         generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
+h AS (SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s),1,7) AS BIGINT) % {_P31}) AS hs FROM sh),
+sig AS (SELECT doc_id, {sig_exprs} FROM h)"""
+
+
+def _lsh_pairs_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    band_selects = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, {b} AS band_id, md5({" || ',' || ".join(f"s{b*rows+r}::VARCHAR" for r in range(rows))}) AS band_hash FROM sig"""
+        for b in range(bands)
+    )
+    return f"""WITH {_duck_minhash_cte(num_hashes)},
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS key1, b.doc_id AS key2
+FROM bands a JOIN bands b USING (band_id, band_hash)
+WHERE a.doc_id < b.doc_id"""
+
+
+@register("minhash_lsh_pairs_documents", _lsh_pairs_sql())
+def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs — the scale path for corpus
+    dedup. Oracle reproduces the signature math exactly in SQL."""
+    from dataprofiler_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", num_hashes=16, bands=8)
+
+
+@register(
+    "ngram_jaccard_pairs_documents",
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+        generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       ELSE [array_to_string(ws, ' ')] END) AS s FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT key1, key2, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = key1 JOIN sizes sb ON sb.doc_id = key2
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2""",
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verifier for LSH candidates)."""
+    from dataprofiler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+
+
+@register(
+    "dedup_exact_prefix_groups",
+    """SELECT md5(substr(text, 1, 20)) AS text_hash, COUNT(*) AS copies,
+  MIN(doc_id) AS min_key
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1""",
+)
+def dedup_exact_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups keyed on a 20-char content prefix (full-text dedup
+    on this corpus is all-unique; the prefix exercises the group path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.substring("text", 1, 20)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("copies"), F.min("doc_id").alias("min_key"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+@register(
+    "knn_cosine_top10",
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+  ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos_sim
+  FROM embeddings e, q)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): all-JVM zip_with/aggregate
+    expression math; global top-k is TakeOrderedAndProject (per-partition
+    heaps — no full sort, no collect)."""
+    from dataprofiler_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return brute_force_topk(emb.withColumn("embedding", F.col("embedding").cast("array<double>")), qvec, k=10)
+
+
+@register(
+    "embedding_sim_pairs_brute",
+    """SELECT a.vec_id AS key1, b.vec_id AS key2,
+  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5""",
+)
+def embedding_sim_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.5 (exact; the LSH-bucketed variant
+    embedding_near_dup_pairs is the scale path, verified in tests)."""
+    from dataprofiler_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("key1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("key2"), F.col("embedding").alias("v2"))
+    return (
+        a.join(b, F.col("key1") < F.col("key2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("key1", "key2", "cos_sim")
+    )
+
+
+@register(
+    "token_counts_documents",
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+  CAST(list_aggregate(list_transform(string_split(text, ' '),
+       w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_tokens_bpe
+FROM documents""",
+)
+def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataprofiler_spark.operators.textstats import bpe_token_estimate, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_estimate("text").alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "fingerprint_documents",
+    """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents""",
+)
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataprofiler_spark.operators.textstats import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def _lang_id_sql() -> str:
+    from dataprofiler_spark.operators.textstats import LANG_MARKERS
+
+    hit_selects = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{code}' AS lang, len(list_filter(ws, x -> list_contains({list(markers)!r}, x))) AS h FROM w"""
+        for code, markers in sorted(LANG_MARKERS.items())
+    )
+    return f"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+hits AS ({hit_selects}),
+ranked AS (SELECT doc_id, lang, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn FROM hits)
+SELECT CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred, COUNT(*) AS cnt
+FROM ranked WHERE rn = 1 GROUP BY 1"""
+
+
+@register("lang_id_documents", _lang_id_sql())
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic, rolled up to counts per
+    predicted language."""
+    from dataprofiler_spark.operators.textstats import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs).groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "text_quality_documents",
+    """SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS distinct_word_ratio,
+  ROUND(len(list_filter(string_split(text, ' '),
+        x -> list_contains(['the','and','of','to','value','table','row'], x))) * 1.0
+        / len(string_split(text, ' ')), 6) AS stopword_ratio
+FROM documents""",
+)
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataprofiler_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_words", "distinct_word_ratio", "stopword_ratio"
+    )
+
+
+# simhash uses xxhash64 (no DuckDB analog) → rows-only correctness check
+@register("simhash_near_dup_documents", None)
+def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataprofiler_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", max_hamming=3)

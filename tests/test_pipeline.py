@@ -1,0 +1,83 @@
+"""End-to-end pipeline: verdict matrix, sinks, drift gate, and
+checkpoint/resume semantics (SURVEY.md §5 rebuild test plan item 4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.drift import histogram
+from dataprofiler_spark.pipeline import ValidationConfig, run_validation
+from dataprofiler_spark.plans.manifest import Manifest
+from dataprofiler_spark.sources import gen_sequences, gen_sources_ref
+
+N = 5_000
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    bad = gen_sequences(spark, N, violations=True)
+    ref = gen_sequences(spark, N)
+    cfg = ValidationConfig(
+        output_dir=str(tmp_path / "out"),
+        manifest_dir=str(tmp_path / "manifest"),
+        lineage="snap-1",
+    )
+    res = run_validation(spark, bad, gen_sources_ref(spark), reference=ref, cfg=cfg)
+    assert res.summary["passed"] is False
+    assert res.summary["partitions_skipped"] == 0
+    assert res.summary["rows_validated"] == N
+    # sinks written
+    v = spark.read.parquet(str(tmp_path / "out" / "validation_verdicts"))
+    assert v.filter("NOT passed").count() > 0
+    x = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    assert x.count() > 0
+    # manifest has per-partition lineage + row counts + check matrix
+    recs = Manifest(cfg.manifest_dir).load()
+    assert "web" in recs and recs["web"].lineage == "snap-1"
+    assert recs["web"].row_count > 0
+    assert recs["web"].checks["unique_doc_id"] is False
+    assert recs["ghost"].checks["ri_source"] is False
+
+
+def test_pipeline_resume_skips_validated(spark, tmp_path):
+    clean = gen_sequences(spark, N)
+    cfg = ValidationConfig(
+        manifest_dir=str(tmp_path / "manifest"), lineage="snap-A"
+    )
+    r1 = run_validation(spark, clean, gen_sources_ref(spark), cfg=cfg)
+    assert r1.summary["partitions_skipped"] == 0
+    n_parts = r1.summary["partitions_validated"]
+
+    # resubmission with the same lineage: everything skipped
+    r2 = run_validation(spark, clean, gen_sources_ref(spark), cfg=cfg)
+    assert r2.summary["partitions_skipped"] == n_parts
+    assert r2.summary["partitions_validated"] == 0
+    assert r2.summary["rows_validated"] == 0
+
+    # lineage change (new snapshot) invalidates the skip
+    cfg2 = ValidationConfig(manifest_dir=cfg.manifest_dir, lineage="snap-B")
+    r3 = run_validation(spark, clean, gen_sources_ref(spark), cfg=cfg2)
+    assert r3.summary["partitions_skipped"] == 0
+
+
+def test_pipeline_drift_gate(spark, tmp_path):
+    base = gen_sequences(spark, N)
+    shifted = base.filter(F.col("n_tok") > 80)  # distribution shift
+    base_hist = histogram(base, "n_tok", 16.0, group_by=["source"])
+    cfg = ValidationConfig()
+    res = run_validation(
+        spark, shifted, gen_sources_ref(spark), baseline_hist=base_hist, cfg=cfg
+    )
+    drift_fails = res.verdicts.filter(
+        (F.col("check_name") == "n_tok_drift_psi") & ~F.col("passed")
+    ).count()
+    assert drift_fails > 0  # shift detected per partition
+    assert res.drift is not None
+    # identical snapshot → no drift failures
+    res2 = run_validation(
+        spark, base, gen_sources_ref(spark), baseline_hist=base_hist, cfg=cfg
+    )
+    assert (
+        res2.verdicts.filter(
+            (F.col("check_name") == "n_tok_drift_psi") & ~F.col("passed")
+        ).count()
+        == 0
+    )

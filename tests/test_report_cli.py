@@ -1,0 +1,90 @@
+"""Formatters (reference layout parity) + CLI flag-gating semantics."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from dataprofiler_spark.cli import build_parser, validate_args
+from dataprofiler_spark.operators.profile import profile
+from dataprofiler_spark.report import (
+    format_csv,
+    format_json,
+    format_markdown,
+    format_table,
+)
+
+
+@pytest.fixture(scope="module")
+def prof_rows(spark):
+    df = spark.createDataFrame([(1, "a", 0.0), (2, "b", 10.0)], "id int, name string, v double")
+    return profile(df, "t").collect()
+
+
+def test_markdown_layout(prof_rows):
+    md = format_markdown(prof_rows, "t")
+    assert md.startswith("## Profile: t")
+    assert "| column_name |" in md
+    assert "| id |" in md
+
+
+def test_zero_rendered_not_blank(prof_rows):
+    """Divergence from formatters.py:171-175 falsy bug: 0.0 renders."""
+    row = next(r for r in prof_rows if r.column_name == "v")
+    assert row.avg_value == 5.0
+    md = format_markdown([row], "t")
+    assert " 5.0000 " in md  # 4dp numeric display
+    assert " 1.00 " in md  # 2dp proportions
+
+
+def test_csv_and_json_and_table(prof_rows):
+    csv_out = format_csv(prof_rows)
+    assert csv_out.splitlines()[0].startswith("column_name,data_type,row_count")
+    j = json.loads(format_json(prof_rows, "t"))
+    assert j["table_name"] == "t" and len(j["columns"]) == 3
+    tbl = format_table(prof_rows, "t")
+    assert tbl.count("+") > 4 and "is_unique" in tbl
+
+
+def test_cli_flag_gating():
+    p = build_parser()
+    # no stage flag → error (reference main.py:625-641)
+    args = p.parse_args(["--input", "/x"])
+    assert "stage flag" in validate_args(args)
+    # drift without baseline → error
+    args = p.parse_args(["--input", "/x", "--drift"])
+    assert "--baseline" in validate_args(args)
+    args = p.parse_args(["--input", "/x", "--validate"])
+    assert validate_args(args) is None
+    # no input → error
+    args = p.parse_args(["--validate"])
+    assert "--input" in validate_args(args)
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """Drive the CLI as a user would: synthetic violations → exit code 1,
+    summary JSON on stdout, sinks + manifest written."""
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dataprofiler_spark.cli",
+            "--synthetic-rows", "3000",
+            "--synthetic-violations",
+            "--validate",
+            "--manifest-dir", str(tmp_path / "m"),
+            "--output-dir", str(tmp_path / "o"),
+            "--master", "local[4]",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 1, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["passed"] is False
+    assert summary["rows_validated"] == 3000
+    assert (tmp_path / "m").glob("partition=*.json")
