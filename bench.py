@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline validation workload + operator queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "sequences_per_sec": ...}
+
+The headline number is the north-rule metric: validated sequences/sec for
+the FULL constraint suite (profile + uniqueness + RI + row invariants +
+token-array equality vs reference) over a source-partitioned parquet table
+of synthetic tokenized sequences sized to the SF. Setup (data generation /
+write) is untimed — the bench measures validation, not generation.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local core count (default 32)
+  BENCH_SEQ_ROWS       override sequence row count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dataprofiler_spark import get_spark  # noqa: E402
+from dataprofiler_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs  # noqa: E402
+from dataprofiler_spark.operators.drift import drift_by_group, histogram, token_frequency  # noqa: E402
+from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
+from dataprofiler_spark.operators.similarity import brute_force_topk  # noqa: E402
+from dataprofiler_spark.pipeline import ValidationConfig, run_validation  # noqa: E402
+from dataprofiler_spark.sources.synthetic import gen_sequences, gen_sources_ref  # noqa: E402
+from dataprofiler_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def prepare_sequences(spark, rows: int, base_dir: str) -> tuple[str, str]:
+    """Write the bad + reference sequence tables once (untimed setup),
+    partitioned by source — the layout a real Iceberg table would have."""
+    bad_path = os.path.join(base_dir, f"seq_bad_{rows}")
+    ref_path = os.path.join(base_dir, f"seq_ref_{rows}")
+    for path, violations in ((bad_path, True), (ref_path, False)):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(path, ignore_errors=True)
+            gen_sequences(spark, rows, violations=violations).write.mode(
+                "overwrite"
+            ).partitionBy("source").parquet(path)
+    return bad_path, ref_path
+
+
+def main() -> None:
+    sf = sf_from_dir(SF_DIR)
+    rows = int(os.environ.get("BENCH_SEQ_ROWS", str(int(4_000_000 * sf))))
+    spark = get_spark(
+        app_name="dataprofiler-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        # keep scan parallelism >= cores at bench scale: default 128 MiB
+        # splits cap a ~1 GiB input at ~8 tasks, starving local[32]
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/dataprofiler_bench")
+    bad_path, ref_path = prepare_sequences(spark, rows, cache_dir)
+    seqs = spark.read.parquet(bad_path)
+    ref = spark.read.parquet(ref_path)
+    sources_ref = gen_sources_ref(spark)
+    baseline_hist = histogram(ref, "n_tok", 16.0, group_by=["source"])
+    baseline_hist.count()  # materialize baseline outside the timed region
+
+    # Warm slice: same schema + partition spread as the real input. Each
+    # benchmark query runs ONCE on this slice untimed before its timed
+    # full-data run — this compiles the whole-stage-codegen classes for
+    # every plan shape (measured 3-4s per novel plan, paid once per JVM)
+    # and spins up the full python UDF worker pool, so the timed numbers
+    # measure data processing, not first-run JIT.
+    warm_bad = spark.read.parquet(bad_path).limit(20_000).repartition(CPUS).cache()
+    warm_ref = spark.read.parquet(ref_path).limit(20_000).repartition(CPUS).cache()
+    warm_bad.count(), warm_ref.count()
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+
+    def bench_queries(bad, golden, li, dc, em):
+        return {
+            # headline: full exact constraint suite incl. token-equality UDF
+            "validate_suite": lambda: run_validation(
+                spark, bad, sources_ref, reference=golden,
+                cfg=ValidationConfig(exact=True, violation_cap=1000),
+            ),
+            # the 10^12-row configuration: HLL distinct, approx quantiles,
+            # hash-prefiltered equality UDF
+            "validate_suite_scale": lambda: run_validation(
+                spark, bad, sources_ref, reference=golden,
+                cfg=ValidationConfig(exact=False, violation_cap=1000, equality_udf_mode="prefilter"),
+            ),
+            "profile_grouped": lambda: profile(bad, "sequences", group_by=["source"]).collect(),
+            "drift_psi_chi2": lambda: drift_by_group(
+                baseline_hist, histogram(bad, "n_tok", 16.0, group_by=["source"]), "source"
+            ).collect(),
+            "token_frequency_top100": lambda: token_frequency(bad, top_k=100).collect(),
+            "profile_lineitem": lambda: profile(li, "lineitem", group_by=["l_returnflag"]).collect(),
+            "minhash_lsh_pairs": lambda: lsh_candidate_pairs(dc, "doc_id", num_hashes=16, bands=8).count(),
+            "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(dc, "doc_id", threshold=0.2, max_shingle_doc_freq=1000).count(),
+            "knn_cosine_top10": lambda: brute_force_topk(em, qvec, k=10).collect(),
+        }
+
+    warm_docs, warm_emb, warm_li = docs.limit(200), emb.limit(200), lineitem.limit(5000)
+    for fn in bench_queries(warm_bad, warm_ref, warm_li, warm_docs, warm_emb).values():
+        fn()  # untimed plan/codegen warmup
+
+    # min over BENCH_REPEAT runs: this sandbox shows heavy shared-host
+    # noise (identical runs vary 5-40s); min is the standard noise-robust
+    # wall-clock estimator
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries(seqs, ref, lineitem, docs, emb).items():
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    # machine calibration: an embarrassingly parallel JVM kernel (md5 over
+    # range), fresh plan per run to defeat exchange reuse. Its wall-clock
+    # at this core count is the ceiling any workload can scale to on this
+    # host — divide workload speedup by kernel speedup for normalized
+    # efficiency (this sandbox's hypervisor caps effective CPU well below
+    # the visible 32 cores).
+    def _cal(offset: int) -> None:
+        spark.range(offset, offset + 40_000_000, 1, CPUS * 4).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        ).agg(F.max("h"), F.count("h")).collect()
+
+    _cal(999)  # codegen warm
+    cal = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        _cal(i)
+        cal = min(cal, time.time() - t0)
+
+    total = round(sum(timings.values()), 3)
+    thr = round(rows / timings["validate_suite"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "validated sequences/sec (full constraint suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rows": rows,
+                "cpus": CPUS,
+                "sequences_per_sec": thr,
+                "cpu_calibration_sec": round(cal, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

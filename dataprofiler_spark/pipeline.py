@@ -29,6 +29,7 @@ class ValidationConfig:
     violation_cap: int = 1000
     null_rate_threshold: float = 0.0
     exact: bool = True  # exact metrics in tests; sketches at scale
+    equality_udf_mode: str = "full"  # "prefilter" = hash-gated UDF at scale
     drift_bucket_width: float = 16.0  # n_tok histogram bucket
     psi_threshold: float = 0.25  # standard major-shift cut
     output_dir: str | None = None
@@ -87,6 +88,7 @@ def run_validation(
         part_col=cfg.part_col,
         violation_cap=cfg.violation_cap,
         null_rate_threshold=cfg.null_rate_threshold,
+        equality_udf_mode=cfg.equality_udf_mode,
     )
     verdicts, violations = suite.verdicts, suite.violations
 

@@ -93,3 +93,18 @@ def test_lists_equal_batch_vectorized():
     b = pd.Series([np.array([1, 2, 3]), np.array([]), np.array([6]), np.array([1]), np.array([7, 8, 9])])
     out = _lists_equal_batch(a, b)
     assert list(out) == [True, True, False, False, False]
+
+
+def test_prefilter_equality_same_counts(spark):
+    """hash-prefiltered equality must produce the same verdict counts and
+    violation rows as the full-UDF mode (collision probability 2^-64)."""
+    from dataprofiler_spark.operators.checks import reference_equality_check
+
+    bad = gen_sequences(spark, N, violations=True)
+    ref = gen_sequences(spark, N, violations=False)
+    v_full, x_full = reference_equality_check(bad, ref, "t", udf_mode="full", violation_cap=10_000)
+    v_pre, x_pre = reference_equality_check(bad, ref, "t", udf_mode="prefilter", violation_cap=10_000)
+    full = {(r.partition_value): r.violation_count for r in v_full.collect()}
+    pre = {(r.partition_value): r.violation_count for r in v_pre.collect()}
+    assert full == pre
+    assert x_full.count() == x_pre.count() == 2 * violation_spec(N).dup_rows[1]
