@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-file")
     p.add_argument("--append", action="store_true")
     p.add_argument("--approx", action="store_true", help="HLL/approx quantiles instead of exact")
+    p.add_argument(
+        "--equality-udf-mode",
+        choices=["full", "prefilter"],
+        default="full",
+        help="token-equality check: full = UDF over all rows (bit-exact); "
+        "prefilter = xxhash64 digest join, UDF confirms mismatches (scale path)",
+    )
     p.add_argument("--violation-cap", type=int, default=1000)
     p.add_argument("--master")
     p.add_argument("--shuffle-partitions", type=int)
@@ -116,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             part_col=args.partition_col,
             violation_cap=args.violation_cap,
             exact=not args.approx,
+            equality_udf_mode=args.equality_udf_mode,
             output_dir=args.output_dir,
             manifest_dir=args.manifest_dir,
             lineage=lineage,

@@ -32,6 +32,7 @@ import pyarrow as pa
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.functions.expressions import token_range_ok
 from dataprofiler_spark.sources.synthetic import VOCAB_SIZE
 
 VERDICT_COLS = ["table_name", "partition_value", "check_name", "row_count", "violation_count", "passed"]
@@ -66,8 +67,7 @@ def sequence_row_checks(
         ),
         RowCheck(
             "token_range",
-            tokens.isNotNull()
-            & ~F.forall(tokens, lambda t: (t >= 0) & (t < F.lit(vocab_size))),
+            tokens.isNotNull() & ~token_range_ok(tokens, vocab_size),
             F.concat(
                 F.lit("out_of_range="),
                 F.array_join(

@@ -57,7 +57,9 @@ def regression_slope(history: DataFrame, ts_col: str, value_col: str) -> float |
     (autoincrement_metrics.py:78-125)."""
     if history.limit(2).count() < 2:
         return None
-    days = F.col(ts_col).cast("timestamp").cast("double") / 86400.0
+    from dataprofiler_spark.functions.expressions import epoch_days
+
+    days = epoch_days(ts_col)
     row = history.agg(
         (F.covar_pop(days, F.col(value_col)) / F.var_pop(days)).alias("slope")
     ).collect()[0]

@@ -65,7 +65,12 @@ NUMERIC = {"bigint", "int", "double", "float", "smallint", "tinyint", "decimal"}
 MINMAX = NUMERIC | {"timestamp", "timestamp_ntz", "date"}
 
 
-def profile_sql(table: str, group_by: str | None = None, columns: list[str] | None = None) -> str:
+def profile_sql(
+    table: str,
+    group_by: str | None = None,
+    columns: list[str] | None = None,
+    where: str | None = None,
+) -> str:
     """UNION-ALL long-format profile matching operators/profile.profile():
     identical aliases, rounding (4dp proportions / 6dp numerics,
     reference metrics.py:404-413), and type gating (:193-229)."""
@@ -76,6 +81,7 @@ def profile_sql(table: str, group_by: str | None = None, columns: list[str] | No
     parts = []
     grp_sel = f"{group_by}, " if group_by else ""
     grp_by = f" GROUP BY {group_by}" if group_by else ""
+    where_cl = f" WHERE {where}" if where else ""
     for c, t in cols:
         if t in MINMAX:
             mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
@@ -99,6 +105,6 @@ def profile_sql(table: str, group_by: str | None = None, columns: list[str] | No
   {mn} AS min_value, {mx} AS max_value,
   CAST({avg} AS DOUBLE) AS avg_value, CAST({med} AS DOUBLE) AS median_value,
   CAST({sdp} AS DOUBLE) AS stddev_pop, CAST({sds} AS DOUBLE) AS stddev_samp
-FROM {table}{grp_by}"""
+FROM {table}{where_cl}{grp_by}"""
         )
     return "\nUNION ALL\n".join(parts)

@@ -434,3 +434,186 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Drift as oracle-verified queries (A15): PSI + chi-squared single-row
+# --------------------------------------------------------------------------
+
+_DRIFT_SQL = """WITH b AS (
+  SELECT CAST(FLOOR(n_chars / 100) * 100 AS DOUBLE) AS bucket, COUNT(*) AS b_cnt
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+c AS (
+  SELECT CAST(FLOOR(n_chars / 100) * 100 AS DOUBLE) AS bucket, COUNT(*) AS c_cnt
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(b.bucket, c.bucket) AS bucket,
+         COALESCE(b_cnt, 0) AS b_cnt, COALESCE(c_cnt, 0) AS c_cnt
+  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+t AS (SELECT SUM(b_cnt) AS b_tot, SUM(c_cnt) AS c_tot FROM j),
+p AS (
+  SELECT bucket, b_cnt, c_cnt,
+         GREATEST(b_cnt * 1.0 / GREATEST(b_tot, 1), 1e-6) AS p_base,
+         GREATEST(c_cnt * 1.0 / GREATEST(c_tot, 1), 1e-6) AS p_cur,
+         c_tot
+  FROM j, t)
+SELECT
+  ROUND(SUM((p_cur - p_base) * LN(p_cur / p_base)), 6) AS psi,
+  ROUND(SUM(CASE WHEN b_cnt > 0
+        THEN (c_cnt - p_base * c_tot) * (c_cnt - p_base * c_tot) / (p_base * c_tot) END), 6) AS chi2_stat,
+  CAST(SUM(CASE WHEN b_cnt > 0 THEN 1 ELSE 0 END) - 1 AS BIGINT) AS chi2_dof
+FROM p"""
+
+
+@register("psi_chi2_nchars_split", _DRIFT_SQL)
+def psi_chi2_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + chi² between the n_chars distributions of the doc_id-even and
+    doc_id-odd halves (north_star drift math as a verifiable query).
+    Fully distributed — the 'histograms' are tiny grouped frames."""
+    from dataprofiler_spark.operators.drift import drift_by_group, histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = histogram(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 100.0).withColumn("g", F.lit("all"))
+    cur = histogram(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 100.0).withColumn("g", F.lit("all"))
+    return drift_by_group(base, cur, "g").select(
+        "psi", "chi2_stat", F.col("chi2_dof").cast("long").alias("chi2_dof")
+    )
+
+
+# --------------------------------------------------------------------------
+# Env-vs-env profile comparison (J2 + A14; reference app.py:416-447, 1141-1146)
+# --------------------------------------------------------------------------
+
+def _profile_compare_sql() -> str:
+    from dataprofiler_spark.oracle import profile_sql
+
+    p1 = profile_sql("documents", where="lang = 'en'")
+    p2 = profile_sql("documents", where="lang = 'de'")
+    metrics = ["row_count", "not_null_proportion", "distinct_count",
+               "distinct_proportion", "is_unique", "min_value", "max_value", "avg_value"]
+    sel_1 = ", ".join(f"e1.{m} AS {m}_env1" for m in metrics)
+    sel_2 = ", ".join(f"e2.{m} AS {m}_env2" for m in metrics)
+    differs = ", ".join(
+        f"(e1.{m} IS DISTINCT FROM e2.{m}) AS {m}_differs" for m in metrics
+    )
+    any_diff = " OR ".join(f"(e1.{m} IS DISTINCT FROM e2.{m})" for m in metrics)
+    return f"""WITH p1 AS ({p1}), p2 AS ({p2})
+SELECT COALESCE(e1.column_name, e2.column_name) AS column_name,
+  e1.row_count IS NOT NULL AS in_env1, e2.row_count IS NOT NULL AS in_env2,
+  {sel_1}, {sel_2}, {differs}, ({any_diff}) AS has_differences
+FROM p1 e1 FULL OUTER JOIN p2 e2 ON e1.column_name = e2.column_name"""
+
+
+@register("profile_compare_envs", _profile_compare_sql())
+def profile_compare_envs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environment-vs-environment column comparison: profile of the 'en'
+    slice vs the 'de' slice of documents, full-outer joined on column_name
+    with per-metric difference flags (reference dashboard semantics)."""
+    from dataprofiler_spark.operators.compare import compare_profiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = profile(docs.filter(F.col("lang") == "en"), "documents")
+    p2 = profile(docs.filter(F.col("lang") == "de"), "documents")
+    return compare_profiles(p1, p2)
+
+
+def _compare_summary_sql() -> str:
+    inner = _profile_compare_sql()
+    return f"""WITH cmp AS ({inner})
+SELECT COUNT(*) AS total_columns,
+  CAST(SUM(CASE WHEN in_env1 AND in_env2 AND NOT has_differences THEN 1 ELSE 0 END) AS BIGINT) AS matching_columns,
+  CAST(SUM(CASE WHEN in_env1 AND in_env2 AND has_differences THEN 1 ELSE 0 END) AS BIGINT) AS different_columns,
+  CAST(SUM(CASE WHEN in_env1 AND NOT in_env2 THEN 1 ELSE 0 END) AS BIGINT) AS only_in_env1,
+  CAST(SUM(CASE WHEN NOT in_env1 AND in_env2 THEN 1 ELSE 0 END) AS BIGINT) AS only_in_env2
+FROM cmp"""
+
+
+@register("profile_compare_summary", _compare_summary_sql())
+def profile_compare_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift summary counts (A14; reference app.py:1141-1146)."""
+    from dataprofiler_spark.operators.compare import compare_profiles, comparison_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = profile(docs.filter(F.col("lang") == "en"), "documents")
+    p2 = profile(docs.filter(F.col("lang") == "de"), "documents")
+    return comparison_summary(compare_profiles(p1, p2))
+
+
+# --------------------------------------------------------------------------
+# Set operations (SE1/SE7): except-all and union-based inventory ops
+# --------------------------------------------------------------------------
+
+@register(
+    "setop_event_types_except",
+    """SELECT event_type FROM (
+  SELECT event_type FROM events WHERE user_id % 2 = 0
+  EXCEPT
+  SELECT event_type FROM events WHERE user_id % 2 = 1
+)""",
+)
+def setop_event_types_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SE1-style set difference on a real column. subtract() = SQL EXCEPT
+    (set semantics); exceptAll() would be bag semantics — multiset leftovers
+    of values present on BOTH sides survive, which is not a set diff."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = events.filter(F.col("user_id") % 2 == 1).select("event_type")
+    return a.subtract(b)
+
+
+@register(
+    "grouping_rollup_orders",
+    """SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus,
+  COALESCE(o_orderpriority, '<all>') AS o_orderpriority,
+  COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def grouping_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (absent in the reference — SURVEY.md §2.4 notes
+    no grouping sets; included for engine completeness)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "cnt",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 6) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape on the testdata lineitem — the canonical multi-agg
+    groupBy, with the filter pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Continuous validation via Structured Streaming.
+
+The reference is strictly batch/cron — its 'time series' is repeated batch
+snapshots into append-only tables (SURVEY.md §2.9). This module is the
+rebuild's optional continuous path: the SAME row-check predicates run over
+a file stream, two ways:
+
+1. `validate_stream` — foreachBatch: every micro-batch goes through the
+   exact batch check suite and appends verdicts (+ batch lineage) to the
+   sink. Checkpointed: a restarted query resumes at the next unprocessed
+   file, the streaming analog of the manifest's skip-validated-partitions.
+2. `streaming_violation_counts` — a pure streaming aggregation (update
+   mode) maintaining running per-partition violation counters, for
+   dashboard-style live counts.
+
+Design note: foreachBatch is the right tool here, not stateful operators —
+validation is stateless per row, and reusing the batch operators keeps ONE
+implementation of the check semantics (no batch/stream divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from dataprofiler_spark.operators.checks import (
+    RowCheck,
+    run_row_checks,
+    sequence_row_checks,
+)
+
+
+def sequence_schema() -> T.StructType:
+    """The input_hint schema (streams must declare schemas up front)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+
+def validate_stream(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    checks: list[RowCheck] | None = None,
+    part_col: str = "source",
+    table_name: str = "sequences_stream",
+    available_now: bool = True,
+    violation_cap: int = 1000,
+) -> StreamingQuery:
+    """File-stream validation: each micro-batch runs the batch check suite;
+    verdicts and violation rows append to parquet sinks with the batch id
+    as lineage. availableNow=True drains all pending files then stops
+    (deterministic for tests/backfills); False = continuous."""
+    checks = checks or sequence_row_checks()
+    stream = spark.readStream.schema(sequence_schema()).parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts, violations = run_row_checks(
+            batch_df, checks, table_name, part_col=part_col, violation_cap=violation_cap
+        )
+        (
+            verdicts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/verdicts")
+        )
+        (
+            violations.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{output_dir}/violations")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_violation_counts(
+    stream_df: DataFrame,
+    checks: list[RowCheck] | None = None,
+    part_col: str = "source",
+) -> DataFrame:
+    """Running per-partition violation counters as a streaming aggregation
+    (use outputMode('update') / ('complete')). State is one row per
+    (partition × check) — bounded by design, no watermark needed."""
+    checks = checks or sequence_row_checks()
+    aggs = [F.count(F.lit(1)).alias("rows_seen")]
+    for ck in checks:
+        aggs.append(
+            F.sum(F.when(ck.fail_predicate, 1).otherwise(0)).alias(f"{ck.name}_violations")
+        )
+    return stream_df.groupBy(part_col).agg(*aggs)

@@ -1,0 +1,88 @@
+"""Structured Streaming validation: micro-batch suite parity with batch,
+checkpoint resume (new files only), running violation counters."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.sources import gen_sequences
+from dataprofiler_spark.streaming.validate import (
+    sequence_schema,
+    streaming_violation_counts,
+    validate_stream,
+)
+
+N = 3000
+
+
+def _write_batch(spark, path, n, violations, offset_dir):
+    gen_sequences(spark, n, violations=violations).write.mode("overwrite").parquet(
+        f"{path}/{offset_dir}"
+    )
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, inp, N, True, "f1")
+
+    q = validate_stream(spark, f"{inp}/*", ckpt, out, violation_cap=10_000)
+    q.awaitTermination(120)
+    v1 = spark.read.parquet(f"{out}/verdicts")
+    batches1 = [r.batch_id for r in v1.select("batch_id").distinct().collect()]
+
+    # totals must equal the batch suite on the same data
+    from dataprofiler_spark.operators.checks import run_row_checks, sequence_row_checks
+
+    bv, _ = run_row_checks(
+        spark.read.schema(sequence_schema()).parquet(f"{inp}/f1"),
+        sequence_row_checks(),
+        "sequences_stream",
+    )
+    stream_totals = {
+        r.check_name: r.total
+        for r in v1.groupBy("check_name").agg(F.sum("violation_count").alias("total")).collect()
+    }
+    batch_totals = {
+        r.check_name: r.total
+        for r in bv.groupBy("check_name").agg(F.sum("violation_count").alias("total")).collect()
+    }
+    assert stream_totals == batch_totals
+    x = spark.read.parquet(f"{out}/violations")
+    assert x.count() > 0
+
+    # add a clean file; restart → ONLY the new file is processed (checkpoint)
+    gen_sequences(spark, 500, violations=False).write.mode("overwrite").parquet(f"{inp}/f2")
+    q2 = validate_stream(spark, f"{inp}/*", ckpt, out, violation_cap=10_000)
+    q2.awaitTermination(120)
+    v2 = spark.read.parquet(f"{out}/verdicts")
+    new_batches = [r.batch_id for r in v2.select("batch_id").distinct().collect()]
+    assert len(new_batches) == len(batches1) + 1
+    # the resumed batch saw only the 500 clean rows
+    newest = max(new_batches)
+    rows_in_new = (
+        v2.filter(F.col("batch_id") == newest)
+        .groupBy()
+        .agg(F.max("row_count"))
+        .collect()[0][0]
+    )
+    assert rows_in_new <= 500
+
+
+def test_streaming_violation_counts_live(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_batch(spark, inp, N, True, "f1")
+    stream = spark.readStream.schema(sequence_schema()).parquet(f"{inp}/*")
+    counts = streaming_violation_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("viol_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.source: r for r in spark.sql("SELECT * FROM viol_counts").collect()}
+    assert "ghost" in rows  # orphan partition present in stream
+    total_null = sum(r.doc_id_not_null_violations for r in rows.values())
+    assert total_null == N // 100  # ViolationSpec null range
