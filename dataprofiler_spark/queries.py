@@ -617,3 +617,62 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Salted two-level aggregation, oracle-verified (north_rule skew handling)
+# --------------------------------------------------------------------------
+
+@register(
+    "salted_profile_nchars_by_lang",
+    """SELECT lang, COUNT(*) AS row_count, COUNT(n_chars) AS not_null_count,
+  MIN(n_chars) AS min, MAX(n_chars) AS max,
+  ROUND(AVG(n_chars), 6) AS avg,
+  ROUND(STDDEV_POP(n_chars), 6) AS stddev_pop
+FROM documents GROUP BY lang""",
+)
+def salted_profile_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-level aggregation (plans/salting.py): level 1 groups by
+    (lang, salt), level 2 merges moment partials. The oracle is a PLAIN
+    GROUP BY — passing proves the salted recombination is exact (the
+    north_rule skew-handling requirement, verifiable)."""
+    from dataprofiler_spark.plans.salting import salted_numeric_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = salted_numeric_profile(docs, "n_chars", "lang", salt_buckets=8)
+    return out.select(
+        "lang",
+        F.col("row_count").cast("long"),
+        F.col("not_null_count").cast("long"),
+        "min",
+        "max",
+        F.round("avg", 6).alias("avg"),
+        F.round("stddev_pop", 6).alias("stddev_pop"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN scale paths — results depend on index structure, not SQL-expressible:
+# rows-only checks (tests verify recall against the brute-force oracle)
+# --------------------------------------------------------------------------
+
+@register("ivf_topk_probe4", None)
+def ivf_topk_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataprofiler_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
+
+
+@register("embedding_near_dup_lsh", None)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataprofiler_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.5)

@@ -1,0 +1,111 @@
+"""Physical-plan quality gates: these assert the plans we DESIGNED for,
+not just whatever passed — filter/column pushdown to the parquet scan,
+broadcast for dimension joins, whole-stage codegen on the hot path, salted
+exchanges, digest (not payload) shuffles. A regression that silently
+changes the plan shape fails here even if results stay correct."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.checks import (
+    referential_integrity_check,
+    reference_equality_check,
+)
+from dataprofiler_spark.operators.profile import ProfileConfig, profile
+from dataprofiler_spark.sources import gen_sources_ref
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_column_pushdown(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    # column pruning: text (the wide column) must not be read
+    assert "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>" in p
+
+
+def test_profile_scan_prunes_to_projected_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = profile(docs, "documents", columns=["n_chars"])
+    p = plan_of(q)
+    # profiling one column must not scan the text payload
+    assert "text" not in p.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_ri_check_uses_broadcast(spark):
+    seqs = spark.read.parquet(f"{SF}/documents.parquet").withColumnRenamed("lang", "source2")
+    from dataprofiler_spark.sources.synthetic import gen_sequences
+
+    df = gen_sequences(spark, 1000)
+    v, _ = referential_integrity_check(df, gen_sources_ref(spark), "t")
+    p = plan_of(v)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_equality_prefilter_shuffles_digests_not_arrays(spark):
+    from dataprofiler_spark.sources.synthetic import gen_sequences
+
+    a, b = gen_sequences(spark, 1000), gen_sequences(spark, 1000)
+    v, _ = reference_equality_check(a, b, "t", udf_mode="prefilter")
+    p = plan_of(v)
+    assert "ShuffledHashJoin" in p
+    # verdict path must not ship token arrays through the exchange — the
+    # digest projection (xxhash64) happens below the join
+    assert "xxhash64" in p
+    assert "ArrowEvalPython" not in p  # no UDF on the verdict path
+
+
+def test_equality_full_mode_uses_arrow_udf(spark):
+    from dataprofiler_spark.sources.synthetic import gen_sequences
+
+    a, b = gen_sequences(spark, 1000), gen_sequences(spark, 1000)
+    v, _ = reference_equality_check(a, b, "t", udf_mode="full")
+    assert "ArrowEvalPython" in plan_of(v)  # vectorized, never BatchEvalPython
+
+
+def test_profile_wholestage_codegen(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = profile(docs, "documents", cfg=ProfileConfig(exact=False))
+    q.collect()  # AQE reveals codegen spans only in the final executed plan
+    p = plan_of(q)
+    assert "*(" in p  # '*(n)' node prefixes = whole-stage codegen spans
+    assert "Batched: true" in p  # vectorized parquet reader
+
+
+def test_exact_profile_is_two_jobs_joined(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(profile(docs, "documents", group_by=["lang"], cfg=ProfileConfig(exact=True)))
+    assert "Expand" in p  # distinct pass
+    # the percentile aggregate must NOT sit inside the Expand subtree's
+    # aggregate (the 6x fallback) — it lives in the joined main pass
+    expand_section = p.split("Expand")[0]
+    assert "percentile" in expand_section  # main pass plans before expand side
+
+
+def test_salted_profile_exchanges_on_salt(spark):
+    from dataprofiler_spark.plans.salting import salted_numeric_profile
+    from dataprofiler_spark.sources.synthetic import gen_sequences
+
+    df = gen_sequences(spark, 2000)
+    p = plan_of(salted_numeric_profile(df, "n_tok", "source", salt_buckets=8))
+    assert "__salt" in p and "hll_union_agg" in p.lower() or "HllUnionAgg" in p
+
+
+def test_lsh_has_single_signature_computation(spark):
+    from dataprofiler_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(lsh_candidate_pairs(docs, "doc_id"))
+    # groupBy-bucket design: exactly one scan of documents (a self-join
+    # would show two)
+    assert p.count("Scan parquet") == 1
