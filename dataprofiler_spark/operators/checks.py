@@ -276,6 +276,10 @@ def _lists_equal_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     aa = pa.array(a, from_pandas=True)
     bb = pa.array(b, from_pandas=True)
     n = len(aa)
+    # an all-null column infers as NullArray (no list buffers) — nothing
+    # can match a null, so the batch is uniformly False
+    if pa.types.is_null(aa.type) or pa.types.is_null(bb.type):
+        return pd.Series(np.zeros(n, dtype=bool))
     la = pa.compute.fill_null(aa.value_lengths(), -1).to_numpy(zero_copy_only=False).astype(np.int64)
     lb = pa.compute.fill_null(bb.value_lengths(), -2).to_numpy(zero_copy_only=False).astype(np.int64)
     valid = ~(np.asarray(pa.compute.is_null(aa)) | np.asarray(pa.compute.is_null(bb)))

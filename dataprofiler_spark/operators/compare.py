@@ -213,6 +213,39 @@ def schema_conformance_verdict(
     return res.is_match, res
 
 
+def spec_to_rows(spec: TableSpec) -> list[dict]:
+    """schema_profiles sink rows (reference clickhouse.py:377-457 layout,
+    incl. derived per-column is_pk / is_in_index / index_names / is_fk /
+    fk_references lookups, clickhouse.py:396-416)."""
+    idx_by_col: dict[str, list[str]] = {}
+    for ix in spec.indexes:
+        for c in ix.columns:
+            idx_by_col.setdefault(c, []).append(ix.name)
+    fk_by_col = {
+        c: f"{fk.referenced_table}({','.join(fk.referenced_columns)})"
+        for fk in spec.foreign_keys
+        for c in fk.columns
+    }
+    return [
+        {
+            "table_name": spec.table_name,
+            "column_name": c.name,
+            "data_type": c.data_type,
+            "is_nullable": c.is_nullable,
+            "column_default": c.default,
+            "max_length": c.max_length,
+            "precision": c.precision,
+            "scale": c.scale,
+            "is_primary_key": c.name in spec.primary_key,
+            "is_in_index": c.name in idx_by_col,
+            "index_names": ",".join(idx_by_col.get(c.name, [])),
+            "is_foreign_key": c.name in fk_by_col,
+            "fk_references": fk_by_col.get(c.name),
+        }
+        for c in spec.columns.values()
+    ]
+
+
 def compare_profiles(
     profile_env1: DataFrame,
     profile_env2: DataFrame,

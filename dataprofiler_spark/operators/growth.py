@@ -93,6 +93,22 @@ def alert_status(days: float | None, usage_pct: float) -> str:
     return "OK"
 
 
+def growth_profile_to_row(p: "GrowthProfile", table_name: str, column_name: str) -> dict:
+    """One auto_increment_metrics sink row (reference layout
+    clickhouse.py:192-226) from a GrowthProfile."""
+    return {
+        "table_name": table_name,
+        "column_name": column_name,
+        "current_value": p.current_value,
+        "max_type_value": p.max_type_value,
+        "usage_percentage": p.usage_percentage,
+        "remaining_values": p.remaining_values,
+        "daily_growth_rate": p.growth_rate_per_day,
+        "days_until_full": p.days_until_full,
+        "alert_status": p.alert_status,
+    }
+
+
 def growth_profile(
     df: DataFrame,
     id_col: str,
