@@ -676,3 +676,107 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return embedding_near_dup_pairs(emb, dim=64, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# General analytics breadth (engine completeness beyond the reference):
+# top-k per group, sessionization, multi-table join rollup, pivot
+# --------------------------------------------------------------------------
+
+@register(
+    "topk_events_per_user",
+    """SELECT user_id, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3""",
+)
+def topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: rank window + filter (per-partition heaps, no
+    global sort)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@register(
+    "sessionization_events",
+    """WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (SELECT user_id, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS events_in_session
+FROM s GROUP BY user_id, session_id""",
+)
+def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>threshold cumulative sum (the batch
+    equivalent of session_window in streaming)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(
+        F.col("ts").cast("timestamp").cast("double")
+    ).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        events.withColumn("new_session", new_s)
+        .withColumn("session_id", F.sum("new_session").over(wc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("events_in_session"))
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """SELECT n.n_name AS nation, COUNT(DISTINCT c.c_custkey) AS customers,
+  ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table star join with broadcast dimensions — Catalyst broadcasts
+    nation/customer under the threshold; revenue rollup per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count_distinct("c_custkey").alias("customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "pivot_lang_by_source",
+    """SELECT source,
+  CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+  CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+  CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+  CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+  CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+FROM documents GROUP BY source""",
+)
+def pivot_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a FIXED value list — at scale never use inferred pivot
+    values (extra pass + nondeterministic column order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["en", "de", "fr", "es", "zh"])
+        .count()
+        .fillna(0, ["en", "de", "fr", "es", "zh"])
+    )
