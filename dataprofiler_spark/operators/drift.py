@@ -169,3 +169,47 @@ def token_frequency_psi(
         current_freq.withColumnRenamed("token", "bucket"),
         eps=eps,
     )
+
+
+class CountMinSketchHandle:
+    """Driver-side handle over Spark's JVM CountMinSketch (the PySpark
+    DataFrame API does not surface df.stat.countMinSketch; the SQL
+    aggregate `count_min_sketch` returns the serialized sketch, which we
+    rehydrate through the gateway). Mergeable across partitions/snapshots."""
+
+    def __init__(self, spark, payload: bytes):
+        jvm = spark.sparkContext._jvm
+        bis = jvm.java.io.ByteArrayInputStream(bytes(payload))
+        self._j = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+
+    def estimate(self, item: int) -> int:
+        return int(self._j.estimateCount(int(item)))
+
+    def merge(self, other: "CountMinSketchHandle") -> "CountMinSketchHandle":
+        self._j.mergeInPlace(other._j)
+        return self
+
+    @property
+    def total_count(self) -> int:
+        return int(self._j.totalCount())
+
+
+def token_count_min_sketch(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> CountMinSketchHandle:
+    """Count-Min sketch over the exploded token stream (north_star
+    "token-frequency sketches"): sublinear memory (w·d counters) regardless
+    of vocab size; point-lookup overestimates by ≤ eps·N with probability
+    `confidence`. Computed as ONE distributed aggregate (partial sketches
+    merge on the reducers); only the fixed-size sketch reaches the driver."""
+    exploded = df.select(F.explode(tokens_col).alias("token"))
+    row = exploded.agg(
+        F.expr(
+            f"count_min_sketch(token, cast({eps} as double), cast({confidence} as double), {seed})"
+        ).alias("sketch")
+    ).collect()[0]
+    return CountMinSketchHandle(df.sparkSession, row["sketch"])
