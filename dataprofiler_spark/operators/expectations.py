@@ -1,0 +1,96 @@
+"""Declarative expectations over profile metrics.
+
+The reference generates SodaCL YAML checks from profiles
+(/root/reference/src/core/profiler.py:78-101 — `row_count > 0` at :91);
+this module is that idea grown up: a list of (column, metric, op, value)
+expectations evaluated AGAINST THE PROFILE FRAME, so adding an expectation
+costs nothing at scan time — the single profiling pass already produced
+every metric, and evaluation is arithmetic on (partitions × columns) rows.
+
+Emits verdicts in the same shape as operators/checks (union-compatible with
+the constraint-suite verdict matrix).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_OPS = {
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+}
+
+
+@dataclass(frozen=True)
+class Expectation:
+    column: str  # profiled column name
+    metric: str  # any profile output column (row_count, not_null_proportion, ...)
+    op: str  # >=, <=, >, <, ==, !=, between
+    value: object
+    value_hi: object | None = None  # for `between`
+
+    @property
+    def name(self) -> str:
+        return f"expect_{self.column}_{self.metric}_{self.op}"
+
+    def predicate(self) -> Column:
+        c = F.col(self.metric)
+        if self.op == "between":
+            return (c >= self.value) & (c <= self.value_hi)
+        return _OPS[self.op](c, F.lit(self.value))
+
+
+def from_dicts(specs: list[dict]) -> list[Expectation]:
+    """Config-driven suite (JSON/YAML-shaped dicts):
+    {"column": "doc_id", "metric": "not_null_proportion", "op": ">=", "value": 1.0}"""
+    return [Expectation(**s) for s in specs]
+
+
+def evaluate_expectations(
+    profile_df: DataFrame,
+    expectations: list[Expectation],
+    part_col: str | None = None,
+) -> DataFrame:
+    """Verdict rows (table_name, partition_value, check_name, row_count,
+    violation_count, passed) — one per (partition × expectation). NULL
+    metric (gated-out or empty partition) fails the expectation: an
+    unmeasurable expectation is a failing one, not a silently passing one."""
+    spark = profile_df.sparkSession
+    out = None
+    part = (
+        F.col(part_col).cast("string") if part_col else F.lit("<all>")
+    )
+    for ex in expectations:
+        # anchor on a literal row so an expectation naming a column absent
+        # from the profile FAILS loudly instead of silently emitting
+        # nothing (a typo'd column must never read as "all checks passed")
+        anchor = F.broadcast(
+            spark.createDataFrame([(ex.column,)], "column_name string")
+        )
+        matched = profile_df.filter(F.col("column_name") == ex.column)
+        verdict = anchor.join(matched, "column_name", "left").select(
+            F.coalesce(F.col("table_name"), F.lit("<missing_column>")).alias("table_name"),
+            F.coalesce(part, F.lit("<missing_column>")).alias("partition_value"),
+            F.lit(ex.name).alias("check_name"),
+            F.col("row_count").cast("long"),
+            F.lit(None).cast("long").alias("violation_count"),
+            F.coalesce(ex.predicate(), F.lit(False)).alias("passed"),
+        )
+        out = verdict if out is None else out.unionByName(verdict)
+    return out
+
+
+DEFAULT_SEQUENCE_EXPECTATIONS = [
+    Expectation("doc_id", "row_count", ">", 0),  # profiler.py:91 precedent
+    Expectation("doc_id", "not_null_proportion", ">=", 1.0),
+    Expectation("doc_id", "is_unique", "==", True),
+    Expectation("n_tok", "min_value", ">=", "1"),  # stringified minmax
+    Expectation("tokens", "not_null_proportion", ">=", 1.0),
+]

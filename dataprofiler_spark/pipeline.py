@@ -53,6 +53,7 @@ def run_validation(
     sources_ref: DataFrame,
     reference: DataFrame | None = None,
     baseline_hist: DataFrame | None = None,
+    expectations: list | None = None,
     cfg: ValidationConfig | None = None,
 ) -> ValidationResult:
     """Run the full constraint suite with checkpoint/resume.
@@ -91,6 +92,13 @@ def run_validation(
         equality_udf_mode=cfg.equality_udf_mode,
     )
     verdicts, violations = suite.verdicts, suite.violations
+
+    if expectations:
+        from dataprofiler_spark.operators.expectations import evaluate_expectations
+
+        verdicts = verdicts.unionByName(
+            evaluate_expectations(profiles, expectations, part_col=cfg.part_col)
+        )
 
     drift = None
     if baseline_hist is not None:

@@ -1,0 +1,56 @@
+"""Declarative expectation suite over profile metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.expectations import (
+    DEFAULT_SEQUENCE_EXPECTATIONS,
+    Expectation,
+    evaluate_expectations,
+    from_dicts,
+)
+from dataprofiler_spark.operators.profile import profile
+from dataprofiler_spark.sources import gen_sequences
+
+
+def test_expectations_on_clean_and_bad(spark):
+    clean_p = profile(gen_sequences(spark, 3000), "sequences", group_by=["source"])
+    v = evaluate_expectations(clean_p, DEFAULT_SEQUENCE_EXPECTATIONS, part_col="source")
+    assert v.filter("NOT passed").count() == 0
+
+    bad_p = profile(gen_sequences(spark, 3000, violations=True), "sequences", group_by=["source"])
+    vb = evaluate_expectations(bad_p, DEFAULT_SEQUENCE_EXPECTATIONS, part_col="source")
+    failed = {(r.partition_value, r.check_name) for r in vb.filter("NOT passed").collect()}
+    # web: injected duplicate doc_ids → uniqueness expectation fails
+    assert ("web", "expect_doc_id_is_unique_==") in failed
+    # null doc_ids spread by hash → not_null_proportion < 1 somewhere
+    assert any(c == "expect_doc_id_not_null_proportion_>=" for _, c in failed)
+
+
+def test_between_and_null_metric_fails(spark):
+    df = spark.createDataFrame([("a", None), ("b", None)], "name string, v int")
+    p = profile(df, "t")
+    # avg of all-null column is NULL → expectation on it must FAIL, not pass
+    ex = [Expectation("v", "avg_value", "between", 0.0, 10.0)]
+    v = evaluate_expectations(p, ex).collect()
+    assert len(v) == 1 and v[0].passed is False
+
+
+def test_from_dicts_config(spark):
+    specs = [
+        {"column": "n_tok", "metric": "row_count", "op": ">", "value": 0},
+        {"column": "n_tok", "metric": "avg_value", "op": "between", "value": 1.0, "value_hi": 10000.0},
+    ]
+    exs = from_dicts(specs)
+    p = profile(gen_sequences(spark, 500), "t")
+    v = evaluate_expectations(p, exs)
+    assert v.count() == 2 and v.filter("NOT passed").count() == 0
+
+
+def test_missing_column_fails_loudly(spark):
+    """A typo'd column name must produce a FAILING verdict, not silence."""
+    p = profile(gen_sequences(spark, 200), "t")
+    v = evaluate_expectations(p, [Expectation("no_such_col", "row_count", ">", 0)]).collect()
+    assert len(v) == 1
+    assert v[0].passed is False
+    assert v[0].table_name == "<missing_column>"
