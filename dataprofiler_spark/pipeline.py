@@ -53,6 +53,7 @@ def run_validation(
     sources_ref: DataFrame,
     reference: DataFrame | None = None,
     baseline_hist: DataFrame | None = None,
+    baseline_token_freq: DataFrame | None = None,
     expectations: list | None = None,
     cfg: ValidationConfig | None = None,
 ) -> ValidationResult:
@@ -100,19 +101,34 @@ def run_validation(
             evaluate_expectations(profiles, expectations, part_col=cfg.part_col)
         )
 
-    drift = None
-    if baseline_hist is not None:
-        cur_hist = histogram(df, "n_tok", cfg.drift_bucket_width, group_by=[cfg.part_col])
-        drift = drift_by_group(baseline_hist, cur_hist, cfg.part_col)
-        drift_verdicts = drift.select(
+    def _drift_verdicts(drift_df: DataFrame, check_name: str) -> DataFrame:
+        return drift_df.select(
             F.lit(cfg.table_name).alias("table_name"),
             F.col(cfg.part_col).cast("string").alias("partition_value"),
-            F.lit("n_tok_drift_psi").alias("check_name"),
+            F.lit(check_name).alias("check_name"),
             F.lit(None).cast("long").alias("row_count"),
             F.lit(None).cast("long").alias("violation_count"),
             (F.col("psi") <= cfg.psi_threshold).alias("passed"),
         )
-        verdicts = verdicts.unionByName(drift_verdicts)
+
+    drift = None
+    if baseline_hist is not None:
+        cur_hist = histogram(df, "n_tok", cfg.drift_bucket_width, group_by=[cfg.part_col])
+        drift = drift_by_group(baseline_hist, cur_hist, cfg.part_col)
+        verdicts = verdicts.unionByName(_drift_verdicts(drift, "n_tok_drift_psi"))
+
+    if baseline_token_freq is not None:
+        # token-frequency drift per partition (north_star: PSI over token
+        # sketches as well as n_tok histograms). Explode collapses map-side
+        # (bounded vocab); the per-group PSI join is histogram-sized.
+        cur_freq = (
+            df.select(cfg.part_col, F.explode("tokens").alias("bucket"))
+            .groupBy(cfg.part_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        tok_drift = drift_by_group(baseline_token_freq, cur_freq, cfg.part_col, eps=1e-9)
+        verdicts = verdicts.unionByName(_drift_verdicts(tok_drift, "token_freq_drift_psi"))
+        drift = tok_drift if drift is None else drift.unionByName(tok_drift)
 
     if cfg.output_dir:
         profiles.write.mode("append").parquet(f"{cfg.output_dir}/data_profiles")

@@ -81,3 +81,38 @@ def test_pipeline_drift_gate(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_pipeline_token_frequency_drift(spark):
+    """Token-frequency drift gate: a vocabulary shift (tokens restricted to
+    the low half) must fail token_freq_drift_psi per partition; same
+    distribution passes."""
+    base = gen_sequences(spark, N)
+    base_freq = (
+        base.select("source", F.explode("tokens").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # vocabulary shift: keep only rows whose first token is in the low half,
+    # then truncate arrays to even positions — changes token distribution
+    shifted = base.withColumn("tokens", F.filter("tokens", lambda t: t < 25000)).filter(
+        F.size("tokens") > 0
+    ).withColumn("n_tok", F.size("tokens"))
+    res = run_validation(
+        spark, shifted, gen_sources_ref(spark), baseline_token_freq=base_freq,
+        cfg=ValidationConfig(),
+    )
+    fails = res.verdicts.filter(
+        (F.col("check_name") == "token_freq_drift_psi") & ~F.col("passed")
+    ).count()
+    assert fails > 0
+    res2 = run_validation(
+        spark, base, gen_sources_ref(spark), baseline_token_freq=base_freq,
+        cfg=ValidationConfig(),
+    )
+    assert (
+        res2.verdicts.filter(
+            (F.col("check_name") == "token_freq_drift_psi") & ~F.col("passed")
+        ).count()
+        == 0
+    )
