@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drift", action="store_true")
     p.add_argument("--growth", action="store_true")
     p.add_argument("--baseline", help="parquet path of baseline n_tok histogram (for --drift)")
+    p.add_argument(
+        "--write-baseline",
+        help="profile the input and write drift-baseline artifacts "
+        "(n_tok histogram + token frequencies) to this dir",
+    )
     p.add_argument("--reference", help="parquet path of golden sequence copy (token equality)")
     p.add_argument("--output-dir", help="sink dir for profiles/verdicts/violations")
     p.add_argument("--manifest-dir", help="checkpoint manifest dir (enables resume)")
@@ -67,8 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def validate_args(args) -> str | None:
-    if not (args.data_profile or args.validate or args.drift or args.growth):
-        return "at least one stage flag required (--data-profile/--validate/--drift/--growth)"
+    if not (
+        args.data_profile or args.validate or args.drift or args.growth or args.write_baseline
+    ):
+        return (
+            "at least one stage flag required "
+            "(--data-profile/--validate/--drift/--growth/--write-baseline)"
+        )
     if not args.input and not args.synthetic_rows:
         return "--input or --synthetic-rows required"
     if args.drift and not args.baseline:
@@ -97,6 +107,24 @@ def main(argv: list[str] | None = None) -> int:
 
     exit_code = 0
 
+    if args.write_baseline:
+        # baseline artifacts for a later --drift run: per-partition n_tok
+        # histogram + token frequencies (the stored-baseline-profile role
+        # of FIXTURES.md §2)
+        part = [args.partition_col] if args.partition_col in df.columns else []
+        histogram(df, "n_tok", 16.0, group_by=part).write.mode("overwrite").parquet(
+            f"{args.write_baseline}/n_tok_hist"
+        )
+        if "tokens" in df.columns:
+            (
+                df.select(*part, F.explode("tokens").alias("bucket"))
+                .groupBy(*part, "bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("overwrite")
+                .parquet(f"{args.write_baseline}/token_freq")
+            )
+        print(json.dumps({"baseline_written": args.write_baseline}))
+
     if args.data_profile:
         prof = profile(
             df,
@@ -114,9 +142,18 @@ def main(argv: list[str] | None = None) -> int:
             prof.write.mode("append").parquet(f"{args.output_dir}/data_profiles")
 
     if args.validate or args.drift:
-        baseline_hist = (
-            spark.read.parquet(args.baseline) if (args.drift and args.baseline) else None
-        )
+        baseline_hist = None
+        baseline_token_freq = None
+        if args.drift and args.baseline:
+            import os
+
+            hist_path = f"{args.baseline}/n_tok_hist"
+            baseline_hist = spark.read.parquet(
+                hist_path if os.path.exists(hist_path) else args.baseline
+            )
+            tf_path = f"{args.baseline}/token_freq"
+            if os.path.exists(tf_path):
+                baseline_token_freq = spark.read.parquet(tf_path)
         reference = spark.read.parquet(args.reference) if args.reference else None
         cfg = ValidationConfig(
             table_name=args.table_name,
@@ -134,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
             gen_sources_ref(spark),
             reference=reference,
             baseline_hist=baseline_hist,
+            baseline_token_freq=baseline_token_freq,
             cfg=cfg,
         )
         print(json.dumps(res.summary))

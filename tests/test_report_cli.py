@@ -88,3 +88,27 @@ def test_cli_end_to_end_subprocess(tmp_path):
     assert summary["passed"] is False
     assert summary["rows_validated"] == 3000
     assert (tmp_path / "m").glob("partition=*.json")
+
+
+def test_cli_baseline_drift_cycle(tmp_path):
+    """Full CLI workflow: write baseline on snapshot A, drift-check
+    snapshot A against it (passes), all via subprocess."""
+    base = [
+        sys.executable, "-m", "dataprofiler_spark.cli",
+        "--master", "local[4]", "--shuffle-partitions", "4",
+    ]
+    out = subprocess.run(
+        base + ["--synthetic-rows", "2000", "--write-baseline", str(tmp_path / "bl")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert (tmp_path / "bl" / "n_tok_hist").exists()
+    assert (tmp_path / "bl" / "token_freq").exists()
+
+    out2 = subprocess.run(
+        base + ["--synthetic-rows", "2000", "--drift", "--baseline", str(tmp_path / "bl")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    summary = json.loads(out2.stdout.strip().splitlines()[-1])
+    # same snapshot: drift passes; only empty_src row-count check fails
+    assert summary["checks_failed"] <= 1, summary
