@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--violation-cap", type=int, default=1000)
     p.add_argument("--master")
     p.add_argument("--shuffle-partitions", type=int)
+    p.add_argument(
+        "--config",
+        help="JSON config for multi-table runs: {\"tables\": [{\"name\", \"input\", "
+        "\"partition_col\"?}, ...]} — per-table failure isolation like the "
+        "reference's per-table loop (main.py:734-799)",
+    )
     return p
 
 
@@ -79,11 +85,56 @@ def validate_args(args) -> str | None:
             "at least one stage flag required "
             "(--data-profile/--validate/--drift/--growth/--write-baseline)"
         )
-    if not args.input and not args.synthetic_rows:
-        return "--input or --synthetic-rows required"
+    if not args.input and not args.synthetic_rows and not args.config:
+        return "--input, --synthetic-rows, or --config required"
     if args.drift and not args.baseline:
         return "--drift requires --baseline"
     return None
+
+
+def run_config(spark, args) -> int:
+    """Multi-table run with per-table failure isolation: one failing table
+    never aborts the run (reference main.py:734-799, failed list :792-794).
+    Emits one summary JSON line per table plus a run summary; exit 1 if any
+    table failed checks or crashed."""
+    with open(args.config) as f:
+        conf = json.load(f)
+    failed_tables, check_failures = [], 0
+    for spec in conf.get("tables", []):
+        name = spec.get("name", spec["input"])
+        try:
+            df = spark.read.parquet(spec["input"])
+            part_col = spec.get("partition_col", args.partition_col)
+            cfg = ValidationConfig(
+                table_name=name,
+                part_col=part_col if part_col in df.columns else "source",
+                violation_cap=args.violation_cap,
+                exact=not args.approx,
+                equality_udf_mode=args.equality_udf_mode,
+                output_dir=args.output_dir,
+                manifest_dir=(
+                    f"{args.manifest_dir}/{name}" if args.manifest_dir else None
+                ),
+                lineage=input_fingerprint(spec["input"]),
+            )
+            res = run_validation(spark, df, gen_sources_ref(spark), cfg=cfg)
+            print(json.dumps(res.summary))
+            if not res.summary["passed"]:
+                check_failures += 1
+        except Exception as exc:  # per-table isolation, run continues
+            failed_tables.append(name)
+            print(json.dumps({"table_name": name, "error": str(exc)[:300]}))
+    print(
+        json.dumps(
+            {
+                "run_summary": True,
+                "tables": len(conf.get("tables", [])),
+                "crashed_tables": failed_tables,
+                "tables_with_failed_checks": check_failures,
+            }
+        )
+    )
+    return 1 if (failed_tables or check_failures) else 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -97,6 +148,9 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master, shuffle_partitions=args.shuffle_partitions
     )
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.config:
+        return run_config(spark, args)
 
     if args.synthetic_rows:
         df = gen_sequences(spark, args.synthetic_rows, violations=args.synthetic_violations)

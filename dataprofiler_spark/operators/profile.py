@@ -176,6 +176,13 @@ def profile(
     dc = F.col("e.m.distinct_count")
     prop = lambda x: F.when(rc > 0, F.round(x / rc, cfg.prop_decimals))  # noqa: E731
     rnum = lambda x: F.round(x, cfg.num_decimals)  # noqa: E731
+    if cfg.exact:
+        is_unique = (dc == nn) & (nn > 0)  # metrics.py:287 exact semantics
+    else:
+        # HLL++ estimate: exact equality would flap within the rsd band —
+        # verdict is "unique within sketch tolerance". The binding check at
+        # scale is uniqueness_check's exact duplicate materialization.
+        is_unique = (dc >= nn * (1 - 3 * cfg.approx_rsd)) & (nn > 0)
 
     return (
         wide.select(*group_by, rc, F.explode(entries).alias("e"))
@@ -189,7 +196,7 @@ def profile(
             prop(nn).alias("not_null_proportion"),
             dc.alias("distinct_count"),
             prop(dc).alias("distinct_proportion"),
-            ((dc == nn) & (nn > 0)).alias("is_unique"),
+            is_unique.alias("is_unique"),
             F.col("e.m.min_value").alias("min_value"),
             F.col("e.m.max_value").alias("max_value"),
             rnum(F.col("e.m.avg_value")).alias("avg_value"),

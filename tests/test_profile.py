@@ -104,3 +104,13 @@ def test_grouped_profile(spark):
     assert by[("a", "x")].row_count == 2
     assert by[("b", "x")].row_count == 1
     assert by[("a", "x")].avg_value == 1.5
+
+
+def test_approx_is_unique_tolerates_hll_error(spark):
+    """In approx mode is_unique must not flap within the HLL rsd band:
+    5000 unique ids stay 'unique' even when the estimate is off by a
+    percent; a clearly duplicated column stays non-unique."""
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 as dup")
+    p = prof_map(profile(df, "t", cfg=ProfileConfig(exact=False)))
+    assert p["id"].is_unique is True
+    assert p["dup"].is_unique is False

@@ -112,3 +112,32 @@ def test_cli_baseline_drift_cycle(tmp_path):
     summary = json.loads(out2.stdout.strip().splitlines()[-1])
     # same snapshot: drift passes; only empty_src row-count check fails
     assert summary["checks_failed"] <= 1, summary
+
+
+def test_cli_multi_table_config_isolation(spark, tmp_path):
+    """Config-driven multi-table run: a crashing table (missing path) must
+    not abort the others (reference main.py:734-799 failure isolation)."""
+    from dataprofiler_spark.sources import gen_sequences
+
+    gen_sequences(spark, 1000).write.parquet(str(tmp_path / "good"))
+    cfg = {
+        "tables": [
+            {"name": "good", "input": str(tmp_path / "good")},
+            {"name": "ghost_table", "input": str(tmp_path / "does_not_exist")},
+        ]
+    }
+    (tmp_path / "conf.json").write_text(json.dumps(cfg))
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "dataprofiler_spark.cli",
+            "--config", str(tmp_path / "conf.json"), "--validate",
+            "--master", "local[4]", "--shuffle-partitions", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    run_summary = next(l for l in lines if l.get("run_summary"))
+    assert run_summary["crashed_tables"] == ["ghost_table"]
+    good = next(l for l in lines if l.get("table_name") == "good")
+    assert good["rows_validated"] == 1000  # good table still ran
+    assert out.returncode == 1
