@@ -55,7 +55,7 @@ TESTDATA_SCHEMAS: dict[str, list[tuple[str, str]]] = {
     "customer": [
         ("c_custkey", "bigint"),
         ("c_name", "string"),
-        ("c_nationkey", "bigint"),
+        ("c_nationkey", "int"),
         ("c_acctbal", "double"),
         ("c_mktsegment", "string"),
     ],

@@ -847,3 +847,13 @@ def range_join_event_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(F.count(F.lit(1)).alias("events"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
+
+
+@register("profile_events", profile_sql("events"))
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(load_table(spark, sf_dir, "events"), "events")
+
+
+@register("profile_customer", profile_sql("customer"))
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(load_table(spark, sf_dir, "customer"), "customer")
