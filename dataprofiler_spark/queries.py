@@ -857,3 +857,82 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("profile_customer", profile_sql("customer"))
 def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "customer"), "customer")
+
+
+@register(
+    "quantiles_lineitem_by_returnflag",
+    """SELECT l_returnflag,
+  ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+  ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+  ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75,
+  ROUND(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p95
+FROM lineitem GROUP BY l_returnflag""",
+)
+def quantiles_lineitem_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile per group — one percentile() aggregate computes
+    the whole vector (A9 generalized); approx path is percentile_approx
+    with the same call shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))")
+    return li.groupBy("l_returnflag").agg(
+        F.round(q[0], 6).alias("p25"),
+        F.round(q[1], 6).alias("p50"),
+        F.round(q[2], 6).alias("p75"),
+        F.round(q[3], 6).alias("p95"),
+    )
+
+
+@register(
+    "event_value_deltas",
+    """SELECT event_type,
+  ROUND(AVG(delta), 6) AS avg_delta, COUNT(*) AS n_deltas
+FROM (
+  SELECT event_type,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+) WHERE delta IS NOT NULL GROUP BY event_type""",
+)
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window coverage: per-user consecutive value deltas rolled
+    up per event type."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("delta").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.avg("delta"), 6).alias("avg_delta"), F.count(F.lit(1)).alias("n_deltas"))
+    )
+
+
+def _lev_pairs_sql() -> str:
+    # reuse the LSH candidate SQL as a CTE, rescore with exact levenshtein
+    lsh = _lsh_pairs_sql()
+    ctes = lsh.split("WITH", 1)[1].rsplit("SELECT DISTINCT", 1)[0].rstrip().rstrip(",")
+    return f"""WITH {ctes},
+cand AS (SELECT DISTINCT a.doc_id AS key1, b.doc_id AS key2
+         FROM bands a JOIN bands b USING (band_id, band_hash)
+         WHERE a.doc_id < b.doc_id)
+SELECT c.key1, c.key2, CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_distance
+FROM cand c JOIN documents d1 ON d1.doc_id = c.key1 JOIN documents d2 ON d2.doc_id = c.key2
+WHERE levenshtein(d1.text, d2.text) <= 60"""
+
+
+@register("edit_distance_near_pairs", _lev_pairs_sql())
+def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup verification: LSH candidates (cheap, recall-
+    oriented) re-scored with exact Levenshtein (precision) — the standard
+    candidate→verify shape, joined back to the text only for candidates."""
+    from dataprofiler_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, "doc_id", num_hashes=16, bands=8)
+    d1 = docs.select(F.col("doc_id").alias("key1"), F.col("text").alias("t1"))
+    d2 = docs.select(F.col("doc_id").alias("key2"), F.col("text").alias("t2"))
+    return (
+        cand.join(d1, "key1")
+        .join(d2, "key2")
+        .withColumn("edit_distance", F.levenshtein("t1", "t2").cast("long"))
+        .filter(F.col("edit_distance") <= 60)
+        .select("key1", "key2", "edit_distance")
+    )
