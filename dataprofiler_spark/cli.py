@@ -60,10 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--approx", action="store_true", help="HLL/approx quantiles instead of exact")
     p.add_argument(
         "--equality-udf-mode",
-        choices=["full", "prefilter"],
-        default="full",
+        choices=["auto", "full", "prefilter"],
+        default="auto",
         help="token-equality check: full = UDF over all rows (bit-exact); "
-        "prefilter = xxhash64 digest join, UDF confirms mismatches (scale path)",
+        "prefilter = xxhash64 digest join, UDF confirms mismatches (scale "
+        "path); auto = full when exact, prefilter with --approx",
     )
     p.add_argument("--violation-cap", type=int, default=1000)
     p.add_argument("--master")

@@ -138,7 +138,11 @@ def run_row_checks(
     any_fail = None
     for ck in checks:
         any_fail = ck.fail_predicate if any_fail is None else (any_fail | ck.fail_predicate)
-    w = Window.partitionBy("check_name").orderBy(F.col("key"))
+    # Cap per (check, PARTITION): a window keyed on check_name alone is a
+    # single-reducer funnel — under mass failure (wholly-corrupt input,
+    # exactly when violations matter) every violating row of one check
+    # would shuffle to ONE task before the row_number cap.
+    w = Window.partitionBy("check_name", "partition_value").orderBy(F.col("key"))
     violations = (
         df.filter(any_fail)
         .select(
@@ -276,16 +280,23 @@ def _lists_equal_batch(a: pd.Series, b: pd.Series) -> pd.Series:
     aa = pa.array(a, from_pandas=True)
     bb = pa.array(b, from_pandas=True)
     n = len(aa)
-    # an all-null column infers as NullArray (no list buffers) — nothing
-    # can match a null, so the batch is uniformly False
+    null_a = np.asarray(pa.compute.is_null(aa))
+    null_b = np.asarray(pa.compute.is_null(bb))
+    # NULL semantics (consistent with the prefilter mode, where
+    # xxhash64(NULL) == xxhash64(NULL) compares equal): both-null passes,
+    # null-vs-non-null is a violation.
+    both_null = null_a & null_b
+    # an all-null column infers as NullArray (no list buffers) — every row
+    # pairs null with the other side: equal only where both are null
     if pa.types.is_null(aa.type) or pa.types.is_null(bb.type):
-        return pd.Series(np.zeros(n, dtype=bool))
+        return pd.Series(both_null)
     la = pa.compute.fill_null(aa.value_lengths(), -1).to_numpy(zero_copy_only=False).astype(np.int64)
     lb = pa.compute.fill_null(bb.value_lengths(), -2).to_numpy(zero_copy_only=False).astype(np.int64)
-    valid = ~(np.asarray(pa.compute.is_null(aa)) | np.asarray(pa.compute.is_null(bb)))
+    valid = ~(null_a | null_b)
     same_len = valid & (la == lb)
 
     out = np.zeros(n, dtype=bool)
+    out[both_null] = True
     if same_len.any():
         idx = np.flatnonzero(same_len)
         fa = aa.take(pa.array(idx)).flatten().to_numpy(zero_copy_only=False)

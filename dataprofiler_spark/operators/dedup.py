@@ -209,14 +209,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.2,
-    max_shingle_doc_freq: int | None = None,
+    max_shingle_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold:
     explode distinct shingles → self-join on shingle → |∩| / (|A|+|B|-|∩|).
 
     max_shingle_doc_freq drops shingles appearing in more than N docs
     before the self-join — the standard guard against quadratic blowup on
-    boilerplate shingles at corpus scale."""
+    boilerplate shingles at corpus scale. Defaulted (1000): the uncapped
+    configuration goes quadratic on boilerplate at corpus scale, so opting
+    OUT (None) must be explicit. Note the dropped hot shingles also leave
+    the |A|/|B| set sizes, so Jaccard values shift slightly vs uncapped —
+    the standard approximation trade, disclosed."""
     words = F.split(F.col(text_col), " ")
     sh = (
         df.select(F.col(key_col).alias("key"), words.alias("__words"))
@@ -252,17 +256,28 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text_col: str | Column, bits: int = 64) -> Column:
+def _token_long_hash(w: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5. Chosen over
+    xxhash64 so DuckDB oracles reproduce it bit-for-bit
+    (CAST('0x' || substr(md5(w),1,15) AS BIGINT)); 60 bits stay clear of
+    the int64 sign bit on both engines."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text_col: str | Column, bits: int = 60) -> Column:
     """SimHash over whitespace tokens as a bigint, expression-only:
-    per-token xxhash64 → ±1 per bit position → sign of the column sum.
+    per-token portable md5-prefix hash → ±1 per bit position → sign of the
+    column sum. bits ≤ 60 (the portable hash width).
 
     aggregate() folds an array<int> of per-bit counters across tokens —
     all inside whole-stage codegen, no Python."""
+    if bits > 60:
+        raise ValueError("simhash: bits must be <= 60 (portable hash width)")
     words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
     zero = F.array_repeat(F.lit(0), bits)
 
     def step(acc, w):
-        h = F.xxhash64(w)
+        h = _token_long_hash(w)
         # bit positions unrolled in Python: shiftright needs literal ints
         deltas = F.array(
             *[((F.shiftright(h, b) % 2 != 0).cast("int") * 2 - 1) for b in range(bits)]
@@ -276,15 +291,15 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
             F.element_at(counters, b + 1) > 0,
             F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
-        out = out.bitwiseOR(bit)  # OR, not +: bit 63 is the sign bit
+        out = out.bitwiseOR(bit)
     return out
 
 
 def simhash_near_dup_pairs(
     df: DataFrame, key_col: str, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup candidates: docs whose 64-bit simhashes differ in
-    ≤ max_hamming bits. Buckets by 4 × 16-bit chunks (pigeonhole: any pair
+    """SimHash near-dup candidates: docs whose 60-bit simhashes differ in
+    ≤ max_hamming bits. Buckets by 4 × 15-bit chunks (pigeonhole: any pair
     within hamming ≤3 shares at least one chunk) then verifies exact
     hamming via bit_count(xor)."""
     sh = df.select(F.col(key_col).alias("key"), simhash(text_col).alias("h"))
@@ -296,7 +311,7 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright("h", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright("h", 15 * i).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
                     )
                     for i in range(4)
                 ]

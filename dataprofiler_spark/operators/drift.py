@@ -42,10 +42,17 @@ def _joined_proportions(
     (buckets present on one side only must not produce ±inf)."""
     b_tot = baseline.agg(F.sum("cnt")).collect()[0][0] or 0
     c_tot = current.agg(F.sum("cnt")).collect()[0][0] or 0
-    b = baseline.withColumnRenamed("cnt", "b_cnt")
-    c = current.withColumnRenamed("cnt", "c_cnt")
-    joined = b.join(c, key_cols, "full_outer").select(
-        *key_cols,
+    b = baseline.withColumnRenamed("cnt", "b_cnt").alias("b")
+    c = current.withColumnRenamed("cnt", "c_cnt").alias("c")
+    # null-safe equality: the NULL bucket (null-rate mass) must match the
+    # other side's NULL bucket — an equi-join would read each side's null
+    # mass as absent on the other and report phantom drift
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = b.join(c, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"b.{k}"), F.col(f"c.{k}")).alias(k) for k in key_cols],
         F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
         F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
     )
@@ -112,11 +119,21 @@ def drift_by_group(
     verdict input for the validation pipeline."""
     b_tot = baseline.groupBy(group_col).agg(F.sum("cnt").alias("b_tot"))
     c_tot = current.groupBy(group_col).agg(F.sum("cnt").alias("c_tot"))
-    b = baseline.withColumnRenamed("cnt", "b_cnt")
-    c = current.withColumnRenamed("cnt", "c_cnt")
+    b = baseline.withColumnRenamed("cnt", "b_cnt").alias("b")
+    c = current.withColumnRenamed("cnt", "c_cnt").alias("c")
+    # bucket joined null-safely: each side's NULL bucket (null-rate mass)
+    # must pair with the other side's, not read as absent (phantom PSI)
+    cond = F.col(f"b.{group_col}").eqNullSafe(F.col(f"c.{group_col}")) & F.col(
+        "b.bucket"
+    ).eqNullSafe(F.col("c.bucket"))
     j = (
-        b.join(c, [group_col, "bucket"], "full_outer")
-        .fillna(0, ["b_cnt", "c_cnt"])
+        b.join(c, cond, "full_outer")
+        .select(
+            F.coalesce(F.col(f"b.{group_col}"), F.col(f"c.{group_col}")).alias(group_col),
+            F.coalesce(F.col("b.bucket"), F.col("c.bucket")).alias("bucket"),
+            F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+        )
         .join(b_tot, group_col)
         .join(c_tot, group_col)
     )

@@ -18,6 +18,21 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _as_number(v) -> float | None:
+    """Numeric view of an expectation value: int/float (not bool) pass
+    through; numeric strings parse; anything else is None (string compare)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return None
+    return None
+
+
 _OPS = {
     ">=": lambda c, v: c >= v,
     "<=": lambda c, v: c <= v,
@@ -42,9 +57,19 @@ class Expectation:
 
     def predicate(self) -> Column:
         c = F.col(self.metric)
+        # Profile min_value/max_value are STRINGIFIED (reference parity).
+        # When the expectation value is numeric, compare numerically — a
+        # lexicographic ">= '10'" would pass for min_value '9'.
+        if _as_number(self.value) is not None:
+            c = c.cast("double")
+            lo = F.lit(_as_number(self.value))
+            hi = F.lit(_as_number(self.value_hi)) if self.value_hi is not None else None
+        else:
+            lo = F.lit(self.value)
+            hi = F.lit(self.value_hi) if self.value_hi is not None else None
         if self.op == "between":
-            return (c >= self.value) & (c <= self.value_hi)
-        return _OPS[self.op](c, F.lit(self.value))
+            return (c >= lo) & (c <= hi)
+        return _OPS[self.op](c, lo)
 
 
 def from_dicts(specs: list[dict]) -> list[Expectation]:

@@ -87,13 +87,11 @@ def gen_assets(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
 def _decode_stub(buf: np.ndarray) -> tuple[float, float, bool]:
     """STUB decode: codec libs absent in this container. The vectorized
     byte statistics stand in for pixel/sample statistics; `decoded=False`
-    marks stub output. Swap in PIL/soundfile here in a real deployment."""
-    try:  # real decoder hook, exercised only when the lib exists
-        import PIL.Image  # noqa: F401
-
-        raise NotImplementedError("real image decode wired but lib verification pending")
-    except ImportError:
-        pass
+    marks stub output. A real deployment swaps the body for
+    PIL.Image.open(io.BytesIO(buf)) / soundfile.read(...) and returns
+    pixel/sample stats with decoded=True — until that is wired, the stub
+    answer is used even when the library happens to be importable (the
+    synthetic payloads are not valid codec streams)."""
     return float(buf.mean()), float(buf.std()), False
 
 

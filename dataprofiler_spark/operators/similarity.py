@@ -53,19 +53,42 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def _assign_to_centroids(
+    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid frame,
+    score every (vector, centroid) pair, keep the argmax per vector."""
+    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid_vec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "centroid_vec")
+    )
+
+
 def ivf_build(
     df: DataFrame,
     num_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine_sweeps: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse index: centroids = the vectors with the `num_centroids`
-    smallest ids (deterministic seeding — one k-means sweep can refine
-    later; recall comes from probing, not centroid quality). Returns
-    (assigned_df with `centroid_id`, centroids_df).
+    """IVF coarse index. Seeds = the vectors with the `num_centroids`
+    smallest ids, then `refine_sweeps` k-means sweeps: assign → recompute
+    each centroid as the per-dimension mean of its members → re-assign.
+    One sweep materially improves probe recall over raw seeds (measured in
+    test_similarity). Returns (assigned_df with `centroid_id`, centroids_df).
 
-    At scale: write assigned_df partitioned by centroid_id; a probe then
-    reads only nprobe partitions (partition pruning does the pruning)."""
+    Scale shape: assignment is a broadcast of the tiny centroid frame; the
+    mean recomputation is posexplode + groupBy over (centroid × dim) keys —
+    map-side partial aggregation collapses it. At scale: write assigned_df
+    partitioned by centroid_id; a probe then reads only nprobe partitions
+    (partition pruning does the pruning)."""
     centroids = (
         df.orderBy(id_col)
         .limit(num_centroids)
@@ -73,17 +96,25 @@ def ivf_build(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
         )
     )
-    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine(F.col(vec_col), F.col("centroid_vec"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    assigned = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "centroid_vec")
-    )
+    for _ in range(refine_sweeps):
+        assigned = _assign_to_centroids(df, centroids, vec_col, id_col)
+        dim_means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        # rebuild the mean vectors in dimension order (struct sort is
+        # lexicographic: pos first) — empty clusters drop out naturally
+        centroids = (
+            dim_means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid_vec")
+            )
+        )
+    assigned = _assign_to_centroids(df, centroids, vec_col, id_col)
     return assigned, centroids
 
 

@@ -29,7 +29,14 @@ class ValidationConfig:
     violation_cap: int = 1000
     null_rate_threshold: float = 0.0
     exact: bool = True  # exact metrics in tests; sketches at scale
-    equality_udf_mode: str = "full"  # "prefilter" = hash-gated UDF at scale
+    # "auto" resolves to "prefilter" (hash-gated UDF — the scale path) when
+    # exact=False: a 10^12-row config must never silently run the
+    # anti-scaling full-UDF mode. "full"/"prefilter" force a mode.
+    equality_udf_mode: str = "auto"
+
+    def __post_init__(self):
+        if self.equality_udf_mode == "auto":
+            self.equality_udf_mode = "full" if self.exact else "prefilter"
     drift_bucket_width: float = 16.0  # n_tok histogram bucket
     psi_threshold: float = 0.25  # standard major-shift cut
     output_dir: str | None = None
@@ -130,20 +137,20 @@ def run_validation(
         verdicts = verdicts.unionByName(_drift_verdicts(tok_drift, "token_freq_drift_psi"))
         drift = tok_drift if drift is None else drift.unionByName(tok_drift)
 
+    # verdict matrix is small (partitions × checks) — safe to collect for
+    # the manifest + summary (violation ROWS stay distributed/capped).
+    # Collect ONCE and write the sink from the collected rows: a second
+    # action on the unpersisted lazy plan would re-run every scan/shuffle
+    # of the whole check suite (fresh plans do not reuse shuffle outputs).
+    collected = verdicts.collect()
+    verdict_rows = spark.createDataFrame(collected, verdicts.schema)
+
     if cfg.output_dir:
         profiles.write.mode("append").parquet(f"{cfg.output_dir}/data_profiles")
-        verdicts.write.mode("append").parquet(f"{cfg.output_dir}/validation_verdicts")
+        verdict_rows.write.mode("append").parquet(f"{cfg.output_dir}/validation_verdicts")
         violations.write.mode("append").parquet(f"{cfg.output_dir}/violations")
         if drift is not None:
             drift.write.mode("append").parquet(f"{cfg.output_dir}/drift_metrics")
-        # re-read sinks so downstream consumers see the persisted state
-        verdict_rows = spark.read.parquet(f"{cfg.output_dir}/validation_verdicts")
-    else:
-        verdict_rows = verdicts
-
-    # verdict matrix is small (partitions × checks) — safe to collect for
-    # the manifest + summary (violation ROWS stay distributed/capped)
-    collected = verdicts.collect()
     by_part: dict[str, dict] = {}
     for r in collected:
         d = by_part.setdefault(
@@ -158,10 +165,13 @@ def run_validation(
 
     if manifest is not None:
         for part, d in by_part.items():
+            # a partition with ANY failed check must not be recorded as
+            # 'validated' — a resumed run would silently skip known-bad
+            # partitions and report a clean summary
             manifest.record(
                 PartitionRecord(
                     partition_value=part,
-                    status="validated",
+                    status="validated" if all(d["checks"].values()) else "failed",
                     lineage=cfg.lineage,
                     row_count=d["row_count"],
                     metrics=d["metrics"],

@@ -267,9 +267,11 @@ def minhash_lsh_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs_documents",
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-sh AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+sh_all AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
         generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        ELSE [array_to_string(ws, ' ')] END) AS s FROM w),
+hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 1000),
+sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
@@ -278,11 +280,14 @@ FROM inter JOIN sizes sa ON sa.doc_id = key1 JOIN sizes sb ON sb.doc_id = key2
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2""",
 )
 def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the verifier for LSH candidates)."""
+    """Exact n-gram Jaccard near-dup pairs (the verifier for LSH candidates).
+    The hot-shingle doc-frequency cap is ON (operator default, mirrored in
+    the oracle CTE) — the uncapped shape goes quadratic on boilerplate
+    shingles at corpus scale."""
     from dataprofiler_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.2)
+    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.2, max_shingle_doc_freq=1000)
 
 
 @register(
@@ -427,13 +432,30 @@ def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# simhash uses xxhash64 (no DuckDB analog) → rows-only correctness check
-@register("simhash_near_dup_documents", None)
+def _simhash_pairs_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """DuckDB oracle reproducing simhash() bit-for-bit: same md5-prefix
+    60-bit token hash, same ±1 bit counters, same sign rule. The oracle
+    verifies ALL pairs (exact); the engine's pigeonhole chunk bucketing is
+    complete for hamming ≤ 3 of 4 chunks, so the results must be equal."""
+    csel = ", ".join(f"SUM(((hv >> {b}) & 1) * 2 - 1) AS c{b}" for b in range(bits))
+    ssel = " + ".join(f"CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(wd),1,15) AS BIGINT) AS hv FROM w),
+c AS (SELECT doc_id, {csel} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({ssel} AS BIGINT) AS sh FROM c)
+SELECT a.doc_id AS key1, b.doc_id AS key2,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
+
+@register("simhash_near_dup_documents", _simhash_pairs_sql())
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataprofiler_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, "doc_id", max_hamming=3)
+    pairs = simhash_near_dup_pairs(docs, "doc_id", max_hamming=3)
+    return pairs.select("key1", "key2", F.col("hamming").cast("long").alias("hamming"))
 
 
 # --------------------------------------------------------------------------
@@ -652,23 +674,63 @@ def salted_profile_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# ANN scale paths — results depend on index structure, not SQL-expressible:
-# rows-only checks (tests verify recall against the brute-force oracle)
+# ANN scale paths, oracle-backed:
+#  * IVF at nprobe = num_centroids scans every partition ⇒ provably equal to
+#    brute force, so the brute-force SQL is an exact oracle for the whole
+#    build+search machinery (partial-probe recall is pytest-verified).
+#  * embedding-LSH hyperplanes are a deterministic LCG ⇒ reproduced as SQL
+#    literals, so the bucketed candidate join has a bit-exact oracle too.
 # --------------------------------------------------------------------------
 
-@register("ivf_topk_probe4", None)
-def ivf_topk_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "ivf_topk_full_probe",
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+  ROUND(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cos_sim
+  FROM embeddings e, q)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+)
+def ivf_topk_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search probing ALL centroids: exercises the full index build +
+    probe path while being provably identical to brute-force top-k — the
+    oracle that makes the IVF machinery driver-verifiable."""
     from dataprofiler_spark.operators.similarity import ivf_build, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     assigned, cents = ivf_build(emb, num_centroids=8)
-    return ivf_search(assigned, cents, qvec, k=10, nprobe=4)
+    return ivf_search(assigned, cents, qvec, k=10, nprobe=8)
 
 
-@register("embedding_near_dup_lsh", None)
+def _embedding_lsh_sql(dim: int = 64, num_planes: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB oracle for the random-hyperplane LSH near-dup pairs: the
+    hyperplanes come from a seeded LCG (similarity._hyperplane), so they are
+    emitted here as SQL array literals — the bucket bit-strings, candidate
+    join, and exact-cosine verification are then reproduced exactly."""
+    from dataprofiler_spark.operators.similarity import _hyperplane
+
+    bit_exprs = " || ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in _hyperplane(dim, p))
+        + "]) > 0 THEN '1' ELSE '0' END"
+        for p in range(num_planes)
+    )
+    return f"""WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bit_exprs} AS bucket FROM embeddings)
+SELECT DISTINCT a.vec_id AS key1, b2.vec_id AS key2,
+  ROUND(list_dot_product(a.v, b2.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos_sim
+FROM b a JOIN b b2 USING (bucket)
+WHERE a.vec_id < b2.vec_id
+  AND ROUND(list_dot_product(a.v, b2.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))), 6) >= {threshold}"""
+
+
+@register("embedding_near_dup_lsh", _embedding_lsh_sql())
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataprofiler_spark.operators.similarity import embedding_near_dup_pairs
 

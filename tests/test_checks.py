@@ -108,3 +108,52 @@ def test_prefilter_equality_same_counts(spark):
     pre = {(r.partition_value): r.violation_count for r in v_pre.collect()}
     assert full == pre
     assert x_full.count() == x_pre.count() == 2 * violation_spec(N).dup_rows[1]
+
+
+def test_lists_equal_both_null_passes():
+    """NULL semantics consistent with prefilter mode (xxhash64(NULL) ==
+    xxhash64(NULL)): both-null is equal; null-vs-value is a violation."""
+    a = pd.Series([None, None, np.array([1])])
+    b = pd.Series([None, np.array([1]), None])
+    assert list(_lists_equal_batch(a, b)) == [True, False, False]
+    # all-null columns (NullArray inference path)
+    assert list(_lists_equal_batch(pd.Series([None, None]), pd.Series([None, None]))) == [True, True]
+
+
+def test_null_tokens_same_verdict_both_modes(spark):
+    """A null-vs-null token row must get the SAME verdict from both
+    udf_modes (it passes): previously full mode counted it a violation."""
+    from dataprofiler_spark.operators.checks import reference_equality_check
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, [1, 2], "a"), (3, None, "a")],
+        "doc_id bigint, tokens array<int>, source string",
+    )
+    ref = spark.createDataFrame(
+        [(1, None), (2, [1, 2]), (3, [9])],
+        "doc_id bigint, tokens array<int>",
+    )
+    for mode in ("full", "prefilter"):
+        v, _ = reference_equality_check(df, ref, "t", udf_mode=mode)
+        row = v.collect()[0]
+        assert row.violation_count == 1, mode  # only doc 3 (null vs value)
+
+
+def test_violation_cap_is_per_check_per_partition(spark):
+    """Mass failure: the cap window is keyed on (check_name,
+    partition_value), so each partition contributes up to `cap` rows —
+    not one global reducer funneling every violating row of a check."""
+    from dataprofiler_spark.operators.checks import RowCheck, run_row_checks
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+    )
+    checks = [RowCheck("always_fails", F.lit(True), F.lit("boom"))]
+    _, violations = run_row_checks(
+        df, checks, "t", part_col="source", key_col="doc_id", violation_cap=10
+    )
+    per_part = {r["partition_value"]: r["count"] for r in
+                violations.groupBy("partition_value").count().collect()}
+    assert per_part == {"0": 10, "1": 10, "2": 10, "3": 10}

@@ -61,3 +61,23 @@ def test_histogram_null_bucket(spark):
     df = spark.createDataFrame([(1,), (None,), (25,)], "x int")
     h = {r.bucket: r.cnt for r in histogram(df, "x", 10).collect()}
     assert h[0.0] == 1 and h[20.0] == 1 and h[None] == 1
+
+
+def test_psi_null_bucket_joins_null_safely(spark):
+    """Identical histograms WITH null mass must read as zero drift: the
+    NULL buckets have to pair up in the join (eqNullSafe), not each read
+    as absent on the other side (which inflated PSI to ~2.3)."""
+    from dataprofiler_spark.operators.drift import drift_by_group, psi
+
+    rows = [(i,) for i in range(90)] + [(None,)] * 10
+    df = spark.createDataFrame(rows, "x int")
+    h = histogram(df, "x", 10)
+    assert psi(h, h) == pytest.approx(0.0, abs=1e-12)
+
+    hg = histogram(df.withColumn("g", F.lit("a")), "x", 10, group_by=["g"])
+    row = drift_by_group(hg, hg, "g").collect()[0]
+    assert row["psi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["chi2_stat"] == pytest.approx(0.0, abs=1e-6)
+    # null bucket participates in dof: 9 value buckets + the null bucket
+    # = 10 buckets with baseline mass → dof 9
+    assert row["chi2_dof"] == 9

@@ -54,3 +54,23 @@ def test_missing_column_fails_loudly(spark):
     assert len(v) == 1
     assert v[0].passed is False
     assert v[0].table_name == "<missing_column>"
+
+
+def test_stringified_minmax_compares_numerically(spark):
+    """min_value/max_value are stringified in the profile; a numeric
+    expectation must compare numerically — lexicographic '9' >= '10' was
+    True for the wrong reason."""
+    from dataprofiler_spark.operators.expectations import Expectation, evaluate_expectations
+
+    prof = spark.createDataFrame(
+        [("t", "n_tok", 100, "9", "120")],
+        "table_name string, column_name string, row_count long, min_value string, max_value string",
+    )
+    failing = evaluate_expectations(prof, [Expectation("n_tok", "min_value", ">=", 10)])
+    assert failing.collect()[0].passed is False  # 9 < 10 numerically
+    passing = evaluate_expectations(prof, [Expectation("n_tok", "min_value", ">=", "9")])
+    assert passing.collect()[0].passed is True
+    between = evaluate_expectations(
+        prof, [Expectation("n_tok", "max_value", "between", 100, 130)]
+    )
+    assert between.collect()[0].passed is True

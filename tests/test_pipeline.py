@@ -45,17 +45,55 @@ def test_pipeline_resume_skips_validated(spark, tmp_path):
     r1 = run_validation(spark, clean, gen_sources_ref(spark), cfg=cfg)
     assert r1.summary["partitions_skipped"] == 0
     n_parts = r1.summary["partitions_validated"]
+    # the registered-but-empty partition fails row_count_gt_0 even on clean
+    # data → recorded as 'failed', never skipped (a failing partition must
+    # be revalidated, not silently skipped on resume)
+    recs = Manifest(cfg.manifest_dir).load()
+    assert recs["empty_src"].status == "failed"
+    assert all(
+        rec.status == "validated" for p, rec in recs.items() if p != "empty_src"
+    )
 
-    # resubmission with the same lineage: everything skipped
+    # resubmission with the same lineage: every PASSING partition skipped;
+    # the failing empty partition is re-checked
     r2 = run_validation(spark, clean, gen_sources_ref(spark), cfg=cfg)
-    assert r2.summary["partitions_skipped"] == n_parts
-    assert r2.summary["partitions_validated"] == 0
+    assert r2.summary["partitions_skipped"] == n_parts - 1
+    assert r2.summary["partitions_validated"] == 1
     assert r2.summary["rows_validated"] == 0
 
     # lineage change (new snapshot) invalidates the skip
     cfg2 = ValidationConfig(manifest_dir=cfg.manifest_dir, lineage="snap-B")
     r3 = run_validation(spark, clean, gen_sources_ref(spark), cfg=cfg2)
     assert r3.summary["partitions_skipped"] == 0
+
+
+def test_pipeline_failed_partitions_not_skipped_on_resume(spark, tmp_path):
+    """A rerun on bad data with the same lineage must RE-validate the
+    failing partitions and report the failures again — a 'validated' status
+    for failed partitions would make known violations read as a clean run."""
+    bad = gen_sequences(spark, N, violations=True)
+    cfg = ValidationConfig(
+        manifest_dir=str(tmp_path / "manifest"), lineage="snap-bad"
+    )
+    r1 = run_validation(spark, bad, gen_sources_ref(spark), cfg=cfg)
+    assert r1.summary["checks_failed"] > 0
+    failed_parts = {
+        p for p, rec in Manifest(cfg.manifest_dir).load().items()
+        if rec.status == "failed"
+    }
+    assert failed_parts  # bad data must mark partitions failed
+
+    r2 = run_validation(spark, bad, gen_sources_ref(spark), cfg=cfg)
+    assert r2.summary["checks_failed"] > 0  # still reported, not skipped
+    assert not (failed_parts & r2.skipped_partitions)
+
+
+def test_config_approx_implies_prefilter():
+    """ValidationConfig(exact=False) must resolve the 'auto' equality mode
+    to the prefilter scale path (the full-UDF mode anti-scales)."""
+    assert ValidationConfig(exact=False).equality_udf_mode == "prefilter"
+    assert ValidationConfig(exact=True).equality_udf_mode == "full"
+    assert ValidationConfig(exact=False, equality_udf_mode="full").equality_udf_mode == "full"
 
 
 def test_pipeline_drift_gate(spark, tmp_path):
