@@ -246,6 +246,175 @@ def spec_to_rows(spec: TableSpec) -> list[dict]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Schema objects: procedures / views / triggers with definition-hash drift
+# (reference StoredProcedureSchema/ViewSchema/TriggerSchema,
+# schema_comparator.py:140-199; unified schema_objects sink with an
+# object_type discriminator, clickhouse.py:512-593; env-vs-env drift =
+# latest-snapshot set-diff on (object_type, object_name) + hash compare for
+# common objects, grafana schema_objects_comparison dashboard)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ProcedureSpec:
+    """StoredProcedureSchema parity (schema_comparator.py:140-159)."""
+
+    name: str
+    schema_name: str = "default"
+    language: str = ""
+    parameter_list: str = ""
+    return_type: str = ""
+    definition_hash: str = ""
+
+    object_type = "PROCEDURE"
+
+    def signature(self) -> tuple:
+        """Semantic identity beyond the name: changed language/params/
+        return type/body all count as a difference."""
+        return (
+            self.language.lower(),
+            " ".join(self.parameter_list.split()).lower(),
+            self.return_type.lower(),
+            self.definition_hash,
+        )
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    """ViewSchema parity (schema_comparator.py:161-177)."""
+
+    name: str
+    schema_name: str = "default"
+    definition_hash: str = ""
+    is_materialized: bool = False
+    columns: str = ""
+
+    object_type = "VIEW"
+
+    def signature(self) -> tuple:
+        return (self.definition_hash, self.is_materialized, self.columns.lower())
+
+
+@dataclass(frozen=True)
+class TriggerSpec:
+    """TriggerSchema parity (schema_comparator.py:180-199)."""
+
+    name: str
+    table_name: str
+    schema_name: str = "default"
+    event: str = ""
+    timing: str = ""
+    definition_hash: str = ""
+
+    object_type = "TRIGGER"
+
+    def signature(self) -> tuple:
+        return (
+            self.table_name.lower(),
+            self.event.upper(),
+            self.timing.upper(),
+            self.definition_hash,
+        )
+
+
+@dataclass
+class ObjectComparisonResult:
+    """Env-vs-env schema-object drift verdict: set-diff on
+    (object_type, name) + signature compare for common objects — the same
+    three difference classes the reference dashboard counts (missing,
+    extra, changed)."""
+
+    missing_in_target: list[tuple[str, str]] = field(default_factory=list)
+    missing_in_source: list[tuple[str, str]] = field(default_factory=list)
+    changed: list[tuple[str, str]] = field(default_factory=list)
+
+    @property
+    def total_differences(self) -> int:
+        return len(self.missing_in_target) + len(self.missing_in_source) + len(self.changed)
+
+    @property
+    def is_match(self) -> bool:
+        return self.total_differences == 0
+
+
+def compare_schema_objects(source: list, target: list) -> ObjectComparisonResult:
+    """Compare two schema-object sets (any mix of Procedure/View/Trigger
+    specs), keyed by (object_type, name)."""
+    s = {(o.object_type, o.name): o.signature() for o in source}
+    t = {(o.object_type, o.name): o.signature() for o in target}
+    res = ObjectComparisonResult()
+    res.missing_in_target = sorted(set(s) - set(t))
+    res.missing_in_source = sorted(set(t) - set(s))
+    res.changed = sorted(k for k in set(s) & set(t) if s[k] != t[k])
+    return res
+
+
+def objects_to_rows(
+    procedures: list[ProcedureSpec] = (),
+    views: list[ViewSpec] = (),
+    triggers: list[TriggerSpec] = (),
+) -> list[dict]:
+    """Unified schema_objects sink rows with the object_type discriminator
+    (reference insert layout, clickhouse.py:541-585)."""
+    rows = []
+    for p in procedures:
+        rows.append(
+            {
+                "object_type": "PROCEDURE", "object_name": p.name,
+                "parent_table": "", "language": p.language,
+                "parameter_list": p.parameter_list, "return_type": p.return_type,
+                "event": "", "timing": "", "is_materialized": False,
+                "columns": "", "definition_hash": p.definition_hash,
+            }
+        )
+    for v in views:
+        rows.append(
+            {
+                "object_type": "VIEW", "object_name": v.name,
+                "parent_table": "", "language": "", "parameter_list": "",
+                "return_type": "", "event": "", "timing": "",
+                "is_materialized": v.is_materialized, "columns": v.columns,
+                "definition_hash": v.definition_hash,
+            }
+        )
+    for t in triggers:
+        rows.append(
+            {
+                "object_type": "TRIGGER", "object_name": t.name,
+                "parent_table": t.table_name, "language": "",
+                "parameter_list": "", "return_type": "", "event": t.event,
+                "timing": t.timing, "is_materialized": False, "columns": "",
+                "definition_hash": t.definition_hash,
+            }
+        )
+    return rows
+
+
+def schema_object_drift(env1: DataFrame, env2: DataFrame) -> DataFrame:
+    """Distributed env-vs-env object drift over (object_type, object_name,
+    definition_hash) frames: full-outer join with membership flags +
+    hash_differs for common objects (the dashboard's three difference
+    classes as one DataFrame)."""
+    a = env1.alias("a")
+    b = env2.alias("b")
+    cond = (F.col("a.object_type") == F.col("b.object_type")) & (
+        F.col("a.object_name") == F.col("b.object_name")
+    )
+    return a.join(b, cond, "full_outer").select(
+        F.coalesce(F.col("a.object_type"), F.col("b.object_type")).alias("object_type"),
+        F.coalesce(F.col("a.object_name"), F.col("b.object_name")).alias("object_name"),
+        F.col("a.object_name").isNotNull().alias("in_env1"),
+        F.col("b.object_name").isNotNull().alias("in_env2"),
+        F.col("a.definition_hash").alias("definition_hash_env1"),
+        F.col("b.definition_hash").alias("definition_hash_env2"),
+        F.when(
+            F.col("a.object_name").isNotNull() & F.col("b.object_name").isNotNull(),
+            F.col("a.definition_hash") != F.col("b.definition_hash"),
+        ).alias("hash_differs"),
+    )
+
+
 def compare_profiles(
     profile_env1: DataFrame,
     profile_env2: DataFrame,

@@ -112,6 +112,58 @@ def evaluate_expectations(
     return out
 
 
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def suggest_expectations(
+    profile_df: DataFrame, columns: list[str] | None = None
+) -> list[Expectation]:
+    """Emit a default expectation suite FROM an observed profile — the
+    reference workflow of generating a check DSL from profiling output
+    (SodaCL YAML at /root/reference/src/core/profiler.py:78-101, which emits
+    `row_count > 0`), grown to the full metric surface:
+
+      * row_count > 0                       (profiler.py:91 precedent)
+      * not_null_proportion >= observed     (null-rate regression guard)
+      * is_unique == True                   (where observed unique)
+      * min_value >= / max_value <= observed bounds (numeric columns)
+
+    The profile frame is metric-sized (groups × columns) — collecting it is
+    driver metadata, not data. Grouped profiles are reduced conservatively:
+    worst not_null_proportion, all-groups-unique, loosest bounds."""
+    rows = profile_df.collect()
+    by_col: dict[str, dict] = {}
+    for r in rows:
+        c = r["column_name"]
+        if columns is not None and c not in columns:
+            continue
+        d = by_col.setdefault(
+            c,
+            {"nn": 1.0, "unique": True, "mins": [], "maxs": [],
+             "numeric": r["data_type"].split("(")[0] in _NUMERIC_TYPES},
+        )
+        if r["not_null_proportion"] is not None:
+            d["nn"] = min(d["nn"], float(r["not_null_proportion"]))
+        d["unique"] = d["unique"] and bool(r["is_unique"])
+        if d["numeric"] and r["min_value"] is not None:
+            d["mins"].append(float(r["min_value"]))
+        if d["numeric"] and r["max_value"] is not None:
+            d["maxs"].append(float(r["max_value"]))
+
+    out: list[Expectation] = []
+    for i, (c, d) in enumerate(by_col.items()):
+        if i == 0:
+            out.append(Expectation(c, "row_count", ">", 0))
+        out.append(Expectation(c, "not_null_proportion", ">=", d["nn"]))
+        if d["unique"]:
+            out.append(Expectation(c, "is_unique", "==", True))
+        if d["mins"]:
+            out.append(Expectation(c, "min_value", ">=", min(d["mins"])))
+        if d["maxs"]:
+            out.append(Expectation(c, "max_value", "<=", max(d["maxs"])))
+    return out
+
+
 DEFAULT_SEQUENCE_EXPECTATIONS = [
     Expectation("doc_id", "row_count", ">", 0),  # profiler.py:91 precedent
     Expectation("doc_id", "not_null_proportion", ">=", 1.0),

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dataprofiler_spark.operators.profile import profile
+from dataprofiler_spark.operators.profile import ProfileConfig, profile
 from dataprofiler_spark.oracle import profile_sql
 from dataprofiler_spark.sources.tables import load_table
 
@@ -738,6 +738,209 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", F.col("embedding").cast("array<double>")
     )
     return embedding_near_dup_pairs(emb, dim=64, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Approximate paths with oracle-with-tolerance entries: the Spark side
+# computes BOTH the sketch answer and the exact answer and emits the
+# tolerance verdict as a boolean column; the oracle states the exact values
+# plus literal TRUE. A deterministic sketch (HLL++/percentile_approx/
+# histogram-merge are deterministic for fixed data) either always passes or
+# the band is wrong — so this IS a real correctness gate for the sketches.
+# --------------------------------------------------------------------------
+
+_APPROX_PROFILE_SQL = f"""WITH p AS ({profile_sql("documents")})
+SELECT column_name, row_count, not_null_count,
+       TRUE AS distinct_ok, TRUE AS median_ok
+FROM p"""
+
+
+@register("approx_profile_documents_tolerance", _APPROX_PROFILE_SQL)
+def approx_profile_documents_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProfileConfig(exact=False) — the one-pass HLL++/percentile_approx
+    scale configuration — verified against the exact profile: counts are
+    value-equal (they stay exact in approx mode); distinct within
+    10%+1 of exact (HLL++ rsd=0.02 ⇒ 3σ=6%); median within 1% relative
+    (accuracy=10000 ≥ n at test scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pa = profile(docs, "documents", cfg=ProfileConfig(exact=False)).select(
+        "column_name",
+        "row_count",
+        "not_null_count",
+        F.col("distinct_count").alias("dc_a"),
+        F.col("median_value").alias("med_a"),
+    )
+    pe = profile(docs, "documents").select(
+        "column_name",
+        F.col("distinct_count").alias("dc_e"),
+        F.col("median_value").alias("med_e"),
+    )
+    dc_a, dc_e = F.col("dc_a"), F.col("dc_e")
+    med_a, med_e = F.col("med_a"), F.col("med_e")
+    return pa.join(pe, "column_name").select(
+        "column_name",
+        "row_count",
+        "not_null_count",
+        (F.abs(dc_a - dc_e) <= dc_e * 0.1 + 1).alias("distinct_ok"),
+        F.when(med_a.isNull() & med_e.isNull(), F.lit(True))
+        .otherwise(F.abs(med_a - med_e) <= F.greatest(F.abs(med_e) * 0.01, F.lit(1e-6)))
+        .alias("median_ok"),
+    )
+
+
+@register(
+    "salted_sketch_tolerance_nchars_by_lang",
+    """SELECT lang, COUNT(*) AS row_count, TRUE AS distinct_ok, TRUE AS median_ok
+FROM documents GROUP BY lang""",
+)
+def salted_sketch_tolerance_nchars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-level sketch paths (HLL-union distinct, histogram-merge
+    median) verified within their stated error bands against exact SQL:
+    HLL within 10%+1; merged-histogram median within one bucket width."""
+    from dataprofiler_spark.plans.salting import salted_numeric_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = 50.0
+    out = salted_numeric_profile(
+        docs, "n_chars", "lang", salt_buckets=8, hist_bucket_width=width
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count_distinct("n_chars").alias("dc_e"),
+        F.percentile("n_chars", F.lit(0.5)).alias("med_e"),
+    )
+    return out.join(exact, "lang").select(
+        "lang",
+        F.col("row_count").cast("long").alias("row_count"),
+        (F.abs(F.col("distinct_est") - F.col("dc_e")) <= F.col("dc_e") * 0.1 + 1).alias(
+            "distinct_ok"
+        ),
+        (F.abs(F.col("median_est") - F.col("med_e")) <= width).alias("median_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Growth / capacity alerts as an oracle-backed query (reference
+# autoincrement_metrics.py:60-152 math: usage %, positive-slope growth rate,
+# days-until-full, CRITICAL/WARNING/OK tiers — days-based beats usage-based)
+# --------------------------------------------------------------------------
+
+_GROWTH_ALERT_SQL = """WITH s AS (
+  SELECT event_type,
+    CAST(FLOOR(MAX(value)) AS BIGINT) AS current_value,
+    COVAR_POP(EPOCH(ts) / 86400.0, value) / VAR_POP(EPOCH(ts) / 86400.0) AS slope
+  FROM events GROUP BY event_type),
+d AS (
+  SELECT event_type, current_value,
+    ROUND(current_value / 32767.0 * 100, 6) AS usage_percentage,
+    CASE WHEN slope > 0 THEN ROUND(slope, 2) END AS growth_rate_per_day,
+    CASE WHEN 32767 - current_value <= 0 THEN 0.0
+         WHEN slope > 0 THEN ROUND((32767 - current_value) / slope, 2) END AS days_until_full
+  FROM s)
+SELECT event_type, current_value, usage_percentage, growth_rate_per_day, days_until_full,
+  CASE WHEN days_until_full IS NOT NULL AND days_until_full < 30 THEN 'CRITICAL'
+       WHEN days_until_full IS NOT NULL AND days_until_full < 90 THEN 'WARNING'
+       WHEN usage_percentage >= 90 THEN 'CRITICAL'
+       WHEN usage_percentage >= 75 THEN 'WARNING'
+       ELSE 'OK' END AS alert_status
+FROM d"""
+
+
+@register("growth_alerts_events_by_type", _GROWTH_ALERT_SQL)
+def growth_alerts_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity profile per event_type THROUGH THE REAL OPERATOR
+    (growth.growth_profile: max as current value over a smallint budget,
+    closed-form slope over the (ts, value) history, days-until-full, alert
+    tier) — the driver loop is over the handful of event types, not data."""
+    from dataprofiler_spark.operators.growth import growth_profile
+
+    events = load_table(spark, sf_dir, "events")
+    types = sorted(r.event_type for r in events.select("event_type").distinct().collect())
+    rows = []
+    for t in types:
+        sub = events.filter(F.col("event_type") == t)
+        p = growth_profile(
+            sub, "value", "smallint", history=sub, ts_col="ts", value_col="value"
+        )
+        rows.append(
+            (t, p.current_value, p.usage_percentage, p.growth_rate_per_day,
+             p.days_until_full, p.alert_status)
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_type string, current_value bigint, usage_percentage double, "
+        "growth_rate_per_day double, days_until_full double, alert_status string",
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-object drift (S10/SE-objects; reference schema_comparator.py:140-199
+# object model + grafana schema_objects_comparison set-diff/hash semantics).
+# Objects are derived deterministically from the events table: each
+# event_type defines a VIEW whose definition embeds the env's row count
+# (common objects with differing definitions ⇒ hash_differs), plus one
+# env-only PROCEDURE / TRIGGER literal to exercise the membership flags.
+# --------------------------------------------------------------------------
+
+_OBJ_DEF = "VIEW %s AS SELECT * FROM events WHERE event_type='%s' -- rows=%d"
+
+_OBJECT_DRIFT_SQL = """WITH e1 AS (
+  SELECT 'VIEW' AS object_type, event_type AS object_name,
+         md5('VIEW ' || event_type || ' AS SELECT * FROM events WHERE event_type=''' ||
+             event_type || ''' -- rows=' || CAST(COUNT(*) AS VARCHAR)) AS definition_hash
+  FROM events WHERE user_id % 2 = 0 GROUP BY event_type
+  UNION ALL SELECT 'PROCEDURE', 'sp_refresh_rollups', md5('PROC sp_refresh_rollups v1')),
+e2 AS (
+  SELECT 'VIEW' AS object_type, event_type AS object_name,
+         md5('VIEW ' || event_type || ' AS SELECT * FROM events WHERE event_type=''' ||
+             event_type || ''' -- rows=' || CAST(COUNT(*) AS VARCHAR)) AS definition_hash
+  FROM events WHERE user_id % 2 = 1 GROUP BY event_type
+  UNION ALL SELECT 'TRIGGER', 'trg_events_audit', md5('TRIGGER trg_events_audit AFTER INSERT'))
+SELECT COALESCE(a.object_type, b.object_type) AS object_type,
+  COALESCE(a.object_name, b.object_name) AS object_name,
+  a.object_name IS NOT NULL AS in_env1, b.object_name IS NOT NULL AS in_env2,
+  a.definition_hash AS definition_hash_env1, b.definition_hash AS definition_hash_env2,
+  CASE WHEN a.object_name IS NOT NULL AND b.object_name IS NOT NULL
+       THEN a.definition_hash <> b.definition_hash END AS hash_differs
+FROM e1 a FULL OUTER JOIN e2 b
+  ON a.object_type = b.object_type AND a.object_name = b.object_name"""
+
+
+@register("schema_object_drift_events", _OBJECT_DRIFT_SQL)
+def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Env-vs-env schema-object drift through the real operator
+    (compare.schema_object_drift): set-diff on (object_type, object_name) +
+    definition-hash compare for common objects."""
+    from dataprofiler_spark.operators.compare import schema_object_drift
+
+    events = load_table(spark, sf_dir, "events")
+
+    def _view_objects(parity: int) -> DataFrame:
+        return (
+            events.filter(F.col("user_id") % 2 == parity)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit("VIEW").alias("object_type"),
+                F.col("event_type").alias("object_name"),
+                F.md5(
+                    F.format_string(_OBJ_DEF, "event_type", "event_type", "cnt")
+                ).alias("definition_hash"),
+            )
+        )
+
+    env1 = _view_objects(0).unionByName(
+        spark.createDataFrame(
+            [("PROCEDURE", "sp_refresh_rollups", "PROC sp_refresh_rollups v1")],
+            "object_type string, object_name string, definition string",
+        ).select("object_type", "object_name", F.md5("definition").alias("definition_hash"))
+    )
+    env2 = _view_objects(1).unionByName(
+        spark.createDataFrame(
+            [("TRIGGER", "trg_events_audit", "TRIGGER trg_events_audit AFTER INSERT")],
+            "object_type string, object_name string, definition string",
+        ).select("object_type", "object_name", F.md5("definition").alias("definition_hash"))
+    )
+    return schema_object_drift(env1, env2)
 
 
 # --------------------------------------------------------------------------

@@ -34,6 +34,22 @@ TABLES = (
     "violations",
     "auto_increment_metrics",
     "table_inventory",
+    "schema_profiles",
+    "schema_objects",
+)
+
+_SCHEMA_PROFILE_DDL = (
+    "table_name string, column_name string, data_type string, "
+    "is_nullable boolean, column_default string, max_length int, "
+    "precision int, scale int, is_primary_key boolean, is_in_index boolean, "
+    "index_names string, is_foreign_key boolean, fk_references string"
+)
+
+_SCHEMA_OBJECT_DDL = (
+    "object_type string, object_name string, parent_table string, "
+    "language string, parameter_list string, return_type string, "
+    "event string, timing string, is_materialized boolean, "
+    "columns string, definition_hash string"
 )
 
 
@@ -77,6 +93,41 @@ class MetricsStore:
         """S11: snapshot of the table list (reference main.py:679-703)."""
         df = self.spark.createDataFrame([(t,) for t in sorted(table_names)], "table_name string")
         self.append("table_inventory", df, scan_time)
+
+    def append_schema_profile(self, spec, scan_time: float | None = None) -> None:
+        """S9: per-column schema snapshot rows (reference clickhouse.py:
+        377-457 layout) from a TableSpec, via compare.spec_to_rows."""
+        from dataprofiler_spark.operators.compare import spec_to_rows
+
+        df = self.spark.createDataFrame(spec_to_rows(spec), _SCHEMA_PROFILE_DDL)
+        self.append("schema_profiles", df, scan_time)
+
+    def append_schema_objects(
+        self,
+        procedures: list = (),
+        views: list = (),
+        triggers: list = (),
+        scan_time: float | None = None,
+    ) -> None:
+        """S10: unified schema-objects snapshot (PROCEDURE/VIEW/TRIGGER with
+        the object_type discriminator; reference clickhouse.py:512-593)."""
+        from dataprofiler_spark.operators.compare import objects_to_rows
+
+        rows = objects_to_rows(procedures, views, triggers)
+        if not rows:
+            return
+        df = self.spark.createDataFrame(rows, _SCHEMA_OBJECT_DDL)
+        self.append("schema_objects", df, scan_time)
+
+    def object_drift(self, other: "MetricsStore") -> DataFrame:
+        """Env-vs-env schema-object drift from the latest snapshots of two
+        stores (grafana schema_objects_comparison semantics)."""
+        from dataprofiler_spark.operators.compare import schema_object_drift
+
+        cols = ["object_type", "object_name", "definition_hash"]
+        a = self.latest_snapshot("schema_objects", ["object_type", "object_name"]).select(cols)
+        b = other.latest_snapshot("schema_objects", ["object_type", "object_name"]).select(cols)
+        return schema_object_drift(a, b)
 
     def read(
         self,

@@ -119,3 +119,56 @@ def test_profile_comparison_and_summary(spark):
     assert s.total_columns == 4
     assert s.only_in_env1 == 1 and s.only_in_env2 == 1
     assert s.matching_columns == 1 and s.different_columns == 1
+
+
+def test_schema_object_comparison():
+    """Object set-diff + definition-hash drift (reference
+    schema_comparator.py:140-199 object model; dashboard set-diff/hash
+    semantics): missing / extra / changed classes."""
+    from dataprofiler_spark.operators.compare import (
+        ObjectComparisonResult,
+        ProcedureSpec,
+        TriggerSpec,
+        ViewSpec,
+        compare_schema_objects,
+    )
+
+    src = [
+        ProcedureSpec("sp_load", language="sql", definition_hash="aaa"),
+        ViewSpec("v_orders", definition_hash="bbb"),
+        TriggerSpec("trg_audit", table_name="orders", event="INSERT",
+                    timing="AFTER", definition_hash="ccc"),
+    ]
+    tgt = [
+        ProcedureSpec("sp_load", language="sql", definition_hash="aaa"),  # same
+        ViewSpec("v_orders", definition_hash="CHANGED"),  # hash drift
+        ViewSpec("v_new", definition_hash="ddd"),  # only in target
+    ]
+    res = compare_schema_objects(src, tgt)
+    assert res.missing_in_target == [("TRIGGER", "trg_audit")]
+    assert res.missing_in_source == [("VIEW", "v_new")]
+    assert res.changed == [("VIEW", "v_orders")]
+    assert res.total_differences == 3 and not res.is_match
+    # name collision across types is NOT a match: keys include object_type
+    assert compare_schema_objects(
+        [ViewSpec("x", definition_hash="h")], [ProcedureSpec("x", definition_hash="h")]
+    ).total_differences == 2
+    assert ObjectComparisonResult().is_match
+
+
+def test_schema_object_drift_dataframe(spark):
+    from dataprofiler_spark.operators.compare import schema_object_drift
+
+    e1 = spark.createDataFrame(
+        [("VIEW", "v1", "h1"), ("VIEW", "v2", "h2")],
+        "object_type string, object_name string, definition_hash string",
+    )
+    e2 = spark.createDataFrame(
+        [("VIEW", "v1", "h1"), ("VIEW", "v2", "DIFFERENT"), ("TRIGGER", "t1", "h3")],
+        "object_type string, object_name string, definition_hash string",
+    )
+    rows = {(r.object_type, r.object_name): r for r in schema_object_drift(e1, e2).collect()}
+    assert rows[("VIEW", "v1")].hash_differs is False
+    assert rows[("VIEW", "v2")].hash_differs is True
+    t1 = rows[("TRIGGER", "t1")]
+    assert (t1.in_env1, t1.in_env2, t1.hash_differs) == (False, True, None)

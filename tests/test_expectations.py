@@ -74,3 +74,57 @@ def test_stringified_minmax_compares_numerically(spark):
         prof, [Expectation("n_tok", "max_value", "between", 100, 130)]
     )
     assert between.collect()[0].passed is True
+
+
+def test_suggest_expectations_roundtrip(spark):
+    """Generated suite must pass on the profile it was generated from, and
+    catch a regression (nulls injected / bound exceeded) on a later snapshot."""
+    from dataprofiler_spark.operators.expectations import (
+        evaluate_expectations,
+        suggest_expectations,
+    )
+    from dataprofiler_spark.operators.profile import profile
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i % 50)) for i in range(200)],
+        "id bigint, name string, score double",
+    )
+    prof = profile(df, "t")
+    suite = suggest_expectations(prof)
+    names = {e.name for e in suite}
+    assert "expect_id_row_count_>" in names
+    assert "expect_id_is_unique_==" in names
+    assert any("min_value" in n for n in names)  # numeric bounds emitted
+    assert not any(e.metric in ("min_value", "max_value") and e.column == "name"
+                   for e in suite)  # no bounds for non-numeric columns
+    v1 = evaluate_expectations(prof, suite)
+    assert all(r.passed for r in v1.collect())
+
+    # regression snapshot: nulls in name, score above the learned max
+    bad = df.withColumn(
+        "name", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("name"))
+    ).withColumn("score", F.col("score") + 100.0)
+    v2 = {r.check_name: r.passed for r in
+          evaluate_expectations(profile(bad, "t"), suite).collect()}
+    assert v2["expect_name_not_null_proportion_>="] is False
+    assert v2["expect_score_max_value_<="] is False
+    assert v2["expect_id_is_unique_=="] is True
+
+
+def test_suggest_expectations_grouped_conservative(spark):
+    """Grouped profile: the suite reduces across groups conservatively
+    (worst null rate, loosest bounds, unique only if unique in EVERY group)."""
+    from dataprofiler_spark.operators.expectations import suggest_expectations
+    from dataprofiler_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 7, 50.0), ("b", 7, None)],
+        "g string, k bigint, v double",
+    )
+    suite = {(e.column, e.metric, e.op): e
+             for e in suggest_expectations(profile(df, "t", group_by=["g"]))}
+    assert suite[("v", "not_null_proportion", ">=")].value == 0.5  # worst group
+    assert ("k", "is_unique", "==") not in suite  # dup in group b
+    assert suite[("k", "min_value", ">=")].value == 1.0
+    assert suite[("k", "max_value", "<=")].value == 7.0

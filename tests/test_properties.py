@@ -23,8 +23,10 @@ def test_lists_equal_batch_matches_python_semantics(pairs):
     a = pd.Series([np.array(x, dtype="int64") if x is not None else None for x, _ in pairs], dtype=object)
     b = pd.Series([np.array(y, dtype="int64") if y is not None else None for _, y in pairs], dtype=object)
     got = list(_lists_equal_batch(a, b))
+    # NULL semantics: both-null equal (consistent with the prefilter mode's
+    # xxhash64(NULL)==xxhash64(NULL)); null-vs-value is a violation
     want = [
-        (x is not None and y is not None and x == y)
+        (x is None and y is None) or (x is not None and y is not None and x == y)
         for x, y in pairs
     ]
     assert got == want

@@ -60,3 +60,55 @@ def test_inventory_drift(spark, tmp_path):
     assert drift["users"] == (True, True)
     assert drift["orders"] == (True, False)  # J4 anti
     assert drift["legacy_tmp"] == (False, True)
+
+
+def test_schema_profile_and_objects_end_to_end(spark, tmp_path):
+    """S9/S10 end-to-end: spec rows land in schema_profiles; objects land in
+    schema_objects with the object_type discriminator; env-vs-env object
+    drift reads back through latest_snapshot."""
+    from dataprofiler_spark.operators.compare import (
+        ColumnSpec,
+        ForeignKeySpec,
+        IndexSpec,
+        ProcedureSpec,
+        TableSpec,
+        TriggerSpec,
+        ViewSpec,
+    )
+
+    spec = TableSpec(
+        "orders",
+        columns={
+            "id": ColumnSpec("id", "bigint", is_nullable=False),
+            "cust": ColumnSpec("cust", "bigint"),
+        },
+        primary_key=("id",),
+        indexes=(IndexSpec("ix_cust", ("cust",)),),
+        foreign_keys=(ForeignKeySpec("fk_c", ("cust",), "customer", ("c_id",)),),
+    )
+    prod = MetricsStore(spark, str(tmp_path / "p"), environment="prod")
+    uat = MetricsStore(spark, str(tmp_path / "u"), environment="uat")
+    prod.init(), uat.init()
+
+    prod.append_schema_profile(spec)
+    sp = {r.column_name: r for r in prod.read("schema_profiles").collect()}
+    assert sp["id"].is_primary_key and not sp["id"].is_nullable
+    assert sp["cust"].is_in_index and sp["cust"].index_names == "ix_cust"
+    assert sp["cust"].is_foreign_key and sp["cust"].fk_references == "customer(c_id)"
+
+    prod.append_schema_objects(
+        procedures=[ProcedureSpec("sp_load", definition_hash="a1")],
+        views=[ViewSpec("v_sum", definition_hash="b1")],
+        triggers=[TriggerSpec("trg", table_name="orders", definition_hash="c1")],
+    )
+    uat.append_schema_objects(views=[ViewSpec("v_sum", definition_hash="CHANGED")])
+    # a later prod snapshot updates one object: latest must win
+    prod.append_schema_objects(views=[ViewSpec("v_sum", definition_hash="b2")],
+                               scan_time=4102444800.0)
+    kinds = {r.object_type for r in prod.read("schema_objects").collect()}
+    assert kinds == {"PROCEDURE", "VIEW", "TRIGGER"}
+
+    drift = {(r.object_type, r.object_name): r for r in prod.object_drift(uat).collect()}
+    assert drift[("VIEW", "v_sum")].hash_differs is True
+    assert drift[("VIEW", "v_sum")].definition_hash_env1 == "b2"  # latest snapshot
+    assert drift[("PROCEDURE", "sp_load")].in_env2 is False
