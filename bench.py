@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from dataprofiler_spark import get_spark  # noqa: E402
-from dataprofiler_spark.operators.dedup import lsh_candidate_pairs, ngram_jaccard_pairs  # noqa: E402
+from dataprofiler_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
 from dataprofiler_spark.operators.drift import drift_by_group, histogram, token_frequency  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
 from dataprofiler_spark.operators.similarity import brute_force_topk  # noqa: E402
@@ -121,6 +125,12 @@ def main() -> None:
             "profile_lineitem": lambda: profile(li, "lineitem", group_by=["l_returnflag"]).collect(),
             "minhash_lsh_pairs": lambda: lsh_candidate_pairs(dc, "doc_id", num_hashes=16, bands=8).count(),
             "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(dc, "doc_id", threshold=0.2, max_shingle_doc_freq=1000).count(),
+            # capped-vs-uncapped delta: the uncapped shape is the one that
+            # goes quadratic on boilerplate shingles at corpus scale
+            "ngram_jaccard_uncapped": lambda: ngram_jaccard_pairs(dc, "doc_id", threshold=0.2, max_shingle_doc_freq=None).count(),
+            # portable (md5, oracle-reproducible) vs production (xxhash64)
+            "simhash_pairs": lambda: simhash_near_dup_pairs(dc, "doc_id").count(),
+            "simhash_pairs_xx64": lambda: simhash_near_dup_pairs(dc, "doc_id", portable=False).count(),
             "knn_cosine_top10": lambda: brute_force_topk(em, qvec, k=10).collect(),
         }
 
