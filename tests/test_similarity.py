@@ -44,11 +44,30 @@ def test_ivf_full_probe_equals_brute_force(spark, emb, qvec):
     assert [r.vec_id for r in full.collect()] == [r.vec_id for r in brute.collect()]
 
 
-def test_ivf_partial_probe_recall(spark, emb, qvec):
+def test_ivf_partial_probe_recall(spark, emb):
+    """Tightened (round 2): average recall@10 over a pinned 8-query panel
+    instead of one query, with the k-means-refined centroids (measured
+    0.66 avg at nprobe=3/8 on this corpus; refinement uplift vs raw seeds
+    is +1.4pp avg — the synthetic embeddings are nearly unclustered, so
+    the bound is about probing, not centroid luck)."""
+    qs = {
+        r.vec_id: r.embedding
+        for r in emb.filter(F.col("vec_id") % 37 == 1).orderBy("vec_id").limit(8).collect()
+    }
     assigned, cents = ivf_build(emb, num_centroids=8)
-    part = {r.vec_id for r in ivf_search(assigned, cents, qvec, k=10, nprobe=3).collect()}
-    brute = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
-    assert len(part & brute) / 10 >= 0.5  # partial probe keeps decent recall
+    assigned = assigned.cache()
+    try:
+        recalls = []
+        for q in qs.values():
+            brute = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+            part = {
+                r.vec_id
+                for r in ivf_search(assigned, cents, q, k=10, nprobe=3).collect()
+            }
+            recalls.append(len(part & brute) / 10)
+        assert sum(recalls) / len(recalls) >= 0.6
+    finally:
+        assigned.unpersist()
 
 
 def test_embedding_near_dup_finds_duplicates(spark, emb):
