@@ -264,6 +264,87 @@ def _token_long_hash(w: Column) -> Column:
     return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
 
 
+def connected_components(
+    pairs: DataFrame,
+    key1: str = "key1",
+    key2: str = "key2",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list → (node,
+    component) with component = min node id in the component. This is the
+    step that turns near-dup PAIRS into duplicate CLUSTERS (a transitive
+    near-dup chain a~b~c must dedup as ONE group even if a~c was never a
+    candidate pair).
+
+    Algorithm: iterative min-label propagation — comp(x) ← min(comp(x),
+    min over neighbors' comp) until a fixpoint; converges in O(graph
+    diameter) rounds, and near-dup graphs are short-diameter by
+    construction (pairs share LSH buckets). Each round is one equi-join +
+    groupBy on narrow (id, id) rows.
+
+    Scale notes:
+      * lineage is truncated every round (localCheckpoint) — without it the
+        plan doubles per iteration and the job dies on plan size long
+        before data size; a production run uses a reliable checkpoint dir.
+      * convergence test: Σcomp is strictly decreasing under the per-node
+        min update, so an unchanged sum ⟺ fixpoint — one tiny aggregate
+        per round instead of a change-count join.
+      * at 10^12 edges the same loop holds (it is the standard Spark CC
+        shape); skewed hub nodes are bounded by the LSH max_bucket_size
+        upstream."""
+    edges = (
+        pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
+        .unionByName(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
+        .distinct()
+    )
+    comps = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    comps = comps.localCheckpoint(eager=True)
+    prev_sum = comps.agg(F.sum("comp").cast("decimal(38,0)")).collect()[0][0]
+
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(comps, edges["b"] == comps["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        comps = (
+            comps.join(nbr, comps["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = comps.agg(F.sum("comp").cast("decimal(38,0)")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return comps.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → (node, component, is_survivor) where the
+    survivor is the min-key member. Docs with no near-dup pair are absent
+    (each is its own trivial cluster)."""
+    pairs = lsh_candidate_pairs(
+        df, key_col, text_col, num_hashes=num_hashes, bands=bands, **lsh_kwargs
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        "node", "component", (F.col("node") == F.col("component")).alias("is_survivor")
+    )
+
+
 def simhash(text_col: str | Column, bits: int = 60, portable: bool = True) -> Column:
     """SimHash over whitespace tokens as a bigint, expression-only:
     per-token hash → ±1 per bit position → sign of the column sum.

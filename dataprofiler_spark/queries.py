@@ -1170,6 +1170,39 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE oracle for near-dup clustering: the bit-exact LSH pair
+    CTEs (same signature math as the engine) + reachability-based
+    connected components (component = min reachable node)."""
+    lsh = _lsh_pairs_sql()
+    ctes = lsh.split("WITH", 1)[1].rsplit("SELECT DISTINCT", 1)[0].rstrip().rstrip(",")
+    return f"""WITH RECURSIVE {ctes},
+cand AS (SELECT DISTINCT a.doc_id AS key1, b.doc_id AS key2
+         FROM bands a JOIN bands b USING (band_id, band_hash)
+         WHERE a.doc_id < b.doc_id),
+edges AS (SELECT key1 AS a, key2 AS b FROM cand UNION SELECT key2, key1 FROM cand),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r)
+SELECT node, MIN(r) AS component, node = MIN(r) AS is_survivor
+FROM reach GROUP BY node"""
+
+
+@register("dedup_clusters_documents", _dedup_clusters_sql())
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): LSH candidates → distributed
+    min-label connected components → survivor flag per member. The oracle
+    reproduces the LSH pairs bit-exactly and clusters them with a
+    reachability recursive CTE — transitive chains must land in one group
+    on both engines."""
+    from dataprofiler_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "doc_id", num_hashes=16, bands=8)
+
+
 def _lev_pairs_sql() -> str:
     # reuse the LSH candidate SQL as a CTE, rescore with exact levenshtein
     lsh = _lsh_pairs_sql()

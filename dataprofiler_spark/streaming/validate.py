@@ -20,6 +20,7 @@ implementation of the check semantics (no batch/stream divergence).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,6 +86,62 @@ def validate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+ALERT_OUTPUT_SCHEMA = (
+    "source string, batch_rows long, batch_violations long, "
+    "consecutive_failed_batches int, alert boolean"
+)
+_ALERT_STATE_SCHEMA = "streak int"
+
+
+def stateful_consecutive_alerts(
+    stream_df: DataFrame,
+    part_col: str = "source",
+    k_consecutive: int = 2,
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): alert a
+    partition only after K CONSECUTIVE micro-batches contain violations of
+    the n_tok==len(tokens) invariant — flap suppression that no stateless
+    aggregation can express (it needs the previous batches' verdicts).
+
+    State per group: one int (current failure streak) — bounded by the
+    number of live partitions, no watermark needed. The kernel is
+    Arrow-batched pandas (vectorized length compare), consistent with the
+    engine's no-per-row-Python rule.
+
+    Returns the grouped transform; attach .writeStream with
+    outputMode('update')."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        rows = 0
+        bad = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            # vectorized: n_tok vs actual token-array length (null-safe)
+            lens = pdf["tokens"].map(lambda t: -1 if t is None else len(t))
+            bad += int((pdf["n_tok"].fillna(-2).astype("int64") != lens).sum())
+        (streak,) = state.get if state.exists else (0,)
+        streak = streak + 1 if bad > 0 else 0
+        state.update((streak,))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "batch_rows": [rows],
+                "batch_violations": [bad],
+                "consecutive_failed_batches": [streak],
+                "alert": [streak >= k_consecutive],
+            }
+        )
+
+    return stream_df.groupBy(part_col).applyInPandasWithState(
+        update,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_violation_counts(

@@ -112,3 +112,40 @@ def test_lsh_on_real_documents(spark):
     assert len(true_pairs) == 25  # injected near-dups in testdata
     recall = len(cand_pairs & true_pairs) / len(true_pairs)
     assert recall >= 0.9, f"LSH recall {recall} over {len(cand_pairs)} candidates"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Transitive chains collapse to one component (min-label), cliques
+    too, disjoint groups stay apart; a long chain needs multiple
+    propagation rounds (diameter > 1)."""
+    from dataprofiler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "key1 bigint, key2 bigint",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+    assert {comp[i] for i in (20, 21)} == {20}
+
+
+def test_dedup_clusters_transitive_group(spark):
+    """a~b and b~c as near-dups must cluster {a,b,c} together with ONE
+    survivor even when a~c is not itself a candidate pair."""
+    from dataprofiler_spark.operators.dedup import dedup_clusters
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    b = base.replace("tok5", "x5")            # near a
+    c = b.replace("tok35", "y35")             # near b, 2 edits from a
+    rows = [(1, base), (2, b), (3, c), (4, " ".join(f"other{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.node: (r.component, r.is_survivor)
+           for r in dedup_clusters(df, "doc_id", num_hashes=16, bands=8).collect()}
+    assert set(out) >= {1, 2, 3}
+    assert {out[i][0] for i in (1, 2, 3)} == {1}
+    assert [i for i in (1, 2, 3) if out[i][1]] == [1]  # single survivor
+    assert 4 not in out  # no near-dup pair → not in any cluster

@@ -86,3 +86,49 @@ def test_streaming_violation_counts_live(spark, tmp_path):
     assert "ghost" in rows  # orphan partition present in stream
     total_null = sum(r.doc_id_not_null_violations for r in rows.values())
     assert total_null == N // 100  # ViolationSpec null range
+
+
+def test_stateful_consecutive_alerts(spark, tmp_path):
+    """applyInPandasWithState: the alert fires only after K consecutive
+    failing micro-batches, and a clean batch resets the streak — state
+    carries across micro-batches (maxFilesPerTrigger=1 forces one file
+    per batch, ordered by mtime)."""
+    import os
+    import time as _time
+
+    from dataprofiler_spark.streaming.validate import stateful_consecutive_alerts
+
+    inp = str(tmp_path / "in")
+    mk = lambda i, bad: spark.createDataFrame(  # noqa: E731
+        [(f"d{i}-{j}", [1, 2, 3], (99 if bad else 3), "web") for j in range(50)],
+        schema=sequence_schema(),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{inp}/f{i}")
+    for i, bad in enumerate([True, True, False, True]):
+        mk(i, bad)
+        t = 1_700_000_000 + i * 60  # force file-stream ordering by mtime
+        for root, _, files in os.walk(f"{inp}/f{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(sequence_schema())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*")
+    )
+    q = (
+        stateful_consecutive_alerts(stream, k_consecutive=2)
+        .writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM alerts").collect()
+    streaks = [r.consecutive_failed_batches for r in rows]
+    alerts = [r.alert for r in rows]
+    assert streaks == [1, 2, 0, 1]  # second bad batch crosses K; clean resets
+    assert alerts == [False, True, False, False]
+    assert all(r.batch_rows == 50 for r in rows)
+    assert [r.batch_violations > 0 for r in rows] == [True, True, False, True]
