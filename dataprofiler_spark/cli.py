@@ -67,6 +67,21 @@ def build_parser() -> argparse.ArgumentParser:
         "path); auto = full when exact, prefilter with --approx",
     )
     p.add_argument("--violation-cap", type=int, default=1000)
+    p.add_argument(
+        "--suggest-expectations",
+        metavar="FILE",
+        help="with --data-profile: generate a default expectation suite "
+        "from the observed profile and write it as JSON (the reference's "
+        "generate-SodaCL-from-profile workflow, profiler.py:78-101); "
+        "feed it back via --expectations",
+    )
+    p.add_argument(
+        "--expectations",
+        metavar="FILE",
+        help="with --validate: JSON expectation suite "
+        "([{column, metric, op, value}, ...]) evaluated against the profile "
+        "and unioned into the verdict matrix",
+    )
     p.add_argument("--master")
     p.add_argument("--shuffle-partitions", type=int)
     p.add_argument(
@@ -195,6 +210,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.output_dir:
             prof.write.mode("append").parquet(f"{args.output_dir}/data_profiles")
+        if args.suggest_expectations:
+            from dataclasses import asdict
+
+            from dataprofiler_spark.operators.expectations import suggest_expectations
+
+            suite = suggest_expectations(spark.createDataFrame(rows, prof.schema))
+            with open(args.suggest_expectations, "w") as f:
+                json.dump([asdict(e) for e in suite], f, indent=1)
+            print(json.dumps({"expectations_written": args.suggest_expectations,
+                              "count": len(suite)}))
 
     if args.validate or args.drift:
         baseline_hist = None
@@ -210,6 +235,12 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.exists(tf_path):
                 baseline_token_freq = spark.read.parquet(tf_path)
         reference = spark.read.parquet(args.reference) if args.reference else None
+        expectations = None
+        if args.expectations:
+            from dataprofiler_spark.operators.expectations import from_dicts
+
+            with open(args.expectations) as f:
+                expectations = from_dicts(json.load(f))
         cfg = ValidationConfig(
             table_name=args.table_name,
             part_col=args.partition_col,
@@ -227,6 +258,7 @@ def main(argv: list[str] | None = None) -> int:
             reference=reference,
             baseline_hist=baseline_hist,
             baseline_token_freq=baseline_token_freq,
+            expectations=expectations,
             cfg=cfg,
         )
         print(json.dumps(res.summary))

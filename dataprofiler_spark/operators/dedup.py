@@ -446,17 +446,28 @@ def simhash_near_dup_pairs(
             )
         ).alias("c"),
     ).select("key", "h", "c.chunk_id", "c.chunk")
-    other = chunks.select(
-        F.col("key").alias("key2"), F.col("h").alias("h2"), "chunk_id", "chunk"
+    # Pairs via groupBy(bucket) + sorted collect_list + in-expression pair
+    # expansion — NOT a self-join: referencing the chunk frame twice would
+    # recompute the whole signature pipeline (scan + explode + 60-sum agg)
+    # for both sides and shuffle it twice (plan-gated: one scan). sort_array
+    # orders members by key, so array order gives key1 < key2 for free.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
-    return (
-        chunks.join(other, ["chunk_id", "chunk"])
-        .filter(F.col("key") < F.col("key2"))
-        .select(
-            F.col("key").alias("key1"),
-            "key2",
-            F.bit_count(F.col("h").bitwiseXOR(F.col("h2"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x.key AS key1, y.key AS key2, x.h AS h1, y.h AS h2)))"
+                )
+            )
+        ).alias("p")
+    ).select(
+        "p.key1",
+        "p.key2",
+        F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
     )
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)

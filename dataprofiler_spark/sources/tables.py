@@ -29,6 +29,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# The reference's "connector" surface is 4 SQL dialects behind one factory
+# (connection_factory.py:48-71). The Spark analog is file/table FORMATS
+# behind one reader: same engine semantics over any of them. CSV/JSON carry
+# no schema and no types beyond text — a declared schema is REQUIRED (no
+# silent inferSchema scans: at 100 TB an inference pass is a full extra
+# read, and inferred types drift between snapshots).
+_READERS = {
+    "parquet": lambda r, p: r.parquet(p),
+    "orc": lambda r, p: r.orc(p),
+    "csv": lambda r, p: r.option("header", "true").csv(p),
+    "json": lambda r, p: r.json(p),
+    "jsonl": lambda r, p: r.json(p),
+}
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+) -> DataFrame:
+    """Format-agnostic source reader (S-surface analog of the reference's
+    multi-dialect connection factory). Self-describing formats
+    (parquet/orc) may omit `schema`; text formats (csv/json) must declare
+    one — schema inference is refused by design."""
+    if fmt not in _READERS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_READERS)}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json", "jsonl"):
+        raise ValueError(
+            f"{fmt} carries no schema — declare one (inferSchema is a full "
+            "extra scan and drifts between snapshots; refused by design)"
+        )
+    return _READERS[fmt](reader, path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -109,3 +109,50 @@ def test_lsh_has_single_signature_computation(spark):
     # groupBy-bucket design: exactly one scan of documents (a self-join
     # would show two)
     assert p.count("Scan parquet") == 1
+
+
+def test_simhash_pairs_codegen_agg_no_python(spark):
+    """SimHash signatures must be the explode → whole-stage-codegen hash
+    aggregation shape (the round-2 rewrite): one parquet scan, a partial
+    hash aggregate for the 60 conditional sums, and no Python evaluation
+    anywhere."""
+    from dataprofiler_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = simhash_near_dup_pairs(docs, "doc_id")
+    p = plan_of(q)
+    assert p.count("Scan parquet") == 1
+    assert "HashAggregate" in p
+    assert "Generate explode" in p
+    assert "EvalPython" not in p  # no Python — expressions only
+
+
+def test_violation_cap_window_keyed_per_partition(spark):
+    """The violation-cap window must partition on (check_name,
+    partition_value) — a check_name-only key funnels every violating row
+    of a check through ONE reducer under mass failure."""
+    from dataprofiler_spark.operators.checks import RowCheck, run_row_checks
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("source")
+    )
+    _, violations = run_row_checks(
+        df, [RowCheck("always", F.lit(True), F.lit("x"))], "t"
+    )
+    p = optimized_of(violations)
+    w = p[p.index("Window") :].split("\n")[0]
+    assert "check_name" in w and "partition_value" in w
+
+
+def test_connected_components_shuffles_narrow_rows(spark):
+    """CC iterations join (id, id) edge rows with (id, id) label rows —
+    no payload columns may survive into the loop's exchanges."""
+    from dataprofiler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "key1 bigint, key2 bigint"
+    )
+    out = connected_components(pairs)
+    rows = {r.node: r.component for r in out.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert [f.name for f in out.schema.fields] == ["node", "component"]

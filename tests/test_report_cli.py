@@ -141,3 +141,45 @@ def test_cli_multi_table_config_isolation(spark, tmp_path):
     good = next(l for l in lines if l.get("table_name") == "good")
     assert good["rows_validated"] == 1000  # good table still ran
     assert out.returncode == 1
+
+
+def test_cli_suggest_and_enforce_expectations(tmp_path):
+    """Closed CLI loop: profile clean data → generated expectation suite →
+    enforce on clean data (passes) → enforce on violating data (fails) —
+    the reference's generate-checks-from-profile workflow end to end."""
+    suite_file = str(tmp_path / "suite.json")
+    common = ["--master", "local[4]", "--shuffle-partitions", "4"]
+    gen = subprocess.run(
+        [sys.executable, "-m", "dataprofiler_spark.cli",
+         "--synthetic-rows", "2000", "--data-profile",
+         "--suggest-expectations", suite_file, "--output-file",
+         str(tmp_path / "prof.txt"), *common],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    suite = json.load(open(suite_file))
+    assert any(e["metric"] == "row_count" for e in suite)
+    assert any(e["metric"] == "not_null_proportion" for e in suite)
+
+    ok = subprocess.run(
+        [sys.executable, "-m", "dataprofiler_spark.cli",
+         "--synthetic-rows", "2000", "--validate",
+         "--expectations", suite_file, *common],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    # clean data: the ONLY failing check is the registered-but-empty
+    # partition's row_count_gt_0 (by fixture design) — every generated
+    # expectation passes on the data it was derived from
+    summary_ok = json.loads(ok.stdout.strip().splitlines()[-1])
+    assert summary_ok["checks_failed"] == 1, ok.stdout[-2000:]
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "dataprofiler_spark.cli",
+         "--synthetic-rows", "2000", "--synthetic-violations", "--validate",
+         "--expectations", suite_file, *common],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert bad.returncode == 1
+    summary_bad = json.loads(bad.stdout.strip().splitlines()[-1])
+    # violations break generated expectations on top of the built-in checks
+    assert summary_bad["checks_failed"] > summary_ok["checks_failed"]
