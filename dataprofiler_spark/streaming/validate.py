@@ -144,6 +144,36 @@ def stateful_consecutive_alerts(
     )
 
 
+def windowed_violation_rates(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    part_col: str = "source",
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+    checks: list[RowCheck] | None = None,
+) -> DataFrame:
+    """Event-time windowed violation rates with a watermark for late data:
+    per (window, partition) row counts + per-check violation counts.
+
+    The watermark bounds state: windows older than max(event_time) −
+    `watermark_delay` are finalized and dropped from state, and
+    later-than-watermark rows are discarded (the documented trade — a
+    longer delay admits later data but holds more open windows). Use
+    outputMode('append') to emit each window exactly once when it
+    finalizes — the shape that feeds an alerting sink."""
+    checks = checks or sequence_row_checks()
+    aggs = [F.count(F.lit(1)).alias("rows_seen")]
+    for ck in checks:
+        aggs.append(
+            F.sum(F.when(ck.fail_predicate, 1).otherwise(0)).alias(f"{ck.name}_violations")
+        )
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration), part_col)
+        .agg(*aggs)
+    )
+
+
 def streaming_violation_counts(
     stream_df: DataFrame,
     checks: list[RowCheck] | None = None,

@@ -132,3 +132,76 @@ def test_stateful_consecutive_alerts(spark, tmp_path):
     assert alerts == [False, True, False, False]
     assert all(r.batch_rows == 50 for r in rows)
     assert [r.batch_violations > 0 for r in rows] == [True, True, False, True]
+
+
+def test_windowed_violation_rates_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows + watermark: a finalized window emits once in
+    append mode, and a row arriving later than the watermark is dropped
+    (its window's counts must NOT include it)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from dataprofiler_spark.streaming.validate import windowed_violation_rates
+
+    schema = T.StructType(
+        sequence_schema().fields + [T.StructField("ts", T.TimestampType())]
+    )
+    inp = str(tmp_path / "in")
+
+    def write(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{inp}/f{i}"
+        )
+        t = 1_700_000_000 + i * 60
+        for root, _, files in os.walk(f"{inp}/f{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+        _time.sleep(0.05)
+
+    from datetime import datetime
+
+    ts = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    # batch 1: 3 on-time rows in window [00:00,00:10), one bad (n_tok wrong),
+    # plus a row at 01:00 that will push the watermark far past that window
+    write(0, [
+        ("a1", [1, 2], 2, "web", ts(1)),
+        ("a2", [1, 2], 99, "web", ts(2)),   # n_tok violation
+        ("a3", [1], 1, "web", ts(5)),
+        ("adv", [1], 1, "web", datetime(2026, 1, 1, 1, 0)),
+    ])
+    # batch 2: advances nothing new for the old window; the watermark
+    # (prev-batch max − delay = 00:55) now finalizes [00:00,00:10).
+    # Subtlety: a late row landing in the SAME batch as its window's
+    # finalization still merges — admission uses the previous batch's
+    # watermark — so the drop is only guaranteed a batch AFTER.
+    write(1, [("mid", [1], 1, "web", datetime(2026, 1, 1, 1, 1))])
+    # batch 3: a LATE row for the finalized window (dropped by watermark)
+    # and a fresh row to keep the query advancing
+    write(2, [
+        ("late", [1], 1, "web", ts(3)),
+        ("b1", [1], 1, "web", datetime(2026, 1, 1, 2, 0)),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{inp}/*")
+    )
+    q = (
+        windowed_violation_rates(
+            stream, window_duration="10 minutes", watermark_delay="5 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("win_rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.window.start.minute + 60 * r.window.start.hour): r
+        for r in spark.sql("SELECT * FROM win_rates").collect()
+    }
+    w0 = rows[0]  # the [00:00,00:10) window, finalized by the watermark
+    assert w0.rows_seen == 3  # late row NOT counted
+    assert w0.n_tok_matches_size_violations == 1
