@@ -148,6 +148,39 @@ def ivf_search(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v|/127,
+    q_i = round(v_i / scale) ∈ [-127, 127]. The storage/bandwidth workhorse
+    of embedding pipelines — 4× smaller than float32, 8× than float64;
+    cosine on dequantized vectors is within ~1e-3 of exact for
+    unit-ish vectors.
+
+    The scale is materialized as a COLUMN before the transform references
+    it: putting the array_max subtree inside the per-element lambda would
+    re-evaluate it once per element (gotcha: codegen inlines referenced
+    subtrees). Zero vectors get scale 1e-12 (quantize to all-zero, no
+    division by zero)."""
+    scale = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))) / 127.0,
+        F.lit(1e-12),
+    )
+    staged = df.withColumn(scale_col, scale)
+    return staged.withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: F.round(x / F.col(scale_col)).cast("int")),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "q", scale_col: str = "scale", out_col: str = "deq"
+) -> DataFrame:
+    return df.withColumn(
+        out_col, F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col))
+    )
+
+
 def _hyperplane(dim: int, plane_id: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random hyperplane from a seeded LCG (no RNG
     state, reproducible across engine and tests)."""

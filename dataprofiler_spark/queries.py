@@ -944,6 +944,117 @@ def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Embedding quantization (training-pipeline storage path): int8 symmetric,
+# checksummed exactly in SQL (q_sum / q_l1 over the quantized ints) plus a
+# dequantized-cosine tolerance bool
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    """SELECT vec_id,
+  ROUND(GREATEST(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0, 1e-12), 9) AS scale_r,
+  CAST(list_sum(list_transform(embedding::DOUBLE[], x ->
+    CAST(round(x / GREATEST(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0, 1e-12)) AS BIGINT))) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(embedding::DOUBLE[], x ->
+    abs(CAST(round(x / GREATEST(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0, 1e-12)) AS BIGINT)))) AS BIGINT) AS q_l1,
+  TRUE AS cos_ok
+FROM embeddings""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization verified two ways: the quantized ints are pinned
+    EXACTLY by sum and L1 checksums reproduced in SQL; the dequantized
+    vector's cosine against the original must stay within 1e-3 of 1."""
+    from dataprofiler_spark.operators.similarity import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = dequantize_int8(quantize_int8(emb))
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+        (F.abs(cosine(F.col("deq"), F.col("embedding")) - 1.0) <= 1e-3).alias("cos_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation composite: quality gate → exact-dedup survivors → per-lang
+# budget rollup — the operators composing into the end-to-end curation job
+# a training-data pipeline actually runs
+# --------------------------------------------------------------------------
+
+_CURATION_SQL = """WITH q AS (
+  SELECT doc_id, lang, text,
+    len(string_split(text, ' ')) AS n_words,
+    ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS dwr
+  FROM documents),
+quality AS (SELECT * FROM q WHERE n_words >= 10 AND dwr >= 0.3),
+fp AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint FROM quality),
+kept AS (SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM fp) WHERE rn = 1),
+counts AS (
+  SELECT i.lang,
+    COUNT(*) AS n_input,
+    CAST(SUM(CASE WHEN qd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+    CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM documents i
+  LEFT JOIN quality qd ON qd.doc_id = i.doc_id
+  LEFT JOIN kept k ON k.doc_id = i.doc_id
+  GROUP BY i.lang),
+toks AS (
+  SELECT lang, CAST(SUM(CAST(list_aggregate(list_transform(string_split(text, ' '),
+       w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT)) AS BIGINT) AS kept_tokens_bpe
+  FROM kept GROUP BY lang)
+SELECT c.lang, c.n_input, c.n_quality, c.n_kept, COALESCE(t.kept_tokens_bpe, 0) AS kept_tokens_bpe
+FROM counts c LEFT JOIN toks t ON t.lang = c.lang"""
+
+
+@register("corpus_curation_summary", _CURATION_SQL)
+def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline through the real operators:
+    quality_features gate (n_words ≥ 10, distinct-word ratio ≥ 0.3) →
+    fingerprint-keyed exact-dedup survivors (min doc_id) → per-lang input /
+    post-quality / post-dedup counts + kept BPE-token budget."""
+    from dataprofiler_spark.operators.dedup import dedup_exact
+    from dataprofiler_spark.operators.textstats import (
+        bpe_token_estimate,
+        fingerprint,
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs)
+    quality = q.filter((F.col("n_words") >= 10) & (F.col("distinct_word_ratio") >= 0.3))
+    kept = dedup_exact(
+        fingerprint(quality.select("doc_id", "lang", "text")), ["fingerprint"], "doc_id"
+    )
+    counts = (
+        docs.alias("i")
+        .join(quality.select(F.col("doc_id").alias("qid")), F.col("i.doc_id") == F.col("qid"), "left")
+        .join(kept.select(F.col("doc_id").alias("kid")), F.col("i.doc_id") == F.col("kid"), "left")
+        .groupBy("i.lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.col("qid").isNotNull().cast("int")).cast("long").alias("n_quality"),
+            F.sum(F.col("kid").isNotNull().cast("int")).cast("long").alias("n_kept"),
+        )
+    )
+    toks = kept.groupBy("lang").agg(
+        F.sum(bpe_token_estimate("text")).cast("long").alias("kept_tokens_bpe")
+    )
+    return counts.join(toks, "lang", "left").select(
+        "lang", "n_input", "n_quality", "n_kept",
+        F.coalesce("kept_tokens_bpe", F.lit(0)).alias("kept_tokens_bpe"),
+    )
+
+
+# --------------------------------------------------------------------------
 # General analytics breadth (engine completeness beyond the reference):
 # top-k per group, sessionization, multi-table join rollup, pivot
 # --------------------------------------------------------------------------

@@ -77,3 +77,27 @@ def test_embedding_near_dup_finds_duplicates(spark, emb):
     pairs = embedding_near_dup_pairs(df, dim=64, threshold=0.999)
     got = {(r.key1, r.key2) for r in pairs.collect()}
     assert (7, 100007) in got
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Quantized values stay in [-127,127]; dequantized cosine vs the
+    original ≥ 0.999; zero vectors survive (scale floor, all-zero q)."""
+    from dataprofiler_spark.operators.similarity import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [1e-5, 2e-5, -3e-5, 1e-5]), (3, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = dequantize_int8(quantize_int8(df))
+    rows = {r.vec_id: r for r in out.collect()}
+    assert all(-127 <= x <= 127 for r in rows.values() for x in r.q)
+    assert rows[1].q == [64, -127, 32, 0]  # scale = 1/127
+    assert rows[3].q == [0, 0, 0, 0]  # zero vector, no div-by-zero
+    cos = out.filter(F.col("vec_id") < 3).select(
+        "vec_id", cosine(F.col("deq"), F.col("embedding")).alias("c")
+    ).collect()
+    assert all(r.c >= 0.999 for r in cos)
