@@ -944,6 +944,58 @@ def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental profiling: stored merge-safe partials combined across three
+# disjoint snapshots must finalize to the direct whole-table profile —
+# appended partitions never force a full rescan (operators/incremental.py)
+# --------------------------------------------------------------------------
+
+_INCR_SQL = """SELECT column_name, row_count, not_null_count, min_value, max_value,
+       avg_value, stddev_pop, TRUE AS distinct_ok
+FROM (
+  SELECT 'doc_id' AS column_name, COUNT(*) AS row_count, COUNT(doc_id) AS not_null_count,
+    CAST(MIN(doc_id) AS DOUBLE) AS min_value, CAST(MAX(doc_id) AS DOUBLE) AS max_value,
+    ROUND(AVG(doc_id), 6) AS avg_value, ROUND(STDDEV_POP(doc_id), 6) AS stddev_pop
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars', COUNT(*), COUNT(n_chars),
+    CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+    ROUND(AVG(n_chars), 6), ROUND(STDDEV_POP(n_chars), 6)
+  FROM documents)"""
+
+
+@register("incremental_profile_merge_documents", _INCR_SQL)
+def incremental_profile_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile three disjoint snapshot slices SEPARATELY into merge-safe
+    partials, merge the stored states, finalize — and match the direct
+    whole-table SQL profile exactly (counts/min/max/avg/stddev) with the
+    united HLL sketch within 10%+1 of exact distinct."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+        numeric_partials,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "n_chars"]
+    parts = [
+        numeric_partials(docs.filter(F.col("doc_id") % 3 == i), cols) for i in range(3)
+    ]
+    out = finalize_partials(merge_partials(*parts))
+    exact = docs.agg(
+        F.count_distinct("doc_id").alias("doc_id"),
+        F.count_distinct("n_chars").alias("n_chars"),
+    ).collect()[0]
+    exact_dc = F.when(F.col("column_name") == "doc_id", F.lit(exact["doc_id"])).otherwise(
+        F.lit(exact["n_chars"])
+    )
+    return out.select(
+        "column_name", "row_count", "not_null_count", "min_value", "max_value",
+        "avg_value", "stddev_pop",
+        (F.abs(F.col("distinct_est") - exact_dc) <= exact_dc * 0.1 + 1).alias("distinct_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding quantization (training-pipeline storage path): int8 symmetric,
 # checksummed exactly in SQL (q_sum / q_l1 over the quantized ints) plus a
 # dequantized-cosine tolerance bool

@@ -1,0 +1,62 @@
+"""Incremental profiling: merge-safe partials across snapshots equal the
+direct whole-table profile; merging is order-insensitive; partials survive
+a parquet round-trip (the stored-state contract)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.incremental import (
+    PARTIAL_SCHEMA,
+    finalize_partials,
+    merge_partials,
+    numeric_partials,
+)
+from dataprofiler_spark.sources import gen_sequences
+
+
+@pytest.fixture(scope="module")
+def halves(spark):
+    df = gen_sequences(spark, 4000)
+    a = df.filter(F.col("doc_id").substr(-1, 1).isin(["0", "2", "4", "6", "8"]))
+    b = df.subtract(a)
+    return df, a, b
+
+
+def _final_rows(df):
+    return {r.column_name: r for r in df.collect()}
+
+
+def test_merged_partials_equal_direct(spark, halves):
+    df, a, b = halves
+    cols = ["n_tok"]
+    merged = finalize_partials(merge_partials(numeric_partials(a, cols), numeric_partials(b, cols)))
+    direct = finalize_partials(numeric_partials(df, cols))
+    m, d = _final_rows(merged)["n_tok"], _final_rows(direct)["n_tok"]
+    assert (m.row_count, m.not_null_count, m.min_value, m.max_value) == (
+        d.row_count, d.not_null_count, d.min_value, d.max_value)
+    assert m.avg_value == pytest.approx(d.avg_value, abs=1e-6)
+    assert m.stddev_pop == pytest.approx(d.stddev_pop, abs=1e-6)
+    # HLL sketches unite without double counting (halves are disjoint)
+    assert m.distinct_est == pytest.approx(d.distinct_est, rel=0.05)
+
+
+def test_merge_is_order_insensitive(spark, halves):
+    _, a, b = halves
+    pa, pb = numeric_partials(a, ["n_tok"]), numeric_partials(b, ["n_tok"])
+    r1 = _final_rows(finalize_partials(merge_partials(pa, pb)))["n_tok"]
+    r2 = _final_rows(finalize_partials(merge_partials(pb, pa)))["n_tok"]
+    assert (r1.row_count, r1.min_value, r1.max_value, r1.distinct_est) == (
+        r2.row_count, r2.min_value, r2.max_value, r2.distinct_est)
+
+
+def test_partials_survive_storage_roundtrip(spark, halves, tmp_path):
+    """The stored-state contract: write partials to parquet (binary HLL
+    included), read back, merge with a NEW snapshot's partials — no rescan
+    of the old data."""
+    _, a, b = halves
+    numeric_partials(a, ["n_tok"]).write.mode("overwrite").parquet(str(tmp_path / "p"))
+    stored = spark.read.schema(PARTIAL_SCHEMA).parquet(str(tmp_path / "p"))
+    merged = finalize_partials(merge_partials(stored, numeric_partials(b, ["n_tok"])))
+    direct = finalize_partials(numeric_partials(a.unionByName(b), ["n_tok"]))
+    m, d = _final_rows(merged)["n_tok"], _final_rows(direct)["n_tok"]
+    assert m.row_count == d.row_count and m.distinct_est == d.distinct_est
