@@ -1,0 +1,66 @@
+"""Deterministic sampling + dataset splitting by content hash.
+
+Training pipelines need train/val/test membership that is a pure FUNCTION
+of the record key: stable across reruns, cluster sizes, partitioning, and
+engine versions — `df.sample()`/`rand()` give none of that (reseeded per
+task attempt; a retried task can emit a different sample). The standard
+fix is hash-mod bucketing on the key.
+
+The hash is the engine's portable md5-prefix family (dedup._shingle/
+_token_long_hash lineage) so membership is reproducible OUTSIDE Spark too
+(same buckets in DuckDB/Python — auditable splits, SQL-expressible
+oracle). No shuffle, no state: membership is a map-side expression, and
+the split column is a partition-pruning-friendly literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # split resolution: 0.01%
+
+
+def hash_bucket(key: str | Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000): first 15 hex chars of
+    md5(salt || key) mod 10000. The salt decorrelates independent splits
+    over the same key (e.g. a second holdout)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return (h % BUCKETS).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by key hash. `splits` maps name →
+    fraction (must sum to ≤ 1.0; any remainder becomes 'rest'). Contiguous
+    bucket ranges in the given order, so adding a later split never
+    reshuffles earlier memberships."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    b = hash_bucket(key_col, salt)
+    expr = None
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + int(round(frac * BUCKETS))
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn(out_col, expr.otherwise("rest"))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Stable `fraction`-sample by key hash: the SAME rows on every rerun,
+    any partitioning, any cluster size — and supersets nest (a 1% sample
+    is a subset of the 10% sample with the same salt)."""
+    return df.filter(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))

@@ -944,6 +944,39 @@ def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic dataset splitting (training-pipeline op): membership is a
+# pure function of the key hash — bit-exact reproducible in SQL
+# --------------------------------------------------------------------------
+
+_SPLIT_SQL = """WITH b AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket
+  FROM documents),
+s AS (SELECT doc_id, lang,
+  CASE WHEN bucket < 8000 THEN 'train'
+       WHEN bucket < 9000 THEN 'val'
+       WHEN bucket < 10000 THEN 'test' END AS split
+  FROM b)
+SELECT split, lang, COUNT(*) AS docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM s GROUP BY split, lang"""
+
+
+@register("hash_split_documents", _SPLIT_SQL)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test by doc_id content hash, rolled up per
+    (split, lang). The oracle regenerates the identical bucket assignment
+    in SQL — proving split membership is engine-independent (auditable,
+    rerun-stable)."""
+    from dataprofiler_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Incremental profiling: stored merge-safe partials combined across three
 # disjoint snapshots must finalize to the direct whole-table profile —
 # appended partitions never force a full rescan (operators/incremental.py)

@@ -1,0 +1,56 @@
+"""Deterministic splitting/sampling: rerun-stable, partition-independent,
+nesting supersets, fraction accuracy."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_split_fractions_and_stability(spark, docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / n == pytest.approx(0.8, abs=0.03)
+    # stability across repartitioning: identical membership
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(docs.repartition(17), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split").collect()
+    }
+    assert a == b
+
+
+def test_sample_supersets_nest(spark, docs):
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.01).select("doc_id").collect()}
+    s10 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.10).select("doc_id").collect()}
+    assert s1 <= s10  # smaller fraction is a subset of the larger
+    assert len(s10) == pytest.approx(0.10 * docs.count(), rel=0.25)
+
+
+def test_salt_decorrelates(spark, docs):
+    """Two independent 10% samples (different salts) overlap ~1%, not 10%."""
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, salt="a").select("doc_id").collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, salt="b").select("doc_id").collect()}
+    n = docs.count()
+    assert len(a & b) / n < 0.03  # ≈ 0.1 * 0.1 = 1% expected
+
+
+def test_split_overflow_rejected(spark, docs):
+    with pytest.raises(ValueError, match="> 1"):
+        hash_split(docs, "doc_id", {"a": 0.9, "b": 0.2})
+    # remainder becomes 'rest'
+    out = hash_split(docs, "doc_id", {"train": 0.5})
+    assert {r.split for r in out.select("split").distinct().collect()} == {"train", "rest"}
+    assert hash_bucket("doc_id") is not None
