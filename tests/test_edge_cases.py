@@ -1,0 +1,118 @@
+"""Degenerate-input robustness: empty tables, all-null columns, single
+rows, unicode text, empty strings through the core operators — the inputs
+a 100 TB pipeline WILL contain somewhere. No crashes, sane outputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.profile import ProfileConfig, profile
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string, lang string, n_chars bigint")
+
+
+def test_profile_empty_table(spark, empty_docs):
+    for cfg in (ProfileConfig(), ProfileConfig(exact=False)):
+        rows = profile(empty_docs, "t", cfg=cfg).collect()
+        assert rows == [] or all(r.row_count == 0 for r in rows)
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "id bigint, v double")
+    r = {x.column_name: x for x in profile(df, "t").collect()}
+    assert r["v"].not_null_count == 0
+    assert r["v"].not_null_proportion == 0.0
+    assert r["v"].is_unique is False  # nn == 0 → not unique (metrics.py:287)
+    assert r["v"].min_value is None and r["v"].avg_value is None
+
+
+def test_profile_single_row(spark):
+    df = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    r = {x.column_name: x for x in profile(df, "t").collect()}
+    assert r["v"].stddev_pop == 0.0
+    assert r["v"].stddev_samp is None  # n=1: sample stddev undefined
+    assert r["v"].median_value == 5.0
+
+
+def test_dedup_ops_on_empty_and_unicode(spark, empty_docs):
+    from dataprofiler_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    assert lsh_candidate_pairs(empty_docs, "doc_id").count() == 0
+    assert simhash_near_dup_pairs(empty_docs, "doc_id").count() == 0
+    assert ngram_jaccard_pairs(empty_docs, "doc_id").count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "key1 bigint, key2 bigint")
+    ).count() == 0
+
+    uni = spark.createDataFrame(
+        [(1, "héllo wörld schön günstig straße"), (2, "héllo wörld schön günstig straße"),
+         (3, ""), (4, "中文 文本 去重 测试 中文 文本")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.key1, r.key2) for r in simhash_near_dup_pairs(uni, "doc_id").collect()}
+    assert (1, 2) in pairs  # identical unicode text → identical signature
+
+
+def test_textstats_on_empty_string_and_unicode(spark):
+    from dataprofiler_spark.operators.textstats import (
+        bpe_token_estimate,
+        lang_id,
+        quality_features,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "中文文本"), (4, "the quick brown fox")],
+        "doc_id bigint, text string",
+    )
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].n_words == 1  # split("") -> [""]; ratios stay finite
+    assert all(q[i].distinct_word_ratio is not None for i in (1, 2, 3, 4))
+    t = {r.doc_id: (r.n, r.b) for r in df.select(
+        "doc_id", token_count("text").alias("n"), bpe_token_estimate("text").alias("b")).collect()}
+    assert t[3][1] >= 1  # CJK counted by length/4 estimate
+    langs = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert langs[4] == "en" and langs[3] == "und"
+
+
+def test_drift_empty_vs_nonempty_histogram(spark):
+    from dataprofiler_spark.operators.drift import histogram, psi
+
+    full = histogram(spark.createDataFrame([(i,) for i in range(100)], "x int"), "x", 10)
+    empty = histogram(spark.createDataFrame([], "x int"), "x", 10)
+    # all mass novel → large but FINITE psi (epsilon smoothing)
+    v = psi(empty, full)
+    assert v > 1.0 and v == v  # not NaN
+
+
+def test_growth_empty_and_full(spark):
+    from dataprofiler_spark.operators.growth import growth_profile
+
+    empty = spark.createDataFrame([], "id int")
+    p = growth_profile(empty, "id", "int")
+    assert (p.current_value, p.alert_status) == (None, "OK")
+    full = spark.createDataFrame([(2147483647,)], "id int")
+    pf = growth_profile(full, "id", "int")
+    assert pf.remaining_values == 0 and pf.days_until_full == 0.0
+    assert pf.alert_status == "CRITICAL"
+
+
+def test_checks_on_empty_input(spark):
+    from dataprofiler_spark.operators.checks import run_sequence_suite
+    from dataprofiler_spark.sources import gen_sources_ref
+    from dataprofiler_spark.streaming.validate import sequence_schema
+
+    empty = spark.createDataFrame([], sequence_schema())
+    res = run_sequence_suite(empty, gen_sources_ref(spark))
+    rows = res.verdicts.collect()
+    # every registered partition shows up as an empty-partition failure
+    fails = {(r.partition_value, r.check_name) for r in rows if not r.passed}
+    assert all(c == "row_count_gt_0" for _, c in fails) and len(fails) > 0
+    assert res.violations.count() == 0
