@@ -109,6 +109,63 @@ def growth_profile_to_row(p: "GrowthProfile", table_name: str, column_name: str)
     }
 
 
+def grouped_growth_profiles(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    id_type: str,
+    ts_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Capacity profiles for MANY groups in ONE distributed aggregation —
+    the scale shape of `growth_profile` (which is the reference-parity
+    single-table API with its driver-side collects). Per group: current =
+    floor(max(id)), usage %, positive-slope growth rate, days-until-full,
+    alert tier — identical math and rounding to growth_profile
+    (autoincrement_metrics.py:24-152), as column expressions.
+
+    One job regardless of group count; at 10^6 tables/groups the driver
+    loop would be 10^6 jobs."""
+    from dataprofiler_spark.functions.expressions import epoch_days
+
+    value_col = value_col or id_col
+    max_type = INT_MAX_VALUES[id_type.lower()]
+    days = epoch_days(ts_col)
+    agg = df.groupBy(group_col).agg(
+        F.floor(F.max(id_col)).cast("long").alias("current_value"),
+        F.covar_pop(days, F.col(value_col)).alias("__cov"),
+        F.var_pop(days).alias("__var"),
+    )
+    current = F.col("current_value")
+    usage = F.round(current / max_type * 100, 6)
+    remaining = F.lit(max_type) - current
+    # single-timestamp groups: var = 0 → no measurable slope (guarded —
+    # a bare division would raise under ANSI mode)
+    slope = F.when(F.col("__var") > 0, F.col("__cov") / F.col("__var"))
+    days_until = (
+        F.when(remaining <= 0, F.lit(0.0))
+        .when(slope > 0, F.round(remaining / slope, 2))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    out = agg.select(
+        group_col,
+        current,
+        usage.alias("usage_percentage"),
+        F.when(slope > 0, F.round(slope, 2)).alias("growth_rate_per_day"),
+        days_until.alias("days_until_full"),
+    )
+    d = F.col("days_until_full")
+    u = F.col("usage_percentage")
+    alert = (
+        F.when(d.isNotNull() & (d < CRITICAL_DAYS), "CRITICAL")
+        .when(d.isNotNull() & (d < WARNING_DAYS), "WARNING")
+        .when(u >= CRITICAL_USAGE, "CRITICAL")
+        .when(u >= WARNING_USAGE, "WARNING")
+        .otherwise("OK")
+    )
+    return out.withColumn("alert_status", alert)
+
+
 def growth_profile(
     df: DataFrame,
     id_col: str,

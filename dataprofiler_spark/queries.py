@@ -847,28 +847,16 @@ FROM d"""
 
 @register("growth_alerts_events_by_type", _GROWTH_ALERT_SQL)
 def growth_alerts_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capacity profile per event_type THROUGH THE REAL OPERATOR
-    (growth.growth_profile: max as current value over a smallint budget,
-    closed-form slope over the (ts, value) history, days-until-full, alert
-    tier) — the driver loop is over the handful of event types, not data."""
-    from dataprofiler_spark.operators.growth import growth_profile
+    """Capacity profiles for every event_type in ONE distributed
+    aggregation (growth.grouped_growth_profiles): max-as-current over a
+    smallint budget, closed-form slope over the (ts, value) history,
+    days-until-full, alert tier — one job regardless of group count (a
+    per-group driver loop would be N jobs at N tables)."""
+    from dataprofiler_spark.operators.growth import grouped_growth_profiles
 
     events = load_table(spark, sf_dir, "events")
-    types = sorted(r.event_type for r in events.select("event_type").distinct().collect())
-    rows = []
-    for t in types:
-        sub = events.filter(F.col("event_type") == t)
-        p = growth_profile(
-            sub, "value", "smallint", history=sub, ts_col="ts", value_col="value"
-        )
-        rows.append(
-            (t, p.current_value, p.usage_percentage, p.growth_rate_per_day,
-             p.days_until_full, p.alert_status)
-        )
-    return spark.createDataFrame(
-        rows,
-        "event_type string, current_value bigint, usage_percentage double, "
-        "growth_rate_per_day double, days_until_full double, alert_status string",
+    return grouped_growth_profiles(
+        events, "event_type", "value", "smallint", ts_col="ts", value_col="value"
     )
 
 

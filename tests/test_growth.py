@@ -6,6 +6,7 @@ alert thresholds; days-until-full arithmetic."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from dataprofiler_spark.operators.growth import (
     INT_MAX_VALUES,
@@ -86,3 +87,40 @@ def test_near_overflow_critical(spark):
     p = growth_profile(df, "id", "int")
     assert p.usage_percentage >= 99.9999
     assert p.alert_status == "CRITICAL"
+
+
+def test_grouped_growth_matches_per_group_loop(spark):
+    """The one-job grouped implementation must reproduce growth_profile's
+    math per group exactly (same rounding, same alert tiers), including a
+    single-timestamp group (no measurable slope — guarded division)."""
+    from datetime import datetime
+
+    from dataprofiler_spark.operators.growth import (
+        grouped_growth_profiles,
+        growth_profile,
+    )
+
+    rows = []
+    base = datetime(2026, 1, 1)
+    for d in range(10):  # group 'a': clean +100/day growth
+        rows.append(("a", float(100 * (d + 1)), datetime(2026, 1, d + 1)))
+    for d in range(10):  # group 'b': shrinking (negative slope → no alert)
+        rows.append(("b", float(1000 - 90 * d), datetime(2026, 1, d + 1)))
+    rows.append(("c", 32000.0, base))  # single point, 97% usage → WARNING+
+    df = spark.createDataFrame(rows, "g string, value double, ts timestamp")
+
+    grouped = {r.g: r for r in grouped_growth_profiles(
+        df, "g", "value", "smallint", ts_col="ts", value_col="value").collect()}
+    for g in ("a", "b", "c"):
+        sub = df.filter(F.col("g") == g)
+        p = growth_profile(sub, "value", "smallint", history=sub,
+                           ts_col="ts", value_col="value")
+        r = grouped[g]
+        assert r.current_value == p.current_value, g
+        assert r.usage_percentage == p.usage_percentage, g
+        assert r.growth_rate_per_day == p.growth_rate_per_day, g
+        assert r.days_until_full == p.days_until_full, g
+        assert r.alert_status == p.alert_status, g
+    assert grouped["a"].growth_rate_per_day == pytest.approx(100.0)
+    assert grouped["b"].growth_rate_per_day is None
+    assert grouped["c"].alert_status in ("WARNING", "CRITICAL")
