@@ -148,6 +148,39 @@ def ivf_search(
     )
 
 
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries in one corpus pass:
+    broadcast the (small) query frame, score every (corpus, query) pair
+    map-side, keep the top k per query with a rank window keyed on
+    query_id. One shuffle on query_id — per-query driver loops (Q jobs,
+    Q corpus scans) become one job, one scan.
+
+    Scale shape: the broadcast bounds the query batch (~10^4 queries ×
+    dim doubles); for larger batches, chunk the queries and union —
+    corpus scans stay O(batches), never O(queries)."""
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("__rn").alias("rank"))
+    )
+
+
 def quantize_int8(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "q", scale_col: str = "scale"
 ) -> DataFrame:

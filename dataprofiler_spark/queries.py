@@ -932,6 +932,39 @@ def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch multi-query KNN: broadcast query panel, ONE corpus pass, top-k per
+# query via rank window — per-query loops become one job
+# --------------------------------------------------------------------------
+
+_BATCH_KNN_SQL = """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 97 = 0),
+s AS (
+  SELECT q.query_id, e.vec_id,
+    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+       sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
+
+
+@register("batch_knn_top5", _BATCH_KNN_SQL)
+def batch_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors for every query in the vec_id%97 panel, one corpus
+    pass (similarity.batch_topk)."""
+    from dataprofiler_spark.operators.similarity import batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = batch_topk(emb, qs, k=5)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+# --------------------------------------------------------------------------
 # Deterministic dataset splitting (training-pipeline op): membership is a
 # pure function of the key hash — bit-exact reproducible in SQL
 # --------------------------------------------------------------------------

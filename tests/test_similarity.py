@@ -101,3 +101,22 @@ def test_quantize_int8_roundtrip(spark):
         "vec_id", cosine(F.col("deq"), F.col("embedding")).alias("c")
     ).collect()
     assert all(r.c >= 0.999 for r in cos)
+
+
+def test_batch_topk_matches_single_query(spark, emb):
+    """One-pass batch top-k must equal per-query brute_force_topk."""
+    from dataprofiler_spark.operators.similarity import batch_topk
+
+    e = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qids = [r.vec_id for r in e.filter(F.col("vec_id") % 137 == 1).limit(3).collect()]
+    qs = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = {}
+    for r in batch_topk(e, qs, k=7).collect():
+        batch.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    for qid in qids:
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == qid).collect()[0]["embedding"]]
+        single = [(i + 1, r.vec_id, r.cos_sim)
+                  for i, r in enumerate(brute_force_topk(e, qvec, k=7).collect())]
+        assert sorted(batch[qid]) == single, qid
