@@ -107,6 +107,76 @@ def _metric_struct(field: T.StructField, cfg: ProfileConfig, distinct_col: str |
     )
 
 
+def array_profile(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+    num_decimals: int = 6,
+) -> DataFrame:
+    """Profile for array<numeric> columns (the input_hint's `tokens`
+    shape), which the scalar profile gates out (P3): per column —
+    row_count, not_null_count, exact distinct (whole-array identity),
+    size min/max/avg, element min/max. One pass, same long format family
+    as `profile`. Element min/max fold inside the row (array_min/array_max
+    map-side) before the MIN/MAX aggregate — elements are never exploded."""
+    group_by = group_by or []
+    fields = [
+        f
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.ArrayType)
+        and isinstance(f.dataType.elementType, T.NumericType)
+        and f.name not in group_by
+        and (columns is None or f.name in columns)
+    ]
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for i, f_ in enumerate(fields):
+        c = F.col(f_.name)
+        aggs += [
+            F.count(c).alias(f"__nn_{i}"),
+            F.count_distinct(c).alias(f"__d_{i}"),
+            F.min(F.size(c)).alias(f"__mns_{i}"),
+            F.max(F.size(c)).alias(f"__mxs_{i}"),
+            F.avg(F.size(c)).alias(f"__avs_{i}"),
+            F.min(F.array_min(c)).alias(f"__mne_{i}"),
+            F.max(F.array_max(c)).alias(f"__mxe_{i}"),
+        ]
+    wide = df.groupBy(*group_by).agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f_.name).alias("column_name"),
+                F.lit(f_.dataType.simpleString()).alias("data_type"),
+                F.col(f"__nn_{i}").cast("long").alias("not_null_count"),
+                F.col(f"__d_{i}").cast("long").alias("distinct_count"),
+                F.col(f"__mns_{i}").cast("long").alias("min_size"),
+                F.col(f"__mxs_{i}").cast("long").alias("max_size"),
+                F.round(F.col(f"__avs_{i}"), num_decimals).alias("avg_size"),
+                F.col(f"__mne_{i}").cast("double").alias("elem_min"),
+                F.col(f"__mxe_{i}").cast("double").alias("elem_max"),
+            )
+            for i, f_ in enumerate(fields)
+        ]
+    )
+    return (
+        wide.select(*group_by, F.col("row_count"), F.explode(entries).alias("e"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            *group_by,
+            F.col("e.column_name").alias("column_name"),
+            F.col("e.data_type").alias("data_type"),
+            F.col("row_count").cast("long").alias("row_count"),
+            F.col("e.not_null_count").alias("not_null_count"),
+            F.col("e.distinct_count").alias("distinct_count"),
+            F.col("e.min_size").alias("min_size"),
+            F.col("e.max_size").alias("max_size"),
+            F.col("e.avg_size").alias("avg_size"),
+            F.col("e.elem_min").alias("elem_min"),
+            F.col("e.elem_max").alias("elem_max"),
+        )
+    )
+
+
 def profile(
     df: DataFrame,
     table_name: str,

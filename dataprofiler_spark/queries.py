@@ -932,6 +932,35 @@ def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Array-column profile (the input_hint's tokens shape: array<numeric>)
+# --------------------------------------------------------------------------
+
+@register(
+    "array_profile_embeddings",
+    """SELECT 'embeddings' AS table_name, 'embedding' AS column_name,
+  'array<float>' AS data_type,
+  COUNT(*) AS row_count, COUNT(embedding) AS not_null_count,
+  COUNT(DISTINCT embedding) AS distinct_count,
+  CAST(MIN(len(embedding)) AS BIGINT) AS min_size,
+  CAST(MAX(len(embedding)) AS BIGINT) AS max_size,
+  ROUND(AVG(len(embedding)), 6) AS avg_size,
+  ROUND(CAST(MIN(list_min(embedding)) AS DOUBLE), 6) AS elem_min,
+  ROUND(CAST(MAX(list_max(embedding)) AS DOUBLE), 6) AS elem_max
+FROM embeddings""",
+)
+def array_profile_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column profile over the embeddings table: size stats + exact
+    whole-array distinct + element bounds, one pass (profile.array_profile)."""
+    from dataprofiler_spark.operators.profile import array_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = array_profile(emb, "embeddings")
+    return out.withColumn("elem_min", F.round("elem_min", 6)).withColumn(
+        "elem_max", F.round("elem_max", 6)
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch multi-query KNN: broadcast query panel, ONE corpus pass, top-k per
 # query via rank window — per-query loops become one job
 # --------------------------------------------------------------------------

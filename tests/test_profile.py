@@ -5,6 +5,7 @@ stringified min/max — on a hand-computed fixture."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dataprofiler_spark.operators.profile import ProfileConfig, profile
@@ -114,3 +115,25 @@ def test_approx_is_unique_tolerates_hll_error(spark):
     p = prof_map(profile(df, "t", cfg=ProfileConfig(exact=False)))
     assert p["id"].is_unique is True
     assert p["dup"].is_unique is False
+
+
+def test_array_profile_tokens(spark):
+    """Array-column profile on the input_hint tokens shape: sizes, exact
+    whole-array distinct, element bounds; null arrays excluded from
+    not_null_count; non-array / non-numeric-element columns ignored."""
+    from dataprofiler_spark.operators.profile import array_profile
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], ["a"]), (2, [4, 5], ["b"]), (3, None, None), (4, [1, 2, 3], ["c"])],
+        "id bigint, tokens array<int>, labels array<string>",
+    )
+    rows = {r.column_name: r for r in array_profile(df, "t").collect()}
+    assert set(rows) == {"tokens"}  # string-element arrays gated out
+    t = rows["tokens"]
+    assert (t.row_count, t.not_null_count, t.distinct_count) == (4, 3, 2)
+    assert (t.min_size, t.max_size) == (2, 3)
+    assert t.avg_size == pytest.approx(8 / 3, abs=1e-6)
+    assert (t.elem_min, t.elem_max) == (1.0, 5.0)
+    # grouped variant: one row per (group, column)
+    g = array_profile(df.withColumn("g", F.col("id") % 2), "t", group_by=["g"])
+    assert g.count() == 2
