@@ -31,13 +31,19 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from dataprofiler_spark import get_spark  # noqa: E402
 from dataprofiler_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from dataprofiler_spark.operators.incremental import (  # noqa: E402
+    finalize_partials,
+    merge_partials,
+    numeric_partials,
+)
 from dataprofiler_spark.operators.drift import drift_by_group, histogram, token_frequency  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
-from dataprofiler_spark.operators.similarity import brute_force_topk  # noqa: E402
+from dataprofiler_spark.operators.similarity import batch_topk, brute_force_topk  # noqa: E402
 from dataprofiler_spark.pipeline import ValidationConfig, run_validation  # noqa: E402
 from dataprofiler_spark.sources.synthetic import gen_sequences, gen_sources_ref  # noqa: E402
 from dataprofiler_spark.sources.tables import load_table  # noqa: E402
@@ -132,7 +138,25 @@ def main() -> None:
             "simhash_pairs": lambda: simhash_near_dup_pairs(dc, "doc_id").count(),
             "simhash_pairs_xx64": lambda: simhash_near_dup_pairs(dc, "doc_id", portable=False).count(),
             "knn_cosine_top10": lambda: brute_force_topk(em, qvec, k=10).collect(),
+            # round-2 ops: pairs -> transitive clusters; one-pass query panel;
+            # merge-safe incremental profile over 3 snapshot slices
+            "dedup_clusters": lambda: dedup_clusters(dc, "doc_id", num_hashes=16, bands=8).count(),
+            "batch_knn_top5": lambda: _batch_knn(em),
+            "incremental_profile_merge": lambda: _incremental_merge(bad),
         }
+
+    def _batch_knn(em):
+        qs = em.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return batch_topk(em, qs, k=5).count()
+
+    def _incremental_merge(bad):
+        parts = [
+            numeric_partials(bad.filter(F.abs(F.xxhash64("doc_id")) % 3 == i), ["n_tok"])
+            for i in range(3)
+        ]
+        return finalize_partials(merge_partials(*parts)).collect()
 
     warm_docs, warm_emb, warm_li = docs.limit(200), emb.limit(200), lineitem.limit(5000)
     for fn in bench_queries(warm_bad, warm_ref, warm_li, warm_docs, warm_emb).values():
