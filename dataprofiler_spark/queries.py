@@ -932,6 +932,52 @@ def schema_object_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Expectation evaluation under the driver gate: a declarative suite over
+# the documents profile, verdict rows reproduced in SQL (incl. the
+# numeric compare of the STRINGIFIED min_value)
+# --------------------------------------------------------------------------
+
+def _expectations_sql() -> str:
+    p = profile_sql("documents")
+    rows = [
+        ("doc_id", "expect_doc_id_row_count_>", "row_count > 0"),
+        ("doc_id", "expect_doc_id_not_null_proportion_>=", "not_null_proportion >= 1.0"),
+        ("doc_id", "expect_doc_id_is_unique_==", "is_unique = TRUE"),
+        ("n_chars", "expect_n_chars_min_value_>=", "CAST(min_value AS DOUBLE) >= 0"),
+        ("lang", "expect_lang_distinct_count_<=", "distinct_count <= 10"),
+    ]
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT table_name, '<all>' AS partition_value, '{name}' AS check_name,
+  row_count, CAST(NULL AS BIGINT) AS violation_count,
+  COALESCE({pred}, FALSE) AS passed
+FROM p WHERE column_name = '{col}'"""
+        for col, name, pred in rows
+    )
+    return f"WITH p AS ({p})\n{sel}"
+
+
+@register("expectations_documents", _expectations_sql())
+def expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite evaluated against the documents
+    profile through the real evaluator (expectations.evaluate_expectations)
+    — including the numeric comparison of the stringified min_value."""
+    from dataprofiler_spark.operators.expectations import (
+        Expectation,
+        evaluate_expectations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    suite = [
+        Expectation("doc_id", "row_count", ">", 0),
+        Expectation("doc_id", "not_null_proportion", ">=", 1.0),
+        Expectation("doc_id", "is_unique", "==", True),
+        Expectation("n_chars", "min_value", ">=", 0),
+        Expectation("lang", "distinct_count", "<=", 10),
+    ]
+    return evaluate_expectations(profile(docs, "documents"), suite)
+
+
+# --------------------------------------------------------------------------
 # Array-column profile (the input_hint's tokens shape: array<numeric>)
 # --------------------------------------------------------------------------
 
