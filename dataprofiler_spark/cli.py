@@ -66,7 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
         "prefilter = xxhash64 digest join, UDF confirms mismatches (scale "
         "path); auto = full when exact, prefilter with --approx",
     )
-    p.add_argument("--violation-cap", type=int, default=1000)
+    p.add_argument(
+        "--violation-cap",
+        type=int,
+        default=1000,
+        help=(
+            "max violation rows emitted PER (check, partition) — a global "
+            "per-check cap would funnel every violating row of a mass "
+            "failure through one reducer; total rows are bounded by "
+            "cap x partitions x checks"
+        ),
+    )
     p.add_argument(
         "--suggest-expectations",
         metavar="FILE",

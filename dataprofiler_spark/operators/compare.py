@@ -321,13 +321,13 @@ class TriggerSpec:
 @dataclass
 class ObjectComparisonResult:
     """Env-vs-env schema-object drift verdict: set-diff on
-    (object_type, name) + signature compare for common objects — the same
-    three difference classes the reference dashboard counts (missing,
-    extra, changed)."""
+    (object_type, schema_name, name) + signature compare for common
+    objects — the same three difference classes the reference dashboard
+    counts (missing, extra, changed)."""
 
-    missing_in_target: list[tuple[str, str]] = field(default_factory=list)
-    missing_in_source: list[tuple[str, str]] = field(default_factory=list)
-    changed: list[tuple[str, str]] = field(default_factory=list)
+    missing_in_target: list[tuple[str, str, str]] = field(default_factory=list)
+    missing_in_source: list[tuple[str, str, str]] = field(default_factory=list)
+    changed: list[tuple[str, str, str]] = field(default_factory=list)
 
     @property
     def total_differences(self) -> int:
@@ -340,9 +340,11 @@ class ObjectComparisonResult:
 
 def compare_schema_objects(source: list, target: list) -> ObjectComparisonResult:
     """Compare two schema-object sets (any mix of Procedure/View/Trigger
-    specs), keyed by (object_type, name)."""
-    s = {(o.object_type, o.name): o.signature() for o in source}
-    t = {(o.object_type, o.name): o.signature() for o in target}
+    specs), keyed by (object_type, schema_name, name) — schema_name is part
+    of the identity, so same-named objects in two schemas are two distinct
+    objects, not one changed one."""
+    s = {(o.object_type, o.schema_name, o.name): o.signature() for o in source}
+    t = {(o.object_type, o.schema_name, o.name): o.signature() for o in target}
     res = ObjectComparisonResult()
     res.missing_in_target = sorted(set(s) - set(t))
     res.missing_in_source = sorted(set(t) - set(s))
@@ -356,12 +358,16 @@ def objects_to_rows(
     triggers: list[TriggerSpec] = (),
 ) -> list[dict]:
     """Unified schema_objects sink rows with the object_type discriminator
-    (reference insert layout, clickhouse.py:541-585)."""
+    (reference insert layout, clickhouse.py:541-585). `object_schema` is
+    the owning schema of the OBJECT (part of its identity key) — named so
+    because the store-level `schema_name` stamp column describes the STORE
+    and would overwrite a row-level field of the same name."""
     rows = []
     for p in procedures:
         rows.append(
             {
-                "object_type": "PROCEDURE", "object_name": p.name,
+                "object_type": "PROCEDURE", "object_schema": p.schema_name,
+                "object_name": p.name,
                 "parent_table": "", "language": p.language,
                 "parameter_list": p.parameter_list, "return_type": p.return_type,
                 "event": "", "timing": "", "is_materialized": False,
@@ -371,7 +377,8 @@ def objects_to_rows(
     for v in views:
         rows.append(
             {
-                "object_type": "VIEW", "object_name": v.name,
+                "object_type": "VIEW", "object_schema": v.schema_name,
+                "object_name": v.name,
                 "parent_table": "", "language": "", "parameter_list": "",
                 "return_type": "", "event": "", "timing": "",
                 "is_materialized": v.is_materialized, "columns": v.columns,
@@ -381,7 +388,8 @@ def objects_to_rows(
     for t in triggers:
         rows.append(
             {
-                "object_type": "TRIGGER", "object_name": t.name,
+                "object_type": "TRIGGER", "object_schema": t.schema_name,
+                "object_name": t.name,
                 "parent_table": t.table_name, "language": "",
                 "parameter_list": "", "return_type": "", "event": t.event,
                 "timing": t.timing, "is_materialized": False, "columns": "",
@@ -392,17 +400,28 @@ def objects_to_rows(
 
 
 def schema_object_drift(env1: DataFrame, env2: DataFrame) -> DataFrame:
-    """Distributed env-vs-env object drift over (object_type, object_name,
-    definition_hash) frames: full-outer join with membership flags +
-    hash_differs for common objects (the dashboard's three difference
-    classes as one DataFrame)."""
+    """Distributed env-vs-env object drift over (object_type[,
+    object_schema], object_name, definition_hash) frames: full-outer join
+    with membership flags + hash_differs for common objects (the
+    dashboard's three difference classes as one DataFrame). When both
+    frames carry `object_schema` it joins as part of the identity key —
+    same-named objects in two schemas are distinct objects."""
     a = env1.alias("a")
     b = env2.alias("b")
+    with_schema = "object_schema" in env1.columns and "object_schema" in env2.columns
     cond = (F.col("a.object_type") == F.col("b.object_type")) & (
         F.col("a.object_name") == F.col("b.object_name")
     )
+    if with_schema:
+        cond = cond & F.col("a.object_schema").eqNullSafe(F.col("b.object_schema"))
+    schema_cols = (
+        [F.coalesce(F.col("a.object_schema"), F.col("b.object_schema")).alias("object_schema")]
+        if with_schema
+        else []
+    )
     return a.join(b, cond, "full_outer").select(
         F.coalesce(F.col("a.object_type"), F.col("b.object_type")).alias("object_type"),
+        *schema_cols,
         F.coalesce(F.col("a.object_name"), F.col("b.object_name")).alias("object_name"),
         F.col("a.object_name").isNotNull().alias("in_env1"),
         F.col("b.object_name").isNotNull().alias("in_env2"),

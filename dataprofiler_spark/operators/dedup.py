@@ -269,6 +269,8 @@ def connected_components(
     key1: str = "key1",
     key2: str = "key2",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    on_max_iterations: str = "raise",
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list → (node,
     component) with component = min node id in the component. This is the
@@ -282,16 +284,35 @@ def connected_components(
     construction (pairs share LSH buckets). Each round is one equi-join +
     groupBy on narrow (id, id) rows.
 
-    Scale notes:
-      * lineage is truncated every round (localCheckpoint) — without it the
-        plan doubles per iteration and the job dies on plan size long
-        before data size; a production run uses a reliable checkpoint dir.
+    Fault tolerance / termination:
+      * lineage is truncated every round — without it the plan doubles per
+        iteration and the job dies on plan size long before data size.
+        `checkpoint_dir` switches from localCheckpoint (executor-memory
+        truncation; lost on executor death → full recompute) to RELIABLE
+        checkpoints written to that directory (HDFS/S3 in production) —
+        the production setting for long chains on preemptible executors.
       * convergence test: Σcomp is strictly decreasing under the per-node
         min update, so an unchanged sum ⟺ fixpoint — one tiny aggregate
         per round instead of a change-count join.
+      * if `max_iterations` is exhausted BEFORE the fixpoint (a transitive
+        near-dup chain longer than max_iterations hops), the result would
+        be silently split clusters — so exhaustion raises by default
+        (`on_max_iterations="raise"`); "warn" downgrades to a logged
+        warning for exploratory runs.
       * at 10^12 edges the same loop holds (it is the standard Spark CC
         shape); skewed hub nodes are bounded by the LSH max_bucket_size
         upstream."""
+    if on_max_iterations not in ("raise", "warn"):
+        raise ValueError("on_max_iterations must be 'raise' or 'warn'")
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
         .unionByName(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
@@ -300,27 +321,39 @@ def connected_components(
     comps = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
-    comps = comps.localCheckpoint(eager=True)
+    comps = _checkpoint(comps)
     prev_sum = comps.agg(F.sum("comp").cast("decimal(38,0)")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             edges.join(comps, edges["b"] == comps["node"])
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        comps = (
-            comps.join(nbr, comps["node"] == nbr["a"], "left")
-            .select(
+        comps = _checkpoint(
+            comps.join(nbr, comps["node"] == nbr["a"], "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = comps.agg(F.sum("comp").cast("decimal(38,0)")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        msg = (
+            f"connected_components did not reach a fixpoint in "
+            f"{max_iterations} iterations — the graph has a chain longer "
+            f"than max_iterations hops; clusters would be silently split. "
+            f"Raise max_iterations (rounds needed = graph diameter)."
+        )
+        if on_max_iterations == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return comps.select("node", F.col("comp").alias("component"))
 
 
@@ -395,11 +428,19 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = True,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup candidates: docs whose 60-bit simhashes differ in
     ≤ max_hamming bits. Buckets by 4 × 15-bit chunks (pigeonhole: any pair
     within hamming ≤3 shares at least one chunk) then verifies exact
     hamming via bit_count(xor).
+
+    max_bucket_size drops degenerate hot buckets (boilerplate docs sharing
+    a 15-bit chunk) whose pair expansion is quadratic IN ONE TASK at corpus
+    scale — same cap + disclosure as the minhash LSH path. Dropped-bucket
+    pairs are simply not candidates (recall trade, standard at scale); a
+    pair pruned from one hot chunk can still surface via its 3 other
+    chunks.
 
     Physical shape (measured): signatures via explode(words) → ONE
     whole-stage-codegen hash aggregation with 60 conditional sums — 7×
@@ -454,7 +495,7 @@ def simhash_near_dup_pairs(
     buckets = (
         chunks.groupBy("chunk_id", "chunk")
         .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
     pairs = buckets.select(
         F.explode(

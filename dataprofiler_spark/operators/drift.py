@@ -126,16 +126,29 @@ def drift_by_group(
     cond = F.col(f"b.{group_col}").eqNullSafe(F.col(f"c.{group_col}")) & F.col(
         "b.bucket"
     ).eqNullSafe(F.col("c.bucket"))
+    merged = b.join(c, cond, "full_outer").select(
+        F.coalesce(F.col(f"b.{group_col}"), F.col(f"c.{group_col}")).alias(group_col),
+        F.coalesce(F.col("b.bucket"), F.col("c.bucket")).alias("bucket"),
+        F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
+        F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+    )
+    # totals joined null-safely too: a NULL group value survives the
+    # full-outer merge above, so dropping it here (plain equi-join) would
+    # undo the null-safety — a left join with eqNullSafe + coalesce(tot, 0)
+    # keeps groups that exist on only one side as well
+    bt = b_tot.withColumnRenamed(group_col, "__bg").alias("bt")
+    ct = c_tot.withColumnRenamed(group_col, "__cg").alias("ct")
     j = (
-        b.join(c, cond, "full_outer")
+        merged.join(bt, F.col(group_col).eqNullSafe(F.col("__bg")), "left")
+        .join(ct, F.col(group_col).eqNullSafe(F.col("__cg")), "left")
         .select(
-            F.coalesce(F.col(f"b.{group_col}"), F.col(f"c.{group_col}")).alias(group_col),
-            F.coalesce(F.col("b.bucket"), F.col("c.bucket")).alias("bucket"),
-            F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
-            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+            group_col,
+            "bucket",
+            "b_cnt",
+            "c_cnt",
+            F.coalesce(F.col("b_tot"), F.lit(0)).alias("b_tot"),
+            F.coalesce(F.col("c_tot"), F.lit(0)).alias("c_tot"),
         )
-        .join(b_tot, group_col)
-        .join(c_tot, group_col)
     )
     p_base = F.greatest(F.col("b_cnt") / F.greatest(F.col("b_tot"), F.lit(1)), F.lit(eps))
     p_cur = F.greatest(F.col("c_cnt") / F.greatest(F.col("c_tot"), F.lit(1)), F.lit(eps))

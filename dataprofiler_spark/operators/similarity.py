@@ -249,22 +249,43 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: LSH-bucket candidates, then
-    exact cosine verification ≥ threshold. The self-join is within-bucket
-    only — the scale path for 'find semantic duplicates in the corpus'."""
+    exact cosine verification ≥ threshold — within-bucket only, the scale
+    path for 'find semantic duplicates in the corpus'.
+
+    Physical shape: groupBy(bucket) + sorted collect_list + in-expression
+    pair expansion, NOT a bucket self-join — referencing the LSH-bucketed
+    frame twice would recompute the num_planes-projection pipeline for both
+    sides and shuffle the table twice; this shape computes projections once
+    and shuffles once (plan-gated: one scan in tests). Members are sorted
+    by id, so array order gives key1 < key2 for free, and each vector lives
+    in exactly ONE bucket so pairs cannot repeat — no distinct needed.
+
+    max_bucket_size drops degenerate hot buckets (e.g. zero-ish embeddings
+    sharing a sign pattern) whose pair expansion is quadratic in one task —
+    same cap + disclosure as the minhash/simhash paths."""
     b = lsh_cosine_buckets(df, dim, num_planes, vec_col, seed).select(
-        F.col(id_col).alias("key1"), F.col(vec_col).alias("v1"), "bucket"
+        F.col(id_col).alias("key"), F.col(vec_col).alias("v"), "bucket"
     )
-    o = b.select(
-        F.col("key1").alias("key2"), F.col("v1").alias("v2"), "bucket"
+    buckets = (
+        b.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("key", "v"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
-    return (
-        b.join(o, "bucket")
-        .filter(F.col("key1") < F.col("key2"))
-        .select(
-            "key1", "key2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim")
-        )
-        .distinct()
-        .filter(F.col("cos_sim") >= threshold)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2)))"
+                )
+            )
+        ).alias("p")
+    ).select(
+        "p.key1",
+        "p.key2",
+        F.round(cosine(F.col("p.v1"), F.col("p.v2")), 6).alias("cos_sim"),
     )
+    return pairs.filter(F.col("cos_sim") >= threshold)

@@ -26,6 +26,10 @@ from dataprofiler_spark.plans.manifest import Manifest, PartitionRecord
 class ValidationConfig:
     table_name: str = "sequences"
     part_col: str = "source"
+    # cap on materialized violation rows PER (check, partition) — not a
+    # single global per-check cap (that would funnel every violating row of
+    # one check through ONE reducer under mass failure, exactly when
+    # violations matter). Sinks should size for cap × partitions × checks.
     violation_cap: int = 1000
     null_rate_threshold: float = 0.0
     exact: bool = True  # exact metrics in tests; sketches at scale
@@ -82,12 +86,31 @@ def run_validation(
                 ~F.col(cfg.part_col).isin(list(skipped))
             )
 
+    # With output_dir set the run needs MULTIPLE actions over the same
+    # input (verdict collect + violations write) — fresh plans do NOT reuse
+    # shuffle outputs, so without a cache the whole check suite would
+    # execute per action (~3× measured). Persist the input across them;
+    # MEMORY_AND_DISK in local/bench scale — on a cluster where the table
+    # doesn't fit, swap for DISK_ONLY or accept the second pass (the
+    # aggregate-sized frames below are collect-funneled either way, so the
+    # worst case is exactly 2 input passes, never 3+).
+    persisted = False
+    if cfg.output_dir:
+        df = df.persist()
+        persisted = True
+
     profiles = profile(
         df,
         cfg.table_name,
         group_by=[cfg.part_col],
         cfg=ProfileConfig(exact=cfg.exact),
     )
+    # profiles is aggregate-sized (partitions × columns). When it feeds
+    # more than one consumer (expectation verdicts AND the sink write),
+    # collect ONCE and rebuild a local frame — otherwise the profile scan
+    # re-executes per consumer.
+    if expectations or cfg.output_dir:
+        profiles = spark.createDataFrame(profiles.collect(), profiles.schema)
 
     suite: SuiteResult = run_sequence_suite(
         df,
@@ -118,10 +141,16 @@ def run_validation(
             (F.col("psi") <= cfg.psi_threshold).alias("passed"),
         )
 
+    def _small(frame: DataFrame) -> DataFrame:
+        # drift frames are group-sized (one row per partition). They feed
+        # BOTH the verdict union and the drift sink — collect once so the
+        # histogram scans don't re-execute per consumer.
+        return spark.createDataFrame(frame.collect(), frame.schema)
+
     drift = None
     if baseline_hist is not None:
         cur_hist = histogram(df, "n_tok", cfg.drift_bucket_width, group_by=[cfg.part_col])
-        drift = drift_by_group(baseline_hist, cur_hist, cfg.part_col)
+        drift = _small(drift_by_group(baseline_hist, cur_hist, cfg.part_col))
         verdicts = verdicts.unionByName(_drift_verdicts(drift, "n_tok_drift_psi"))
 
     if baseline_token_freq is not None:
@@ -133,7 +162,9 @@ def run_validation(
             .groupBy(cfg.part_col, "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        tok_drift = drift_by_group(baseline_token_freq, cur_freq, cfg.part_col, eps=1e-9)
+        tok_drift = _small(
+            drift_by_group(baseline_token_freq, cur_freq, cfg.part_col, eps=1e-9)
+        )
         verdicts = verdicts.unionByName(_drift_verdicts(tok_drift, "token_freq_drift_psi"))
         drift = tok_drift if drift is None else drift.unionByName(tok_drift)
 
@@ -146,11 +177,16 @@ def run_validation(
     verdict_rows = spark.createDataFrame(collected, verdicts.schema)
 
     if cfg.output_dir:
+        # profiles/verdicts/drift are local (collect-funneled) frames here —
+        # their writes execute no input scans; violations is the one
+        # distributed write and reads the persisted input.
         profiles.write.mode("append").parquet(f"{cfg.output_dir}/data_profiles")
         verdict_rows.write.mode("append").parquet(f"{cfg.output_dir}/validation_verdicts")
         violations.write.mode("append").parquet(f"{cfg.output_dir}/violations")
         if drift is not None:
             drift.write.mode("append").parquet(f"{cfg.output_dir}/drift_metrics")
+    if persisted:
+        df.unpersist()
     by_part: dict[str, dict] = {}
     for r in collected:
         d = by_part.setdefault(

@@ -46,7 +46,8 @@ _SCHEMA_PROFILE_DDL = (
 )
 
 _SCHEMA_OBJECT_DDL = (
-    "object_type string, object_name string, parent_table string, "
+    "object_type string, object_schema string, object_name string, "
+    "parent_table string, "
     "language string, parameter_list string, return_type string, "
     "event string, timing string, is_materialized boolean, "
     "columns string, definition_hash string"
@@ -124,9 +125,10 @@ class MetricsStore:
         stores (grafana schema_objects_comparison semantics)."""
         from dataprofiler_spark.operators.compare import schema_object_drift
 
-        cols = ["object_type", "object_name", "definition_hash"]
-        a = self.latest_snapshot("schema_objects", ["object_type", "object_name"]).select(cols)
-        b = other.latest_snapshot("schema_objects", ["object_type", "object_name"]).select(cols)
+        keys = ["object_type", "object_schema", "object_name"]
+        cols = keys + ["definition_hash"]
+        a = self.latest_snapshot("schema_objects", keys).select(cols)
+        b = other.latest_snapshot("schema_objects", keys).select(cols)
         return schema_object_drift(a, b)
 
     def read(

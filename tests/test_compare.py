@@ -145,14 +145,23 @@ def test_schema_object_comparison():
         ViewSpec("v_new", definition_hash="ddd"),  # only in target
     ]
     res = compare_schema_objects(src, tgt)
-    assert res.missing_in_target == [("TRIGGER", "trg_audit")]
-    assert res.missing_in_source == [("VIEW", "v_new")]
-    assert res.changed == [("VIEW", "v_orders")]
+    assert res.missing_in_target == [("TRIGGER", "default", "trg_audit")]
+    assert res.missing_in_source == [("VIEW", "default", "v_new")]
+    assert res.changed == [("VIEW", "default", "v_orders")]
     assert res.total_differences == 3 and not res.is_match
     # name collision across types is NOT a match: keys include object_type
     assert compare_schema_objects(
         [ViewSpec("x", definition_hash="h")], [ProcedureSpec("x", definition_hash="h")]
     ).total_differences == 2
+    # same-named objects in two schemas are two distinct objects (identity
+    # includes schema_name), not one changed object
+    two_schemas = compare_schema_objects(
+        [ViewSpec("v", schema_name="sales", definition_hash="h1")],
+        [ViewSpec("v", schema_name="hr", definition_hash="h2")],
+    )
+    assert two_schemas.changed == []
+    assert two_schemas.missing_in_target == [("VIEW", "sales", "v")]
+    assert two_schemas.missing_in_source == [("VIEW", "hr", "v")]
     assert ObjectComparisonResult().is_match
 
 

@@ -103,6 +103,71 @@ def test_simhash_near_dup(spark):
     assert (1, 4) not in pairs
 
 
+def test_simhash_hot_bucket_cap(spark):
+    """A degenerate hot bucket (many identical docs → same simhash → all 4
+    chunks collide) must be dropped by max_bucket_size before the quadratic
+    pair expansion; distinct near-dups in small buckets survive."""
+    hot = [(i, "boiler plate text repeated everywhere") for i in range(20)]
+    base = " ".join(f"word{i}" for i in range(64))
+    rows = hot + [(100, base), (101, base)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = {
+        (r.key1, r.key2)
+        for r in simhash_near_dup_pairs(df, "doc_id", max_bucket_size=10).collect()
+    }
+    assert capped == {(100, 101)}  # hot bucket dropped, small bucket kept
+    uncapped = simhash_near_dup_pairs(df, "doc_id", max_bucket_size=1000).count()
+    assert uncapped == 20 * 19 // 2 + 1  # the quadratic expansion the cap avoids
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoints:
+    results identical, checkpoint files actually written to the dir."""
+    import os
+
+    from dataprofiler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "key1 bigint, key2 bigint"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    written = [
+        os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
+def test_connected_components_exhaustion_raises(spark):
+    """Exhausting max_iterations before the fixpoint must NOT silently
+    return split clusters: default raises; on_max_iterations='warn' warns
+    and returns the (possibly unconverged) labels."""
+    import warnings
+
+    import pytest
+
+    from dataprofiler_spark.operators.dedup import connected_components
+
+    # chain of diameter 7: min-label needs ~7 propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "key1 bigint, key2 bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iterations=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iterations=2, on_max_iterations="warn")
+        out.collect()
+        assert any("fixpoint" in str(x.message) for x in w)
+    # enough rounds → converges, no error
+    comp = {r.node: r.component for r in connected_components(chain, max_iterations=10).collect()}
+    assert set(comp.values()) == {1}
+
+
 def test_lsh_on_real_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     cand = lsh_candidate_pairs(docs, "doc_id", num_hashes=16, bands=8)

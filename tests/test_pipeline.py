@@ -37,6 +37,53 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert recs["ghost"].checks["ri_source"] is False
 
 
+def test_pipeline_single_execution_with_output_dir(spark, tmp_path):
+    """With output_dir set, the suite's input scans must not re-execute per
+    sink write (the round-2 ~3× regression): the input is persisted across
+    the verdict collect + violations write, and the aggregate-sized frames
+    (profiles, drift) are collect-funneled into LOCAL frames whose writes
+    execute no input scans."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract parent
+    # in Spark 4; instances are classic.dataframe.DataFrame)
+    DataFrame = type(spark.range(1))
+
+    calls = {"persist": 0, "unpersist": 0}
+    orig_persist, orig_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def counting_persist(self, *a, **k):
+        calls["persist"] += 1
+        return orig_persist(self, *a, **k)
+
+    def counting_unpersist(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_unpersist(self, *a, **k)
+
+    DataFrame.persist, DataFrame.unpersist = counting_persist, counting_unpersist
+    try:
+        bad = gen_sequences(spark, N, violations=True)
+        ref = gen_sequences(spark, N)
+        baseline = histogram(ref, "n_tok", 16.0, group_by=["source"])
+        cfg = ValidationConfig(output_dir=str(tmp_path / "out"))
+        res = run_validation(
+            spark, bad, gen_sources_ref(spark), reference=ref,
+            baseline_hist=baseline, cfg=cfg,
+        )
+    finally:
+        DataFrame.persist, DataFrame.unpersist = orig_persist, orig_unpersist
+
+    # input persisted exactly once for the multi-action phase, then released
+    assert calls["persist"] == 1 and calls["unpersist"] == 1
+    # profiles + drift are local (collect-funneled) frames: executing or
+    # writing them cannot re-run any input scan
+    for frame in (res.profiles, res.drift, res.verdicts):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" not in plan and "Exchange" not in plan, plan
+    # sinks still correct
+    assert spark.read.parquet(str(tmp_path / "out" / "violations")).count() > 0
+    assert spark.read.parquet(str(tmp_path / "out" / "data_profiles")).count() > 0
+    assert spark.read.parquet(str(tmp_path / "out" / "drift_metrics")).count() > 0
+
+
 def test_pipeline_resume_skips_validated(spark, tmp_path):
     clean = gen_sequences(spark, N)
     cfg = ValidationConfig(

@@ -79,6 +79,30 @@ def test_embedding_near_dup_finds_duplicates(spark, emb):
     assert (7, 100007) in got
 
 
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A degenerate hot bucket (identical vectors share every hyperplane
+    sign) must be dropped by max_bucket_size before the quadratic pair
+    expansion; a small genuine-duplicate bucket survives."""
+    import math
+
+    dim = 8
+    hot_vec = [1.0] + [0.0] * (dim - 1)
+    other = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(i, hot_vec) for i in range(20)] + [(100, other), (101, other)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    capped = {
+        (r.key1, r.key2)
+        for r in embedding_near_dup_pairs(
+            df, dim=dim, threshold=0.99, max_bucket_size=10
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    uncapped = embedding_near_dup_pairs(
+        df, dim=dim, threshold=0.99, max_bucket_size=1000
+    ).count()
+    assert uncapped == math.comb(20, 2) + 1
+
+
 def test_quantize_int8_roundtrip(spark):
     """Quantized values stay in [-127,127]; dequantized cosine vs the
     original ≥ 0.999; zero vectors survive (scale floor, all-zero q)."""
