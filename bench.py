@@ -110,7 +110,11 @@ def main() -> None:
     lineitem = load_table(spark, SF_DIR, "lineitem")
     qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
 
-    def bench_queries(bad, golden, li, dc, em):
+    def headline_queries(bad, golden):
+        # measured FIRST and in isolation: round-2 showed the headline
+        # number absorbing in-session contention (heap/GC state) from the
+        # dozen operator queries warmed after it — the headline is the
+        # derived metric, so it gets a clean JVM and a higher repeat
         return {
             # headline: full exact constraint suite incl. token-equality UDF
             "validate_suite": lambda: run_validation(
@@ -123,6 +127,10 @@ def main() -> None:
                 spark, bad, sources_ref, reference=golden,
                 cfg=ValidationConfig(exact=False, violation_cap=1000, equality_udf_mode="prefilter"),
             ),
+        }
+
+    def bench_queries(bad, golden, li, dc, em):
+        return {
             "profile_grouped": lambda: profile(bad, "sequences", group_by=["source"]).collect(),
             "drift_psi_chi2": lambda: drift_by_group(
                 baseline_hist, histogram(bad, "n_tok", 16.0, group_by=["source"]), "source"
@@ -158,22 +166,32 @@ def main() -> None:
         ]
         return finalize_partials(merge_partials(*parts)).collect()
 
-    warm_docs, warm_emb, warm_li = docs.limit(200), emb.limit(200), lineitem.limit(5000)
-    for fn in bench_queries(warm_bad, warm_ref, warm_li, warm_docs, warm_emb).values():
-        fn()  # untimed plan/codegen warmup
-
     # min over BENCH_REPEAT runs: this sandbox shows heavy shared-host
     # noise (identical runs vary 5-40s); min is the standard noise-robust
     # wall-clock estimator
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
-    for name, fn in bench_queries(seqs, ref, lineitem, docs, emb).items():
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+
+    def _time(queries: dict, n_runs: int) -> None:
+        for name, fn in queries.items():
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+
+    # headline first: its own warmup, a GC to clear setup garbage, then a
+    # higher repeat (the derived sequences/sec metric hangs off this one)
+    for fn in headline_queries(warm_bad, warm_ref).values():
+        fn()
+    spark.sparkContext._jvm.System.gc()
+    _time(headline_queries(seqs, ref), max(repeat, 3))
+
+    warm_docs, warm_emb, warm_li = docs.limit(200), emb.limit(200), lineitem.limit(5000)
+    for fn in bench_queries(warm_bad, warm_ref, warm_li, warm_docs, warm_emb).values():
+        fn()  # untimed plan/codegen warmup
+    _time(bench_queries(seqs, ref, lineitem, docs, emb), repeat)
 
     # machine calibration: an embarrassingly parallel JVM kernel (md5 over
     # range), fresh plan per run to defeat exchange reuse. Its wall-clock

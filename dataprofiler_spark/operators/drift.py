@@ -157,8 +157,12 @@ def drift_by_group(
         F.round(F.sum((p_cur - p_base) * F.log(p_cur / p_base)), 6).alias("psi"),
         F.round(
             F.sum(
+                # expected = p_base * c_tot is 0 for a group with NO
+                # current rows (possible now that baseline-only groups
+                # survive the null-safe totals join): χ² has no defined
+                # term there, so it contributes nothing
                 F.when(
-                    F.col("b_cnt") > 0,
+                    (F.col("b_cnt") > 0) & (expected > 0),
                     (F.col("c_cnt") - expected) ** 2 / expected,
                 )
             ),

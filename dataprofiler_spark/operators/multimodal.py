@@ -3,15 +3,26 @@
 A 100 TB training-data pipeline carries media as `binary` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 `mapInPandas` so the heavy bytes never round-trip through per-row Python.
-The image/audio codec libraries are NOT in this container, so the decode
-kernel is STUBBED: with PIL/soundfile absent it falls back to a
-deterministic byte-statistics "decode" (clearly marked). Everything
-Spark-side — schema, partitioning, mapInPandas signature, Arrow batch
-shape, output schema — is real and tested.
+
+Decode is REAL for image + audio:
+  * image — PNG: PIL when importable, else a built-in minimal PNG decoder
+    (zlib inflate + scanline de-filtering, 8-bit grayscale) — genuine
+    codec-stream parsing with no external library.
+  * audio — WAV/PCM16 via the stdlib `wave` module (RIFF parsing).
+  * video — no container codec is feasible without external libs, so video
+    payloads fall back to byte statistics with `decoded=False` (disclosed);
+    the frame-sampling plumbing is tested on the byte level.
+`gen_assets_real` generates VALID PNG/WAV payloads deterministically so the
+decoded=True path is exercised in this container; `gen_assets` keeps the
+cheap opaque-bytes fixture for plumbing tests.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -19,6 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # pragma: no cover - environment probe
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -84,27 +100,145 @@ def gen_assets(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
     )
 
 
-def _decode_stub(buf: np.ndarray) -> tuple[float, float, bool]:
-    """STUB decode: codec libs absent in this container. The vectorized
-    byte statistics stand in for pixel/sample statistics; `decoded=False`
-    marks stub output. A real deployment swaps the body for
-    PIL.Image.open(io.BytesIO(buf)) / soundfile.read(...) and returns
-    pixel/sample stats with decoded=True — until that is wired, the stub
-    answer is used even when the library happens to be importable (the
-    synthetic payloads are not valid codec streams)."""
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Minimal valid PNG (8-bit grayscale, filter 0) from an HxW uint8
+    array — pure zlib/struct, no codec library needed to WRITE."""
+    h, w = pixels.shape
+    raw = b"".join(b"\x00" + pixels[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode_builtin(buf: bytes) -> np.ndarray | None:
+    """Built-in minimal PNG decoder: chunk walk → zlib inflate → scanline
+    de-filtering (filters 0-4), 8-bit grayscale only. Real codec-stream
+    parsing; anything it can't parse returns None (byte-stats fallback)."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, w, h, depth, color = 8, b"", None, None, None, None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 4], "big")
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if not idat or depth != 8 or color != 0:
+        return None
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    i = 0
+    for row in range(h):
+        flt = raw[i]
+        line = np.frombuffer(raw, dtype=np.uint8, count=w, offset=i + 1).copy()
+        i += 1 + w
+        if flt == 1:  # Sub
+            for x in range(1, w):
+                line[x] = (int(line[x]) + int(line[x - 1])) & 0xFF
+        elif flt == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif flt == 3:  # Average
+            line[0] = (int(line[0]) + int(prev[0]) // 2) & 0xFF
+            for x in range(1, w):
+                line[x] = (int(line[x]) + (int(line[x - 1]) + int(prev[x])) // 2) & 0xFF
+        elif flt == 4:  # Paeth
+            for x in range(w):
+                a = int(line[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif flt != 0:
+            return None
+        out[row] = line
+        prev = line
+    return out
+
+
+def decode_image(buf: bytes) -> np.ndarray | None:
+    """Decode an image payload to a grayscale uint8 array: PIL when the
+    library is present (any format), built-in PNG parsing otherwise."""
+    if _PILImage is not None:
+        try:
+            return np.asarray(_PILImage.open(io.BytesIO(buf)).convert("L"))
+        except Exception:
+            return None
+    return _png_decode_builtin(buf)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Valid mono PCM16 WAV bytes via the stdlib wave module."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int] | None:
+    """Decode a WAV payload to (PCM16 samples, sample_rate) via stdlib
+    RIFF parsing; None for anything that isn't a valid mono/stereo WAV."""
+    try:
+        with wave.open(io.BytesIO(buf), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            frames = wf.readframes(wf.getnframes())
+            return np.frombuffer(frames, dtype="<i2"), wf.getframerate()
+    except Exception:
+        return None
+
+
+def _feature_row(modality: str, b: bytes) -> tuple[float, float, bool]:
+    """(value_mean, value_std, decoded): pixel stats for decodable images,
+    sample stats for decodable audio, raw byte stats otherwise."""
+    if modality == "image":
+        px = decode_image(b)
+        if px is not None:
+            return float(px.mean()), float(px.std()), True
+    elif modality == "audio":
+        dec = decode_audio(b)
+        if dec is not None and len(dec[0]):
+            samples = dec[0]
+            return float(samples.mean()), float(samples.std()), True
+    buf = np.frombuffer(b, dtype=np.uint8)
     return float(buf.mean()), float(buf.std()), False
 
 
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column via
     mapInPandas: each batch arrives as a pandas DataFrame whose `data`
-    column holds bytes; numpy consumes the raw buffers — no per-row Python
-    beyond the iteration over (rare, large) binary cells."""
+    column holds bytes. Valid PNG/WAV payloads are genuinely decoded
+    (pixel/sample statistics, decoded=True); video and undecodable
+    payloads fall back to byte statistics with decoded=False. `byte_mean`
+    / `byte_std` therefore hold pixel (0-255) or PCM-sample values on
+    decoded rows — the column names keep the sink schema stable."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             stats = [
-                _decode_stub(np.frombuffer(b, dtype=np.uint8)) for b in pdf["data"]
+                _feature_row(m, bytes(b))
+                for m, b in zip(pdf["modality"], pdf["data"])
             ]
             yield pd.DataFrame(
                 {
@@ -118,6 +252,55 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def gen_assets_real(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic assets with VALID codec payloads: PNG images
+    (built from a per-id gradient+noise pixel array) and PCM16 WAV audio
+    (per-id sine wave); video keeps opaque deterministic bytes (no
+    container codec without external libs — disclosed). Generated
+    distributed via mapInPandas so the fixture scales like the real
+    generator; determinism comes from per-id seeded RNGs, never global
+    state."""
+    base = spark.range(0, n_rows, 1, max(spark.sparkContext.defaultParallelism, 4))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "modality", "data", "meta")}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                if i % 3 == 0:
+                    w, h = 32 + i % 16, 24 + i % 16
+                    grad = (
+                        np.arange(w, dtype=np.int32)[None, :]
+                        + np.arange(h, dtype=np.int32)[:, None]
+                    )
+                    px = ((grad * 255) // max(w + h - 2, 1)).astype(np.uint8)
+                    px = (px.astype(np.int32) + rng.integers(0, 32, px.shape)) % 256
+                    data = png_encode(px.astype(np.uint8))
+                    modality = "image"
+                    meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
+                elif i % 3 == 1:
+                    n, rate = 1600 + (i % 7) * 160, 16000
+                    t = np.arange(n) / rate
+                    freq = 220.0 + (i % 20) * 55.0
+                    samples = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+                    data = wav_encode(samples, rate)
+                    modality = "audio"
+                    meta = {"width": None, "height": None, "sample_rate": rate, "n_frames": None}
+                else:
+                    data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+                    modality = "video"
+                    meta = {"width": None, "height": None, "sample_rate": None,
+                            "n_frames": int(i % 30 + 1)}
+                rows["asset_id"].append(f"asset-{i:09d}")
+                rows["modality"].append(modality)
+                rows["data"].append(data)
+                rows["meta"].append(meta)
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10, frame_bytes: int = 16) -> DataFrame:

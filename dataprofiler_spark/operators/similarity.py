@@ -148,6 +148,33 @@ def ivf_search(
     )
 
 
+def ivf_write(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF-assigned corpus PARTITIONED BY centroid_id — the
+    storage layout the probe path depends on: `ivf_search`'s
+    `centroid_id.isin(probes)` filter becomes a partition filter at the
+    file-listing level, so a probe reads only nprobe of num_centroids
+    partitions (plan-gated in tests via PartitionFilters on the scan)."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_search_stored(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a stored (centroid-partitioned) IVF index: identical semantics
+    to ivf_search, but the isin(probe) filter prunes whole directories
+    instead of scanning every row — the 100 TB shape where a probe touches
+    nprobe/num_centroids of the corpus bytes."""
+    assigned = spark.read.parquet(path)
+    return ivf_search(assigned, centroids, query_vec, k, nprobe, vec_col, id_col)
+
+
 def batch_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -81,3 +81,27 @@ def test_psi_null_bucket_joins_null_safely(spark):
     # null bucket participates in dof: 9 value buckets + the null bucket
     # = 10 buckets with baseline mass → dof 9
     assert row["chi2_dof"] == 9
+
+
+def test_drift_by_group_null_and_one_sided_groups(spark):
+    """The GROUP key half of the null-safety: a NULL group value must not
+    be dropped by the totals joins, and a group present on only one side
+    (new/vanished partition) must surface with max drift, not vanish."""
+    from dataprofiler_spark.operators.drift import drift_by_group
+
+    base = spark.createDataFrame(
+        [("a", 0.0, 50), ("a", 10.0, 50), (None, 0.0, 100), ("gone", 0.0, 30)],
+        "g string, bucket double, cnt long",
+    )
+    cur = spark.createDataFrame(
+        [("a", 0.0, 50), ("a", 10.0, 50), (None, 0.0, 100), ("new", 0.0, 40)],
+        "g string, bucket double, cnt long",
+    )
+    rows = {r.g: r for r in drift_by_group(base, cur, "g").collect()}
+    # NULL group paired with itself: zero drift, not dropped
+    assert None in rows and rows[None].psi == pytest.approx(0.0, abs=1e-6)
+    assert rows["a"].psi == pytest.approx(0.0, abs=1e-6)
+    # one-sided groups survive (baseline-only: no current rows → huge PSI;
+    # current-only: no baseline mass → huge PSI, dof -1/no χ² terms)
+    assert "gone" in rows and rows["gone"].psi > 1
+    assert "new" in rows and rows["new"].psi > 1

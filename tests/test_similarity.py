@@ -70,6 +70,33 @@ def test_ivf_partial_probe_recall(spark, emb):
         assigned.unpersist()
 
 
+def test_ivf_stored_probe_partition_pruning(spark, emb, qvec, tmp_path):
+    """The stored IVF layout must actually prune: writing assigned vectors
+    partitioned by centroid_id turns the probe's isin() into a
+    PartitionFilter on the scan (only nprobe directories read), and the
+    stored probe returns exactly the in-memory probe's results."""
+    from dataprofiler_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        ivf_search_stored,
+        ivf_write,
+    )
+
+    assigned, cents = ivf_build(emb, num_centroids=8)
+    cents = cents.cache()
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, path)
+
+    q = ivf_search_stored(spark, path, cents, qvec, k=10, nprobe=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PartitionFilters") :].split("\n")[0]
+    assert "centroid_id" in scan and ("IN (" in scan or "isin" in scan.lower()), scan
+    mem = [(r.vec_id, r.cos_sim) for r in ivf_search(assigned, cents, qvec, k=10, nprobe=3).collect()]
+    stored = [(r.vec_id, r.cos_sim) for r in q.collect()]
+    assert stored == mem
+    cents.unpersist()
+
+
 def test_embedding_near_dup_finds_duplicates(spark, emb):
     # plant an exact duplicate vector with a new id
     dup = emb.filter(F.col("vec_id") == 7).withColumn("vec_id", F.lit(100007).cast("long"))
