@@ -188,10 +188,13 @@ def main() -> None:
     spark.sparkContext._jvm.System.gc()
     _time(headline_queries(seqs, ref), max(repeat, 3))
 
-    warm_docs, warm_emb, warm_li = docs.limit(200), emb.limit(200), lineitem.limit(5000)
-    for fn in bench_queries(warm_bad, warm_ref, warm_li, warm_docs, warm_emb).values():
-        fn()  # untimed plan/codegen warmup
-    _time(bench_queries(seqs, ref, lineitem, docs, emb), repeat)
+    # BENCH_HEADLINE_ONLY=1: skip the operator-query panel (scaling reruns
+    # only need the 4M-row suite numbers; min-of-K across sessions)
+    if os.environ.get("BENCH_HEADLINE_ONLY") != "1":
+        warm_docs, warm_emb, warm_li = docs.limit(200), emb.limit(200), lineitem.limit(5000)
+        for fn in bench_queries(warm_bad, warm_ref, warm_li, warm_docs, warm_emb).values():
+            fn()  # untimed plan/codegen warmup
+        _time(bench_queries(seqs, ref, lineitem, docs, emb), repeat)
 
     # machine calibration: an embarrassingly parallel JVM kernel (md5 over
     # range), fresh plan per run to defeat exchange reuse. Its wall-clock

@@ -378,6 +378,56 @@ def dedup_clusters(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Train/test contamination detection: corpus documents sharing ≥1
+    k-word shingle with a benchmark/eval set → (doc_id, n_shared_shingles,
+    n_shingles, overlap_frac). The standard pre-training hygiene check
+    (eval answers leaking into training data).
+
+    Scale shape: benchmark shingles are DISTINCT hashes of a small eval
+    set → broadcast semi-join against the corpus's exploded shingle hashes
+    (no shuffle of the corpus); only 64-bit hashes move, never text. For a
+    large benchmark set, pass broadcast_benchmark=False to fall back to a
+    shuffle join on the shingle hash."""
+    bench_shingles = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+        )
+        .select(_token_long_hash(F.col("s")).alias("h"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_shingles = F.broadcast(bench_shingles)
+    corpus_shingles = corpus.select(
+        F.col(key_col).alias("key"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    ).select("key", _token_long_hash(F.col("s")).alias("h"))
+    sizes = corpus_shingles.groupBy("key").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus_shingles.join(bench_shingles, "h")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        hits.join(sizes, "key")
+        .select(
+            F.col("key").alias(key_col),
+            "n_shared_shingles",
+            "n_shingles",
+            F.round(F.col("n_shared_shingles") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
 def simhash(text_col: str | Column, bits: int = 60, portable: bool = True) -> Column:
     """SimHash over whitespace tokens as a bigint, expression-only:
     per-token hash → ±1 per bit position → sign of the column sum.

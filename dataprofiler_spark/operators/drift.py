@@ -172,6 +172,42 @@ def drift_by_group(
     )
 
 
+def categorical_entropy(
+    df: DataFrame,
+    col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Shannon entropy (nats) of a categorical column's distribution,
+    optionally per group: −Σ p·ln p, plus the distinct-count. A skew/
+    balance profile metric — entropy ≈ 0 flags a near-constant column,
+    entropy ≈ ln(k) a uniform one.
+
+    Two hash aggregations + a group-sized join; NULL category participates
+    as its own class (its mass is part of the distribution)."""
+    group_by = group_by or []
+    counts = df.groupBy(*group_by, F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    if group_by:
+        tot = counts.groupBy(*group_by).agg(F.sum("cnt").alias("tot"))
+        cond = None
+        for k in group_by:
+            eq = counts[k].eqNullSafe(tot[k])
+            cond = eq if cond is None else (cond & eq)
+        joined = counts.alias("c").join(tot.alias("t"), cond).select(
+            *[F.col(f"c.{k}") for k in group_by], "cnt", "tot"
+        )
+    else:
+        joined = counts.crossJoin(
+            counts.agg(F.sum("cnt").alias("tot"))
+        )
+    p = F.col("cnt") / F.col("tot")
+    return joined.groupBy(*group_by).agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+
+
 def token_frequency(
     df: DataFrame,
     tokens_col: str = "tokens",

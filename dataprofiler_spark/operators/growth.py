@@ -196,3 +196,42 @@ def growth_profile(
         current, max_type, usage, remaining, slope_rounded, days,
         alert_status(days, usage),
     )
+
+
+def daily_count_anomalies(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly detection over the event history: per-(group, day)
+    row counts z-scored against the group's own mean/stddev_pop →
+    (group, day, cnt, z, is_anomaly). The monitoring-side companion to the
+    growth profiles: a day whose ingest volume deviates > z_threshold σ
+    from the group's norm flags a pipeline incident (dropped feed, replay,
+    runaway producer).
+
+    Scale shape: two hash aggregations (day counts collapse map-side; the
+    per-group stats frame is group-sized) + one group-sized broadcast join
+    back — no window over the full history, no driver loop. Groups with a
+    single day or zero variance yield z = NULL / is_anomaly = false (no
+    baseline to deviate from)."""
+    daily = df.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy(group_col).agg(
+        F.avg("cnt").alias("__mean"), F.stddev_pop("cnt").alias("__std")
+    )
+    z = F.when(
+        F.col("__std") > 0, (F.col("cnt") - F.col("__mean")) / F.col("__std")
+    )
+    return (
+        daily.join(F.broadcast(stats), group_col)
+        .select(
+            group_col,
+            "day",
+            "cnt",
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+        )
+    )

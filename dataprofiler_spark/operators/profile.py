@@ -275,3 +275,20 @@ def profile(
             rnum(F.col("e.m.stddev_samp")).alias("stddev_samp"),
         )
     )
+
+
+def numeric_correlations(
+    df: DataFrame,
+    cols: list[str],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, optionally per
+    group: ONE aggregation pass computing all C(n,2) corr() expressions —
+    a per-pair job loop would scan the table C(n,2) times. Output columns
+    are corr_<a>__<b> (6dp), plus row_count."""
+    group_by = group_by or []
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}__{b}"))
+    return df.groupBy(*group_by).agg(*aggs)

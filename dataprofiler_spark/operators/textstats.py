@@ -99,6 +99,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition features (Gopher-style quality rules):
+    duplicate-word fraction and duplicate-bigram fraction — 1 − distinct/
+    total over words and word 2-grams. High values flag boilerplate /
+    degenerate generations; the standard pre-training repetition filter.
+
+    Pure array expressions, no shuffle: the words array is materialized as
+    a column so the bigram transform doesn't re-evaluate the split per
+    element (CLAUDE.md gotcha 8)."""
+    staged = df.withColumn("__words", F.split(F.col(text_col), " "))
+    words = F.col("__words")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(1, size(__words) - 1), "
+            "i -> concat_ws(' ', element_at(__words, i), element_at(__words, i + 1)))"
+        ),
+    ).otherwise(F.array())
+    staged = staged.withColumn("__bigrams", bigrams)
+    nb = F.size("__bigrams")
+    return staged.withColumns(
+        {
+            "dup_word_frac": F.round(
+                F.when(n > 0, 1.0 - F.size(F.array_distinct(words)) / n).otherwise(0.0), 6
+            ),
+            "dup_bigram_frac": F.round(
+                F.when(nb > 0, 1.0 - F.size(F.array_distinct("__bigrams")) / nb).otherwise(0.0),
+                6,
+            ),
+        }
+    ).drop("__words", "__bigrams")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized, lowercased text —
     the md5-definition-hash pattern of the reference's schema objects

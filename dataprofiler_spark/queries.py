@@ -1548,3 +1548,148 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: repetition quality, contamination, entropy, volume
+# anomalies, JSON extraction, correlation matrix — all cheap queries
+# (registered at the end; the heavy oracles sit early in the registry).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "repetition_quality_documents",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id, ws,
+        CASE WHEN len(ws) >= 2 THEN list_transform(
+          generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+        ELSE [] END AS bg FROM w)
+SELECT doc_id,
+  ROUND(CASE WHEN len(ws) > 0
+    THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws) ELSE 0.0 END, 6) AS dup_word_frac,
+  ROUND(CASE WHEN len(bg) > 0
+    THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg) ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM b""",
+)
+def repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition fractions (Gopher-style quality rule):
+    duplicate-word and duplicate-bigram fractions, expression-only."""
+    from dataprofiler_spark.operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select("doc_id", "dup_word_frac", "dup_bigram_frac")
+
+
+def _contamination_sql(shingle_k: int = 5, mod: int = 41) -> str:
+    # shingle → portable 60-bit md5-prefix hash, mirrored from the engine;
+    # benchmark membership is the deterministic doc_id % mod split
+    shingle = " || ' ' || ".join(f"ws[i + {j}]" for j in range(shingle_k))
+    return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ws) >= {shingle_k} THEN list_distinct(list_transform(
+         generate_series(1, len(ws) - {shingle_k - 1}), i -> {shingle}))
+       ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
+hashed AS (SELECT doc_id, unnest(list_transform(ss,
+         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS h FROM sh),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % {mod} = 0),
+corpus AS (SELECT * FROM hashed WHERE doc_id % {mod} <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (SELECT doc_id, COUNT(*) AS n_shared_shingles
+         FROM corpus JOIN bench USING (h) GROUP BY doc_id)
+SELECT doc_id, n_shared_shingles, n_shingles,
+  ROUND(n_shared_shingles * 1.0 / n_shingles, 6) AS overlap_frac
+FROM hits JOIN sizes USING (doc_id)"""
+
+
+@register("contamination_documents", _contamination_sql())
+def contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: corpus docs sharing a 5-gram shingle
+    with a deterministic holdout 'benchmark' slice (doc_id % 41 == 0).
+    Broadcast semi-join of 60-bit shingle hashes — text never shuffles."""
+    from dataprofiler_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    return contamination_check(corpus, bench, shingle_k=5)
+
+
+@register(
+    "entropy_source_by_lang",
+    """WITH c AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+t AS (SELECT lang, SUM(cnt) AS tot FROM c GROUP BY 1)
+SELECT lang, ROUND(-SUM((cnt * 1.0 / tot) * ln(cnt * 1.0 / tot)), 6) AS entropy,
+  COUNT(*) AS n_classes
+FROM c JOIN t USING (lang) GROUP BY lang""",
+)
+def entropy_source_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source distribution within each lang — the
+    class-balance profile metric (0 = one source dominates, ln k = uniform)."""
+    from dataprofiler_spark.operators.drift import categorical_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_entropy(docs, "source", group_by=["lang"])
+
+
+@register(
+    "daily_anomalies_events",
+    """WITH d AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+  COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, AVG(cnt) AS m, STDDEV_POP(cnt) AS sd FROM d GROUP BY 1)
+SELECT d.event_type, d.day, d.cnt,
+  ROUND(CASE WHEN sd > 0 THEN (cnt - m) / sd END, 6) AS z,
+  COALESCE(CASE WHEN sd > 0 THEN ABS((cnt - m) / sd) > 2.0 END, FALSE) AS is_anomaly
+FROM d JOIN s USING (event_type)""",
+)
+def daily_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly detection: per-(event_type, day) counts
+    z-scored against the type's own mean/stddev — two hash aggregations
+    plus a group-sized broadcast join, no full-history window."""
+    from dataprofiler_spark.operators.growth import daily_count_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    out = daily_count_anomalies(events, "event_type", z_threshold=2.0)
+    # day stringified for the cross-engine compare (DATE cells stringify
+    # differently through the two engines' pandas paths)
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
+@register(
+    "json_extract_events",
+    """SELECT event_type,
+  COUNT(*) AS n,
+  ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS k_avg,
+  MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+  MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max
+FROM events GROUP BY event_type""",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull $.k out of the JSON props column
+    (get_json_object — JVM-side JSON path, no UDF) and profile it per
+    event type."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("k_avg"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@register(
+    "corr_lineitem_by_returnflag",
+    """SELECT l_returnflag, COUNT(*) AS row_count,
+  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_l_quantity__l_extendedprice,
+  ROUND(CORR(l_quantity, l_discount), 6) AS corr_l_quantity__l_discount,
+  ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_l_extendedprice__l_discount
+FROM lineitem GROUP BY l_returnflag""",
+)
+def corr_lineitem_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix per group in ONE aggregation
+    pass (a per-pair loop would scan the table C(n,2) times)."""
+    from dataprofiler_spark.operators.profile import numeric_correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], group_by=["l_returnflag"]
+    )

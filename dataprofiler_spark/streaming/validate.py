@@ -174,6 +174,28 @@ def windowed_violation_rates(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup: keep the first-seen row per key within the
+    watermark horizon (dropDuplicatesWithinWatermark) — the ingestion-side
+    companion to the batch dedup operators: duplicate re-deliveries
+    (at-least-once sources, replays) are dropped before they ever reach
+    the corpus.
+
+    State is bounded by the watermark: a key's dedup record is evicted once
+    the watermark passes its event time + delay, so duplicates separated by
+    more than `watermark_delay` are NOT caught (that is the batch dedup's
+    job in the nightly compaction) — the standard bounded-state trade, vs
+    dropDuplicates whose state grows forever on an unbounded stream."""
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
+
+
 def streaming_violation_counts(
     stream_df: DataFrame,
     checks: list[RowCheck] | None = None,

@@ -105,3 +105,24 @@ def test_drift_by_group_null_and_one_sided_groups(spark):
     # current-only: no baseline mass → huge PSI, dof -1/no χ² terms)
     assert "gone" in rows and rows["gone"].psi > 1
     assert "new" in rows and rows["new"].psi > 1
+
+
+def test_categorical_entropy_known_values(spark):
+    from dataprofiler_spark.operators.drift import categorical_entropy
+
+    import math
+
+    df = spark.createDataFrame(
+        [("g1", "x")] * 2 + [("g1", "y")] * 2 + [("g2", "x")] * 4 + [("g2", None)] * 4,
+        "g string, v string",
+    )
+    rows = {r.g: r for r in categorical_entropy(df, "v", group_by=["g"]).collect()}
+    # two equally likely classes -> ln 2; NULL counts as its own class
+    assert rows["g1"].entropy == pytest.approx(math.log(2), abs=1e-6)
+    assert rows["g1"].n_classes == 2
+    assert rows["g2"].entropy == pytest.approx(math.log(2), abs=1e-6)
+    # ungrouped: uniform over 3 classes (x: 6, y: 2, NULL: 4 -> not uniform)
+    total = categorical_entropy(df, "v").collect()[0]
+    p = [6 / 12, 2 / 12, 4 / 12]
+    assert total.entropy == pytest.approx(-sum(x * math.log(x) for x in p), abs=1e-6)
+    assert total.n_classes == 3

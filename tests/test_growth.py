@@ -124,3 +124,24 @@ def test_grouped_growth_matches_per_group_loop(spark):
     assert grouped["a"].growth_rate_per_day == pytest.approx(100.0)
     assert grouped["b"].growth_rate_per_day is None
     assert grouped["c"].alert_status in ("WARNING", "CRITICAL")
+
+
+def test_daily_count_anomalies_planted_spike(spark):
+    """A day with 10x the group's normal volume is flagged; normal days and
+    a zero-variance group are not (no baseline to deviate from)."""
+    from dataprofiler_spark.operators.growth import daily_count_anomalies
+
+    rows = []
+    for d in range(1, 11):  # type 'a': 5/day for 10 days, day 5 spikes to 50
+        n = 50 if d == 5 else 5
+        rows += [(f"2024-01-{d:02d} 12:00:00", "a")] * n
+    rows += [("2024-01-01 12:00:00", "b")] * 3 + [("2024-01-02 12:00:00", "b")] * 3
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    out = {(r.event_type, str(r.day)): r for r in daily_count_anomalies(df, "event_type").collect()}
+    assert out[("a", "2024-01-05")].is_anomaly is True
+    assert out[("a", "2024-01-05")].z > 2.0
+    assert all(not r.is_anomaly for k, r in out.items() if k != ("a", "2024-01-05"))
+    # zero-variance group: z is NULL, flagged False
+    assert out[("b", "2024-01-01")].z is None

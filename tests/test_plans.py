@@ -144,6 +144,36 @@ def test_violation_cap_window_keyed_per_partition(spark):
     assert "check_name" in w and "partition_value" in w
 
 
+def test_suite_verdicts_scan_count(spark, tmp_path):
+    """The verdict action must read the input exactly TWICE without a
+    reference (fused row-invariant/RI/empty aggregate + the uniqueness
+    window) and FOUR times with one (+ the two digest scans of the
+    prefilter equality join) — Spark does not share FileScan nodes across
+    plan branches, so every un-fused operator is a whole extra pass at
+    10^12 rows."""
+    from dataprofiler_spark.operators.checks import run_sequence_suite
+    from dataprofiler_spark.sources import gen_sources_ref
+    from dataprofiler_spark.sources.synthetic import gen_sequences
+
+    gen_sequences(spark, 2000, violations=True).write.mode("overwrite").parquet(
+        str(tmp_path / "bad")
+    )
+    gen_sequences(spark, 2000).write.mode("overwrite").parquet(str(tmp_path / "ref"))
+    bad = spark.read.parquet(str(tmp_path / "bad"))
+    ref = spark.read.parquet(str(tmp_path / "ref"))
+    no_ref = run_sequence_suite(bad, gen_sources_ref(spark))
+    assert plan_of(no_ref.verdicts).count("Scan parquet") == 2
+    with_ref = run_sequence_suite(
+        bad, gen_sources_ref(spark), reference=ref, equality_udf_mode="prefilter"
+    )
+    p = plan_of(with_ref.verdicts)
+    assert p.count("Scan parquet") == 4
+    # the uniqueness window exchange stays narrow — token arrays must not
+    # ride that shuffle
+    window_section = p[p.index("Window") :].split("Scan parquet")[0]
+    assert "tokens" not in window_section
+
+
 def test_embedding_near_dup_single_scan(spark):
     """embedding_near_dup_pairs must be the groupBy(bucket) + pair-expansion
     shape: ONE scan of the embeddings frame. The round-2 bucket self-join

@@ -205,3 +205,36 @@ def test_windowed_violation_rates_watermark_drops_late_rows(spark, tmp_path):
     w0 = rows[0]  # the [00:00,00:10) window, finalized by the watermark
     assert w0.rows_seen == 3  # late row NOT counted
     assert w0.n_tok_matches_size_violations == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingestion dedup: re-delivered doc_ids
+    inside the watermark horizon are dropped (first-seen wins); distinct
+    keys all pass through exactly once."""
+    from dataprofiler_spark.streaming.validate import streaming_dedup
+
+    inp = str(tmp_path / "in")
+    schema = "doc_id string, ts timestamp, payload string"
+    rows1 = [("a", "2024-01-01 10:00:00", "v1"), ("b", "2024-01-01 10:01:00", "v1")]
+    rows2 = [("a", "2024-01-01 10:02:00", "REDELIVERY"), ("c", "2024-01-01 10:03:00", "v1")]
+    for name, rows in (("f1", rows1), ("f2", rows2)):
+        spark.createDataFrame(rows, "doc_id string, ts_s string, payload string").select(
+            "doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "payload"
+        ).write.mode("overwrite").parquet(f"{inp}/{name}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*")
+    )
+    q = (
+        streaming_dedup(stream, watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.payload) for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert got == {("a", "v1"), ("b", "v1"), ("c", "v1")}  # redelivery dropped

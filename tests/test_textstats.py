@@ -50,3 +50,46 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]  # case + whitespace normalized
     raw = [r.fingerprint for r in fingerprint(df, normalize=False).collect()]
     assert raw[0] != raw[1]
+
+
+def test_repetition_stats_known_values(spark):
+    from dataprofiler_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # all distinct: 0 dup words, 0 dup bigrams
+            (2, "a a a a"),            # 4 words 1 distinct; 3 bigrams 1 distinct
+            (3, "x"),                  # single word: no bigrams, 0/0 guarded
+            (4, "a b a b a"),          # 5 words 2 distinct; 4 bigrams 2 distinct
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_word_frac == 0.0 and rows[1].dup_bigram_frac == 0.0
+    assert rows[2].dup_word_frac == 0.75 and rows[2].dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[3].dup_word_frac == 0.0 and rows[3].dup_bigram_frac == 0.0
+    assert rows[4].dup_word_frac == 0.6 and rows[4].dup_bigram_frac == 0.5
+
+
+def test_contamination_check_planted_leak(spark):
+    """A corpus doc embedding a benchmark 5-gram is flagged with the right
+    shingle counts; clean docs are absent from the report."""
+    from dataprofiler_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps over and more words here"),
+            (2, "completely unrelated words with no overlap at all in this document"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_check(corpus, bench, shingle_k=5).collect()}
+    assert set(rows) == {1}
+    # 'the quick brown fox jumps' and 'quick brown fox jumps over' both leak
+    assert rows[1].n_shared_shingles == 2
+    assert rows[1].n_shingles == 9  # 13 words -> 9 distinct 5-grams
+    assert rows[1].overlap_frac == pytest.approx(2 / 9, abs=1e-6)
