@@ -15,7 +15,7 @@ the split column is a partition-pruning-friendly literal.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000  # split resolution: 0.01%
@@ -64,3 +64,29 @@ def deterministic_sample(
     any partitioning, any cluster size — and supersets nest (a 1% sample
     is a subset of the 10% sample with the same salt)."""
     return df.filter(hash_bucket(key_col, salt) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic BALANCED subset: exactly min(n, |stratum|) rows per
+    stratum, selected by md5-hash rank with a key tie-break — the standard
+    'equal rows per language/source' training-mix op. Pure function of
+    (key, salt): stable across reruns/cluster sizes, supersets nest
+    (n=100 ⊂ n=1000), and the rank order is SQL-reproducible (oracle uses
+    the same ROW_NUMBER over md5).
+
+    One shuffle on the strata column (rank window); at corpus scale the
+    window state per task is one counter — no sort spill risk beyond the
+    shuffle itself."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -141,3 +141,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", normalize: bool = True) -
     if normalize:
         c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(c))
+
+
+def vocabulary_stats(
+    df: DataFrame, text_col: str = "text", group_by: list[str] | None = None
+) -> DataFrame:
+    """Per-group vocabulary statistics: total words, distinct words
+    (vocabulary size), and type-token ratio — the corpus-diversity metric
+    a training mix is balanced on. Explode collapses map-side for the
+    total; the distinct is one exact count-distinct per group."""
+    group_by = group_by or []
+    words = df.select(
+        *group_by, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    return words.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("total_words"),
+        F.count_distinct("w").alias("vocab_size"),
+        F.round(F.count_distinct("w") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
+    )

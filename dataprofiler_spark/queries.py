@@ -1693,3 +1693,37 @@ def corr_lineitem_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_correlations(
         li, ["l_quantity", "l_extendedprice", "l_discount"], group_by=["l_returnflag"]
     )
+
+
+@register(
+    "stratified_sample_documents",
+    """SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 20""",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced subset: 20 docs per lang by md5-hash rank —
+    rerun-stable, engine-portable (the oracle replays the identical
+    ROW_NUMBER-over-md5 selection)."""
+    from dataprofiler_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 20).select("lang", "doc_id")
+
+
+@register(
+    "vocab_stats_by_source",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT source, COUNT(*) AS total_words, COUNT(DISTINCT w) AS vocab_size,
+  ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 6) AS type_token_ratio
+FROM w GROUP BY source""",
+)
+def vocab_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size + type-token ratio — the corpus-diversity
+    metric a training mix is balanced on."""
+    from dataprofiler_spark.operators.textstats import vocabulary_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary_stats(docs, group_by=["source"])

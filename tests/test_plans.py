@@ -200,3 +200,40 @@ def test_connected_components_shuffles_narrow_rows(spark):
     rows = {r.node: r.component for r in out.collect()}
     assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert [f.name for f in out.schema.fields] == ["node", "component"]
+
+
+def test_incremental_file_validation(spark, tmp_path):
+    """File-level resume: rows from already-validated files are dropped by
+    a broadcast anti-join on _metadata.file_path; newly-appended files are
+    the only work left, and committing them advances the ledger."""
+    from dataprofiler_spark.plans.incremental_files import (
+        FileLedger,
+        filter_new_files,
+        input_files,
+        validate_incremental,
+    )
+
+    base = str(tmp_path / "table")
+    spark.range(0, 100).selectExpr("id", "'a' AS src").coalesce(1).write.mode(
+        "append"
+    ).parquet(base)
+    ledger = FileLedger(str(tmp_path / "manifest"))
+
+    df1 = spark.read.parquet(base)
+    fresh1, files1 = validate_incremental(df1, ledger)
+    assert fresh1.count() == 100 and len(files1) == 1
+    ledger.record_files(files1)  # commit AFTER successful validation
+
+    # append a second file: only its rows are new work
+    spark.range(100, 130).selectExpr("id", "'b' AS src").coalesce(1).write.mode(
+        "append"
+    ).parquet(base)
+    df2 = spark.read.parquet(base)
+    fresh2, files2 = validate_incremental(df2, ledger)
+    assert fresh2.count() == 30
+    assert set(files2) == set(input_files(df2)) - set(files1)
+    # the anti-join is broadcast (file list is tiny metadata)
+    plan = filter_new_files(df2, ledger)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    ledger.record_files(files2)
+    assert validate_incremental(spark.read.parquet(base), ledger)[0].count() == 0

@@ -54,3 +54,25 @@ def test_split_overflow_rejected(spark, docs):
     out = hash_split(docs, "doc_id", {"train": 0.5})
     assert {r.split for r in out.select("split").distinct().collect()} == {"train", "rest"}
     assert hash_bucket("doc_id") is not None
+
+
+def test_stratified_sample_balanced_and_nested(spark):
+    """Exactly n per stratum (or the whole stratum when smaller),
+    deterministic across calls, and n=5 ⊆ n=10 with the same salt."""
+    from dataprofiler_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(84)]
+    df = spark.createDataFrame(rows, "k bigint, g string")
+    s10 = stratified_sample(df, "g", "k", 10)
+    got = {r.g: set() for r in s10.collect()}
+    for r in s10.collect():
+        got[r.g].add(r.k)
+    assert len(got["big"]) == 10 and len(got["small"]) == 4  # capped at |stratum|
+    # deterministic + nested supersets
+    s10b = {(r.g, r.k) for r in stratified_sample(df, "g", "k", 10).collect()}
+    assert {(r.g, r.k) for r in s10.collect()} == s10b
+    s5 = {(r.g, r.k) for r in stratified_sample(df, "g", "k", 5).collect()}
+    assert s5 <= s10b
+    # a different salt draws a different subset
+    salted = {(r.g, r.k) for r in stratified_sample(df, "g", "k", 10, salt="x").collect()}
+    assert salted != s10b

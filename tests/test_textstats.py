@@ -93,3 +93,16 @@ def test_contamination_check_planted_leak(spark):
     assert rows[1].n_shared_shingles == 2
     assert rows[1].n_shingles == 9  # 13 words -> 9 distinct 5-grams
     assert rows[1].overlap_frac == pytest.approx(2 / 9, abs=1e-6)
+
+
+def test_vocabulary_stats_known_values(spark):
+    from dataprofiler_spark.operators.textstats import vocabulary_stats
+
+    df = spark.createDataFrame(
+        [("a", "x y x"), ("a", "y z"), ("b", "q q q q")],
+        "g string, text string",
+    )
+    rows = {r.g: r for r in vocabulary_stats(df, group_by=["g"]).collect()}
+    assert rows["a"].total_words == 5 and rows["a"].vocab_size == 3
+    assert rows["a"].type_token_ratio == 0.6
+    assert rows["b"].total_words == 4 and rows["b"].vocab_size == 1
