@@ -357,22 +357,135 @@ def connected_components(
     return comps.select("node", F.col("comp").alias("component"))
 
 
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Cheap change-detection for the star rounds: (count, sum of 64-bit
+    edge hashes) — two scalar aggregates, no edge-set join."""
+    # hash cast to decimal BEFORE the sum: ANSI mode errors on long
+    # overflow when summing full-range 64-bit hashes (CLAUDE.md gotcha 2)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    key1: str = "key1",
+    key2: str = "key2",
+    max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds REGARDLESS of graph diameter, vs the
+    min-label propagation's O(diameter). Use this variant when transitive
+    near-dup chains can be long (gradually drifting templated docs);
+    min-label (connected_components) stays the default because LSH-bucketed
+    near-dup graphs are short-diameter and its per-round work is smaller.
+
+    large-star: every node points its LARGER neighbors at its minimum
+    neighborhood member; small-star: the smaller-or-equal ones. Each round
+    is a groupBy(node) + array-min + explode over the adjacency — the same
+    narrow (id, id) shuffles as the label loop. Fixpoint ⟺ both rounds
+    leave the edge set unchanged (count + hash fingerprint, two scalar
+    aggregates). At the fixpoint every component is a star rooted at its
+    min node."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
+
+    all_nodes = (
+        pairs.select(F.col(key1).alias("node"))
+        .unionByName(pairs.select(F.col(key2).alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = _checkpoint(edges)
+    prev = _edge_fingerprint(edges)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        grouped = adj.groupBy("a").agg(F.collect_set("b").alias("ns"))
+        m = F.least(F.array_min("ns"), F.col("a"))
+        out = grouped.select(
+            F.col("a"), m.alias("m"), F.explode(F.expr("filter(ns, v -> v > a)")).alias("v")
+        )
+        return out.select(F.col("v").alias("a"), F.col("m").alias("b")).filter(
+            F.col("a") != F.col("b")
+        ).distinct()
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # canonicalize each edge as (larger, smaller), group on the larger
+        canon = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        grouped = canon.groupBy("a").agg(F.collect_set("b").alias("ns"))
+        m = F.least(F.array_min("ns"), F.col("a"))
+        out = grouped.select(
+            "a", m.alias("m"), F.explode(F.array_union("ns", F.array("a"))).alias("v")
+        )
+        return out.select(F.col("v").alias("a"), F.col("m").alias("b")).filter(
+            F.col("a") != F.col("b")
+        ).distinct()
+
+    converged = False
+    for _ in range(max_iterations):
+        edges = _checkpoint(small_star(large_star(edges)))
+        cur = _edge_fingerprint(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            f"alternating rounds (expected O(log n)); raise max_iterations."
+        )
+    # fixpoint edges are (member, root) stars; isolated-after-dedup nodes
+    # (self-pairs only) fall back to themselves
+    mapping = edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    return (
+        all_nodes.join(mapping, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     key_col: str,
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
+    algorithm: str = "label",
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
     connected components → (node, component, is_survivor) where the
     survivor is the min-key member. Docs with no near-dup pair are absent
-    (each is its own trivial cluster)."""
+    (each is its own trivial cluster).
+
+    algorithm: "label" (min-label propagation, O(diameter) rounds — the
+    default; LSH graphs are short-diameter) or "star" (alternating
+    large/small-star, O(log n) rounds — for corpora with long transitive
+    drift chains). Both produce identical clusters (tested equal on
+    randomized graphs)."""
     pairs = lsh_candidate_pairs(
         df, key_col, text_col, num_hashes=num_hashes, bands=bands, **lsh_kwargs
     )
-    cc = connected_components(pairs)
+    if algorithm == "star":
+        cc = connected_components_star(pairs)
+    elif algorithm == "label":
+        cc = connected_components(pairs)
+    else:
+        raise ValueError("algorithm must be 'label' or 'star'")
     return cc.select(
         "node", "component", (F.col("node") == F.col("component")).alias("is_survivor")
     )

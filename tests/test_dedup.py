@@ -214,3 +214,36 @@ def test_dedup_clusters_transitive_group(spark):
     assert {out[i][0] for i in (1, 2, 3)} == {1}
     assert [i for i in (1, 2, 3) if out[i][1]] == [1]  # single survivor
     assert 4 not in out  # no near-dup pair → not in any cluster
+
+
+def test_connected_components_star_matches_label_and_handles_long_chains(spark):
+    """The alternating large/small-star variant must (a) agree with
+    min-label propagation on arbitrary graphs, (b) converge in O(log n)
+    rounds on a 300-hop chain where 15 label-propagation rounds cannot."""
+    import random
+
+    from dataprofiler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # randomized graphs, seeded: star must equal label propagation exactly
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(30)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "key1 bigint, key2 bigint")
+        label = {r.node: r.component for r in connected_components(df, max_iterations=50).collect()}
+        star = {r.node: r.component for r in connected_components_star(df).collect()}
+        assert star == label, f"trial {trial}"
+
+    # 300-hop chain: diameter 299. Label propagation with 15 rounds raises;
+    # the star variant converges (O(log n) rounds) and finds one component.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "key1 bigint, key2 bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iterations=15)
+    comp = {r.node: r.component for r in connected_components_star(chain, max_iterations=15).collect()}
+    assert len(comp) == 301 and set(comp.values()) == {0}
