@@ -9,6 +9,13 @@ exactly how Spark's own partial/final aggregation works inside a job
 with hll_union_agg). avg and stddev come from the moment identity at
 finalize time, so they stay EXACT under any merge order.
 
+Quantiles are the one metric with no exact merge — the stored state is a
+fixed-width bucket histogram (map<bucket, count>): bucket counts ADD under
+merge, and the median interpolates from the combined histogram with error
+bounded by the bucket width (the same histogram-merge scheme as the salted
+profile, plans/salting.py). The width is part of the stored state and must
+match across snapshots to merge.
+
 This composes with the manifest's resume semantics (plans/manifest.py):
 validated partitions are skipped by the scan AND their stored partials
 still contribute to the whole-table profile.
@@ -26,14 +33,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 PARTIAL_COLS = [
-    "column_name", "n", "nn", "s", "s2", "mn", "mx", "hll",
+    "column_name", "n", "nn", "s", "s2", "mn", "mx", "hll", "hist", "hist_width",
 ]
 
 
-def numeric_partials(df: DataFrame, columns: list[str]) -> DataFrame:
+def numeric_partials(
+    df: DataFrame,
+    columns: list[str],
+    hist_widths: dict[str, float] | None = None,
+) -> DataFrame:
     """One row of merge-safe state per numeric column: (column_name, n, nn,
-    s, s2, mn, mx, hll-sketch-binary). ONE scan for all columns (a single
-    multi-aggregate job, stacked to long format in-expression)."""
+    s, s2, mn, mx, hll-sketch-binary[, hist, hist_width]). ONE scan for all
+    moment/sketch state (a single multi-aggregate job, stacked to long
+    format in-expression); requesting quantile state (`hist_widths`:
+    column → bucket width) adds ONE more scan computing every requested
+    histogram (explode → groupBy collapses map-side to |buckets| keys)."""
+    hist_widths = hist_widths or {}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(columns):
         col = F.col(c).cast("double")
@@ -61,18 +76,64 @@ def numeric_partials(df: DataFrame, columns: list[str]) -> DataFrame:
             for i, c in enumerate(columns)
         ]
     )
-    return wide.select(F.explode(entries).alias("e")).select("e.*")
+    out = wide.select(F.explode(entries).alias("e")).select("e.*")
+
+    if hist_widths:
+        buckets = df.select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col(c).isNotNull(),
+                                F.struct(
+                                    F.lit(c).alias("column_name"),
+                                    F.floor(F.col(c).cast("double") / F.lit(w)).alias("b"),
+                                ),
+                            )
+                            for c, w in hist_widths.items()
+                        ]
+                    )
+                )
+            ).alias("e")
+        ).select("e.*")
+        hists = (
+            buckets.groupBy("column_name", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("column_name")
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("b", "c")))
+                ).alias("hist")
+            )
+        )
+        widths = F.create_map(
+            *[x for c, w in hist_widths.items() for x in (F.lit(c), F.lit(float(w)))]
+        )
+        out = out.join(hists, "column_name", "left").withColumn(
+            "hist_width", widths[F.col("column_name")]
+        )
+    else:
+        out = out.withColumn(
+            "hist", F.lit(None).cast("map<bigint,bigint>")
+        ).withColumn("hist_width", F.lit(None).cast("double"))
+    return out
 
 
 def merge_partials(*partials: DataFrame) -> DataFrame:
     """Combine any number of stored partial frames (snapshots, partitions,
     incremental appends) into one partial frame — counts/sums add, min/max
-    combine, HLL sketches unite. Associative and commutative: merge order
-    never changes the result."""
+    combine, HLL sketches unite, histogram bucket counts add. Associative
+    and commutative: merge order never changes the result. Frames written
+    before the histogram state existed merge fine (missing columns read as
+    NULL)."""
     allp = partials[0]
     for p in partials[1:]:
-        allp = allp.unionByName(p)
-    return allp.groupBy("column_name").agg(
+        allp = allp.unionByName(p, allowMissingColumns=True)
+    for c, t in (("hist", "map<bigint,bigint>"), ("hist_width", "double")):
+        if c not in allp.columns:
+            allp = allp.withColumn(c, F.lit(None).cast(t))
+    base = allp.groupBy("column_name").agg(
         F.sum("n").alias("n"),
         F.sum("nn").alias("nn"),
         F.sum("s").alias("s"),
@@ -80,15 +141,58 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
         F.hll_union_agg("hll").alias("hll"),
+        F.max("hist_width").alias("hist_width"),
     )
+    merged_hist = (
+        allp.select("column_name", F.explode("hist").alias("b", "c"))
+        .groupBy("column_name", "b")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("column_name")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("b", "c")))
+            ).alias("hist")
+        )
+    )
+    return base.join(merged_hist, "column_name", "left").select(*PARTIAL_COLS)
 
 
 def finalize_partials(partials: DataFrame, num_decimals: int = 6) -> DataFrame:
     """Finished metrics from merged state: row_count, not_null_count,
     min/max, avg = Σx/n, stddev_pop = sqrt(Σx²/n − (Σx/n)²) (exact moment
-    identity), distinct_est from the united sketch."""
+    identity), distinct_est from the united sketch, and — when histogram
+    state is present — median_est interpolated from the merged histogram
+    (error ≤ the stored bucket width; NULL without histogram state)."""
     nn, s, s2 = F.col("nn"), F.col("s"), F.col("s2")
     rnd = lambda x: F.round(x, num_decimals)  # noqa: E731
+
+    width = F.col("hist_width")
+    target = (nn + 1) / 2.0
+    entries = F.sort_array(F.map_entries("hist"))
+    # running-sum fold over the (small, bucket-count-sized) entry array:
+    # first bucket whose cumulative count crosses the halfway target, with
+    # linear interpolation inside it (same math as plans/salting.py)
+    acc0 = F.struct(
+        F.lit(0.0).cast("double").alias("cum"),
+        F.lit(None).cast("double").alias("med"),
+    )
+
+    def step(acc, e):
+        newcum = acc["cum"] + e["value"]
+        med = (
+            F.when(acc["med"].isNotNull(), acc["med"])
+            .when(
+                newcum >= target,
+                e["key"] * width + width * (target - acc["cum"]) / e["value"],
+            )
+        )
+        return F.struct(newcum.alias("cum"), med.alias("med"))
+
+    median = F.when(
+        F.col("hist").isNotNull() & (nn > 0),
+        F.aggregate(entries, acc0, step, lambda a: a["med"]),
+    )
+
     return partials.select(
         "column_name",
         F.col("n").cast("long").alias("row_count"),
@@ -100,6 +204,7 @@ def finalize_partials(partials: DataFrame, num_decimals: int = 6) -> DataFrame:
             nn > 0, rnd(F.sqrt(F.greatest(s2 / nn - (s / nn) * (s / nn), F.lit(0.0))))
         ).alias("stddev_pop"),
         F.hll_sketch_estimate("hll").cast("long").alias("distinct_est"),
+        rnd(median).alias("median_est"),
     )
 
 
@@ -113,5 +218,7 @@ PARTIAL_SCHEMA = T.StructType(
         T.StructField("mn", T.DoubleType()),
         T.StructField("mx", T.DoubleType()),
         T.StructField("hll", T.BinaryType()),
+        T.StructField("hist", T.MapType(T.LongType(), T.LongType())),
+        T.StructField("hist_width", T.DoubleType()),
     ]
 )

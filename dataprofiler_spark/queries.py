@@ -1727,3 +1727,39 @@ def vocab_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocabulary_stats(docs, group_by=["source"])
+
+
+@register(
+    "incremental_median_nchars",
+    """SELECT 'n_chars' AS column_name, COUNT(*) AS row_count,
+  ROUND(MEDIAN(n_chars), 6) AS exact_median, TRUE AS median_ok
+FROM documents""",
+)
+def incremental_median_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE state: three disjoint snapshot slices profiled
+    separately with fixed-width histogram partials, merged, finalized —
+    the interpolated median must land within one bucket width (50) of the
+    exact whole-table median (the oracle states the error-band boolean;
+    exact_median and row_count are matched exactly)."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+        numeric_partials,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    width = 50.0
+    parts = [
+        numeric_partials(
+            docs.filter(F.col("doc_id") % 3 == i), ["n_chars"], hist_widths={"n_chars": width}
+        )
+        for i in range(3)
+    ]
+    fin = finalize_partials(merge_partials(*parts))
+    exact = docs.agg(F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("m"))
+    return fin.crossJoin(exact).select(
+        "column_name",
+        "row_count",
+        F.col("m").alias("exact_median"),
+        (F.abs(F.col("median_est") - F.col("m")) <= width).alias("median_ok"),
+    )

@@ -116,3 +116,52 @@ def test_checks_on_empty_input(spark):
     fails = {(r.partition_value, r.check_name) for r in rows if not r.passed}
     assert all(c == "row_count_gt_0" for _, c in fails) and len(fails) > 0
     assert res.violations.count() == 0
+
+
+def test_round3_ops_on_empty_and_degenerate_inputs(spark):
+    """New round-3 operators must not crash or mis-report on empty frames,
+    empty strata, single-category entropy, or an empty benchmark set."""
+    from dataprofiler_spark.operators.dedup import (
+        connected_components_star,
+        contamination_check,
+    )
+    from dataprofiler_spark.operators.drift import categorical_entropy
+    from dataprofiler_spark.operators.growth import daily_count_anomalies
+    from dataprofiler_spark.operators.sampling import stratified_sample
+    from dataprofiler_spark.operators.textstats import repetition_stats, vocabulary_stats
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string, g string")
+
+    # empty corpus / empty benchmark → empty report, no crash
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id bigint, text string")
+    assert contamination_check(empty_docs.drop("g"), docs).count() == 0
+    assert contamination_check(docs, empty_docs.drop("g")).count() == 0
+
+    # entropy of a constant column is exactly 0 (one class)
+    const = spark.createDataFrame([("x",)] * 5, "v string")
+    row = categorical_entropy(const, "v").collect()[0]
+    assert row.entropy == 0.0 and row.n_classes == 1
+    # ungrouped global agg over empty input: one row, NULL entropy, 0
+    # classes (standard SQL global-aggregate semantics); grouped → 0 rows
+    e = categorical_entropy(empty_docs, "text").collect()
+    assert len(e) == 1 and e[0].entropy is None and e[0].n_classes == 0
+    assert categorical_entropy(empty_docs, "text", group_by=["g"]).count() == 0
+
+    # anomalies on an empty frame / a single-day group: no flags, no crash
+    ev = spark.createDataFrame([], "ts timestamp, event_type string")
+    assert daily_count_anomalies(ev, "event_type").count() == 0
+
+    # stratified sample of an empty frame / n=0
+    assert stratified_sample(empty_docs, "g", "doc_id", 5).count() == 0
+    assert stratified_sample(docs.withColumn("g", F.lit("a")), "g", "doc_id", 0).count() == 0
+
+    # repetition/vocab on empty frames
+    assert repetition_stats(empty_docs).count() == 0
+    assert vocabulary_stats(empty_docs, group_by=["g"]).count() == 0
+
+    # star CC on an empty pair list and on self-pairs only
+    no_pairs = spark.createDataFrame([], "key1 bigint, key2 bigint")
+    assert connected_components_star(no_pairs).count() == 0
+    self_only = spark.createDataFrame([(5, 5)], "key1 bigint, key2 bigint")
+    rows = {r.node: r.component for r in connected_components_star(self_only).collect()}
+    assert rows == {5: 5}

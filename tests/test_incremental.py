@@ -60,3 +60,35 @@ def test_partials_survive_storage_roundtrip(spark, halves, tmp_path):
     direct = finalize_partials(numeric_partials(a.unionByName(b), ["n_tok"]))
     m, d = _final_rows(merged)["n_tok"], _final_rows(direct)["n_tok"]
     assert m.row_count == d.row_count and m.distinct_est == d.distinct_est
+
+
+def test_incremental_median_from_merged_histograms(spark):
+    """Quantile state merges: the median interpolated from histogram
+    partials merged across 3 disjoint slices is within one bucket width of
+    the exact median, identical under any merge order, and NULL when no
+    histogram state was requested."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+        numeric_partials,
+    )
+
+    df = spark.range(1, 10001).select((F.col("id") % 997).alias("x"))
+    width = 10.0
+    slices = [df.filter(F.abs(F.xxhash64("x")) % 3 == i) for i in range(3)]
+    parts = [numeric_partials(s, ["x"], hist_widths={"x": width}) for s in slices]
+
+    exact = df.agg(F.expr("percentile(x, 0.5)")).collect()[0][0]
+    fin = finalize_partials(merge_partials(*parts)).collect()[0]
+    assert fin.median_est is not None
+    assert abs(fin.median_est - exact) <= width
+    assert fin.row_count == 10000
+
+    # merge order never changes the state
+    reordered = finalize_partials(merge_partials(parts[2], parts[0], parts[1])).collect()[0]
+    assert reordered.median_est == fin.median_est
+
+    # old-style partials (no histogram columns) still merge; median NULL
+    legacy = numeric_partials(slices[0], ["x"]).drop("hist", "hist_width")
+    mixed = finalize_partials(merge_partials(legacy, parts[1].drop("hist", "hist_width"))).collect()[0]
+    assert mixed.median_est is None and mixed.row_count > 0
