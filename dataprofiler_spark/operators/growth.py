@@ -235,3 +235,36 @@ def daily_count_anomalies(
             F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
         )
     )
+
+
+def metric_history_anomalies(
+    history: DataFrame,
+    group_cols: list[str],
+    metric_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Generic z-score anomaly flagging over a stored metric history: each
+    observation of `metric_col` is scored against ITS OWN group's
+    mean/stddev_pop across snapshots → all history columns + (z,
+    is_anomaly). The closed-loop monitor the reference's dashboard eyeballs
+    (metric-delta panels), made into a verdict: a profile snapshot whose
+    row_count/null rate/distinct count deviates > z_threshold σ from the
+    column's history flags a data incident.
+
+    Same shape as daily_count_anomalies: one group-sized stats aggregate +
+    a broadcast join back — no window over the history. Groups with <2
+    snapshots or zero variance yield z = NULL / is_anomaly = false."""
+    stats = history.groupBy(*group_cols).agg(
+        F.avg(metric_col).alias("__mean"), F.stddev_pop(metric_col).alias("__std")
+    )
+    z = F.when(
+        F.col("__std") > 0, (F.col(metric_col) - F.col("__mean")) / F.col("__std")
+    )
+    return (
+        history.join(F.broadcast(stats), group_cols)
+        .select(
+            *history.columns,
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+        )
+    )

@@ -153,6 +153,27 @@ class MetricsStore:
             df = df.filter(F.col("scan_time") >= cutoff)
         return df
 
+    def metric_anomalies(
+        self,
+        metric: str = "row_count",
+        table: str = "data_profiles",
+        key_cols: tuple[str, ...] = ("table_name", "column_name"),
+        z_threshold: float = 2.0,
+        since_days: float | None = None,
+    ) -> DataFrame:
+        """Closed-loop monitoring over the store's own history: z-score
+        every snapshot's `metric` against that (table, column)'s history
+        and flag deviations > z_threshold σ — the metric-delta dashboard
+        panel as a verdict (growth.metric_history_anomalies over S6)."""
+        from dataprofiler_spark.operators.growth import metric_history_anomalies
+
+        return metric_history_anomalies(
+            self.read(table, since_days=since_days),
+            list(key_cols),
+            metric,
+            z_threshold=z_threshold,
+        )
+
     def latest_snapshot(self, table: str, key_cols: list[str]) -> DataFrame:
         """W2: latest scan per key (reference app.py:251-287 max-scan-time
         filter / ClickHouse LIMIT 1 BY, app.py:627-645)."""

@@ -112,3 +112,26 @@ def test_schema_profile_and_objects_end_to_end(spark, tmp_path):
     assert drift[("VIEW", "v_sum")].hash_differs is True
     assert drift[("VIEW", "v_sum")].definition_hash_env1 == "b2"  # latest snapshot
     assert drift[("PROCEDURE", "sp_load")].in_env2 is False
+
+
+def test_metric_history_anomaly_detection(spark, tmp_path):
+    """Closed loop: profile snapshots append to the store; a snapshot whose
+    row_count spikes far outside the column's own history is flagged by
+    the z-score monitor; stable metrics are not."""
+    store = MetricsStore(spark, str(tmp_path / "m"))
+    store.init()
+    # 9 stable snapshots + 1 spike: with n observations a single outlier's
+    # z is bounded by sqrt(n-1), so a 5-point history can never cross 2.0
+    series = [1000, 1010, 990, 1005, 995, 1002, 998, 1007, 993, 5000]
+    for i, rc in enumerate(series):
+        df = spark.createDataFrame(
+            [("docs", "doc_id", rc), ("docs", "n_chars", 1000 + i)],
+            "table_name string, column_name string, row_count long",
+        )
+        store.append("data_profiles", df, scan_time=1700000000.0 + i * 86400)
+    out = store.metric_anomalies(metric="row_count")
+    flagged = [(r.column_name, r.row_count) for r in out.collect() if r.is_anomaly]
+    assert flagged == [("doc_id", 5000)]
+    # stable series: z defined but small, never flagged
+    stable = [r for r in out.collect() if r.column_name == "n_chars"]
+    assert all(not r.is_anomaly for r in stable)
