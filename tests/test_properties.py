@@ -78,3 +78,43 @@ def test_alert_status_monotone_in_usage(usage):
     a = alert_status(None, usage)
     b = alert_status(None, min(usage + 10, 100.0))
     assert order[b] >= order[a]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+@settings(max_examples=10, deadline=None)
+def test_star_cc_equals_label_cc_property(edges):
+    """Alternating-star CC and min-label CC must produce identical
+    components on arbitrary random graphs (few examples: Spark-backed)."""
+    from dataprofiler_spark import get_spark
+    from dataprofiler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "key1 bigint, key2 bigint")
+    label = {r.node: r.component for r in connected_components(df, max_iterations=60).collect()}
+    star = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert star == label
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8)
+)
+@settings(max_examples=8, deadline=None)
+def test_repetition_fractions_bounded_property(texts):
+    """dup_word_frac / dup_bigram_frac always land in [0, 1] — any input,
+    including empty strings and all-space strings."""
+    from dataprofiler_spark import get_spark
+    from dataprofiler_spark.operators.textstats import repetition_stats
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    for r in repetition_stats(df).collect():
+        assert 0.0 <= r.dup_word_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0

@@ -183,3 +183,29 @@ def test_cli_suggest_and_enforce_expectations(tmp_path):
     summary_bad = json.loads(bad.stdout.strip().splitlines()[-1])
     # violations break generated expectations on top of the built-in checks
     assert summary_bad["checks_failed"] > summary_ok["checks_failed"]
+
+
+def test_package_zip_importable(tmp_path):
+    """The --py-files artifact must be importable via zipimport exactly as
+    executors would import it (fresh interpreter, zip as the ONLY path to
+    the package)."""
+    import subprocess
+    import sys
+
+    from dataprofiler_spark.package import build_zip
+
+    out = build_zip(str(tmp_path / "dataprofiler_spark.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "sys.modules.pop('dataprofiler_spark', None); "
+        "import dataprofiler_spark.operators.profile as p, "
+        "dataprofiler_spark.operators.checks as c, "
+        "dataprofiler_spark.queries as q; "
+        "print('zip-import-ok', p.__file__.startswith(%r))" % (out, out)
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=str(tmp_path), env={"PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "zip-import-ok True" in r.stdout
