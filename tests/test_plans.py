@@ -237,3 +237,30 @@ def test_incremental_file_validation(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     ledger.record_files(files2)
     assert validate_incremental(spark.read.parquet(base), ledger)[0].count() == 0
+
+
+def test_new_ops_plan_shapes(spark):
+    """Round-3 operators keep their designed physical shapes: the
+    contamination benchmark side and the anomaly stats side are BROADCAST
+    (never a shuffle of the corpus against tiny metadata); repetition
+    stats are expression-only (no exchange, no Python)."""
+    from dataprofiler_spark.operators.dedup import contamination_check
+    from dataprofiler_spark.operators.growth import daily_count_anomalies
+    from dataprofiler_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    p = plan_of(contamination_check(corpus, bench))
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "a")], "ts_s string, event_type string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    p = plan_of(daily_count_anomalies(ev, "event_type"))
+    assert "BroadcastHashJoin" in p
+
+    p = plan_of(repetition_stats(docs).select("doc_id", "dup_word_frac", "dup_bigram_frac"))
+    assert "Exchange" not in p  # map-side only
+    assert "EvalPython" not in p
