@@ -292,3 +292,23 @@ def numeric_correlations(
         for b in cols[i + 1 :]:
             aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}__{b}"))
     return df.groupBy(*group_by).agg(*aggs)
+
+
+def partition_skew_report(df: DataFrame, part_col: str) -> DataFrame:
+    """Per-partition row distribution + skew diagnosis: (partition, rows,
+    fraction, rows_over_avg) with rows_over_avg = partition rows / mean
+    partition rows — the metric that decides whether the salted
+    repartitioning path (plans/salting.py) is needed for a key. One
+    aggregate scan + a partition-count-sized window."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(part_col).cast("string").alias("partition_value")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "partition_value",
+        "rows",
+        F.round(F.col("rows") / F.sum("rows").over(w), 4).alias("fraction"),
+        F.round(F.col("rows") / F.avg("rows").over(w), 4).alias("rows_over_avg"),
+    )

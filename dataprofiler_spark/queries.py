@@ -1763,3 +1763,20 @@ def incremental_median_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("exact_median"),
         (F.abs(F.col("median_est") - F.col("m")) <= width).alias("median_ok"),
     )
+
+
+@register(
+    "skew_report_documents_by_source",
+    """SELECT CAST(source AS VARCHAR) AS partition_value, COUNT(*) AS rows,
+  ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 4) AS fraction,
+  ROUND(COUNT(*) * 1.0 / AVG(COUNT(*)) OVER (), 4) AS rows_over_avg
+FROM documents GROUP BY source""",
+)
+def skew_report_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnosis: per-partition row share and
+    rows-over-average factor — the input to the 'does this key need
+    salting' decision (north_rule: skew handled explicitly)."""
+    from dataprofiler_spark.operators.profile import partition_skew_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return partition_skew_report(docs, "source")

@@ -137,3 +137,15 @@ def test_array_profile_tokens(spark):
     # grouped variant: one row per (group, column)
     g = array_profile(df.withColumn("g", F.col("id") % 2), "t", group_by=["g"])
     assert g.count() == 2
+
+
+def test_partition_skew_report(spark):
+    from dataprofiler_spark.operators.profile import partition_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10, "src string"
+    )
+    rows = {r.partition_value: r for r in partition_skew_report(df, "src").collect()}
+    assert rows["hot"].fraction == 0.8
+    assert rows["hot"].rows_over_avg == 2.4  # 80 / mean(80,10,10)
+    assert rows["a"].rows_over_avg == 0.3
