@@ -158,6 +158,21 @@ def run_row_checks(
     return verdicts, violations
 
 
+def _cap_per_partition(violations: DataFrame, cap: int) -> DataFrame:
+    """Violation cap PER (check, partition) — each single-check violation
+    frame has a constant check_name, so a window on partition_value alone
+    gives the documented cap × partitions bound. A global .limit() would
+    both funnel rows through one task under mass failure AND starve later
+    partitions of their violation budget (rows beyond the first cap's
+    worth read as 'partition clean')."""
+    w = Window.partitionBy("partition_value").orderBy("key")
+    return (
+        violations.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def uniqueness_check(
     df: DataFrame,
     table_name: str,
@@ -199,14 +214,14 @@ def uniqueness_check(
             (F.col("violation_count") == 0).alias("passed"),
         )
     )
-    violations = (
+    violations = _cap_per_partition(
         dups.select(
             F.lit(f"unique_{key_col}").alias("check_name"),
             F.col(part_col).cast("string").alias("partition_value"),
             F.col(key_col).cast("string").alias("key"),
             F.concat(F.lit("duplicate_count="), F.col("__cnt").cast("string")).alias("detail"),
-        )
-        .limit(violation_cap)
+        ),
+        violation_cap,
     )
     return verdicts, violations
 
@@ -240,12 +255,15 @@ def referential_integrity_check(
         F.coalesce(F.col("violation_count"), F.lit(0)).cast("long").alias("violation_count"),
         (F.coalesce(F.col("violation_count"), F.lit(0)) == 0).alias("passed"),
     )
-    violations = orphans.select(
-        F.lit(f"ri_{key_col}").alias("check_name"),
-        F.col(part_col).cast("string").alias("partition_value"),
-        F.col(key_col).cast("string").alias("key"),
-        F.concat(F.lit("orphan "), F.lit(key_col), F.lit("=") , F.col(key_col).cast("string")).alias("detail"),
-    ).limit(violation_cap)
+    violations = _cap_per_partition(
+        orphans.select(
+            F.lit(f"ri_{key_col}").alias("check_name"),
+            F.col(part_col).cast("string").alias("partition_value"),
+            F.col(key_col).cast("string").alias("key"),
+            F.concat(F.lit("orphan "), F.lit(key_col), F.lit("=") , F.col(key_col).cast("string")).alias("detail"),
+        ),
+        violation_cap,
+    )
     return verdicts, violations
 
 
@@ -376,8 +394,16 @@ def reference_equality_check(
         joined = left.join(right.hint("SHUFFLE_HASH"), key_col, "inner")
         eq = F.col("__h1") == F.col("__h2")
 
+        # fetch budget per PARTITION (window), not a global limit — under
+        # mass mismatch a global budget is spent entirely on the first
+        # partition and the rest report zero confirmed violations
+        mw = Window.partitionBy(part_col).orderBy(key_col)
         mismatch_keys = (
-            joined.filter(~eq).select(key_col, part_col).limit(violation_cap * 2)
+            joined.filter(~eq)
+            .select(key_col, part_col)
+            .withColumn("__rn", F.row_number().over(mw))
+            .filter(F.col("__rn") <= violation_cap * 2)
+            .drop("__rn")
         )
         arrs = df.join(F.broadcast(mismatch_keys.select(key_col)), key_col).select(
             key_col, part_col, array_col
@@ -411,9 +437,8 @@ def reference_equality_check(
         F.col("violation_count").cast("long"),
         (F.col("violation_count") == 0).alias("passed"),
     )
-    violations = (
-        mismatched.filter(~confirm)
-        .select(
+    violations = _cap_per_partition(
+        mismatched.filter(~confirm).select(
             F.lit(f"{array_col}_match_reference").alias("check_name"),
             F.col(part_col).cast("string").alias("partition_value"),
             F.col(key_col).cast("string").alias("key"),
@@ -421,8 +446,8 @@ def reference_equality_check(
                 F.lit("len="), F.size(array_col).cast("string"),
                 F.lit(" ref_len="), F.size("__ref_arr").cast("string"),
             ).alias("detail"),
-        )
-        .limit(violation_cap)
+        ),
+        violation_cap,
     )
     return verdicts, violations
 

@@ -508,7 +508,13 @@ def contamination_check(
     set → broadcast semi-join against the corpus's exploded shingle hashes
     (no shuffle of the corpus); only 64-bit hashes move, never text. For a
     large benchmark set, pass broadcast_benchmark=False to fall back to a
-    shuffle join on the shingle hash."""
+    shuffle join on the shingle hash.
+
+    ONE corpus scan: the per-doc shingle count rides the exploded rows
+    (size of the array computed before the explode) instead of a separate
+    sizes aggregate — referencing the exploded frame from two branches
+    would re-run the whole split+shingle+md5 pipeline twice (CLAUDE.md
+    gotcha 16; plan-gated in tests)."""
     bench_shingles = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
@@ -518,26 +524,30 @@ def contamination_check(
     )
     if broadcast_benchmark:
         bench_shingles = F.broadcast(bench_shingles)
-    corpus_shingles = corpus.select(
+    staged = corpus.select(
         F.col(key_col).alias("key"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
-    ).select("key", _token_long_hash(F.col("s")).alias("h"))
-    sizes = corpus_shingles.groupBy("key").agg(F.count(F.lit(1)).alias("n_shingles"))
+        word_shingles(F.col(text_col), shingle_k).alias("__sh"),
+    )
+    corpus_shingles = staged.select(
+        "key",
+        F.size("__sh").alias("n_shingles"),
+        F.explode("__sh").alias("s"),
+    ).select("key", "n_shingles", _token_long_hash(F.col("s")).alias("h"))
     hits = (
         corpus_shingles.join(bench_shingles, "h")
         .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-    )
-    return (
-        hits.join(sizes, "key")
-        .select(
-            F.col("key").alias(key_col),
-            "n_shared_shingles",
-            "n_shingles",
-            F.round(F.col("n_shared_shingles") / F.col("n_shingles"), 6).alias(
-                "overlap_frac"
-            ),
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_shingles"),
+            F.first("n_shingles").alias("n_shingles"),
         )
+    )
+    return hits.select(
+        F.col("key").alias(key_col),
+        "n_shared_shingles",
+        "n_shingles",
+        F.round(F.col("n_shared_shingles") / F.col("n_shingles"), 6).alias(
+            "overlap_frac"
+        ),
     )
 
 

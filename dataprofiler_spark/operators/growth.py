@@ -219,14 +219,17 @@ def daily_count_anomalies(
     daily = df.groupBy(
         F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # null-safe join back: a NULL group value (rows with a missing
+    # source/type — exactly the feed most likely to misbehave) must keep
+    # its history, not vanish through a plain equi-join
     stats = daily.groupBy(group_col).agg(
         F.avg("cnt").alias("__mean"), F.stddev_pop("cnt").alias("__std")
-    )
+    ).withColumnRenamed(group_col, "__g")
     z = F.when(
         F.col("__std") > 0, (F.col("cnt") - F.col("__mean")) / F.col("__std")
     )
     return (
-        daily.join(F.broadcast(stats), group_col)
+        daily.join(F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("__g")))
         .select(
             group_col,
             "day",
@@ -252,16 +255,23 @@ def metric_history_anomalies(
     column's history flags a data incident.
 
     Same shape as daily_count_anomalies: one group-sized stats aggregate +
-    a broadcast join back — no window over the history. Groups with <2
-    snapshots or zero variance yield z = NULL / is_anomaly = false."""
+    a null-safe broadcast join back (NULL group keys keep their history) —
+    no window over the history. Groups with <2 snapshots or zero variance
+    yield z = NULL / is_anomaly = false."""
     stats = history.groupBy(*group_cols).agg(
         F.avg(metric_col).alias("__mean"), F.stddev_pop(metric_col).alias("__std")
     )
+    for i, g in enumerate(group_cols):
+        stats = stats.withColumnRenamed(g, f"__g{i}")
+    cond = None
+    for i, g in enumerate(group_cols):
+        eq = F.col(g).eqNullSafe(F.col(f"__g{i}"))
+        cond = eq if cond is None else (cond & eq)
     z = F.when(
         F.col("__std") > 0, (F.col(metric_col) - F.col("__mean")) / F.col("__std")
     )
     return (
-        history.join(F.broadcast(stats), group_cols)
+        history.join(F.broadcast(stats), cond)
         .select(
             *history.columns,
             F.round(z, 6).alias("z"),

@@ -124,9 +124,16 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
     """Combine any number of stored partial frames (snapshots, partitions,
     incremental appends) into one partial frame — counts/sums add, min/max
     combine, HLL sketches unite, histogram bucket counts add. Associative
-    and commutative: merge order never changes the result. Frames written
-    before the histogram state existed merge fine (missing columns read as
-    NULL)."""
+    and commutative: merge order never changes the result.
+
+    Histogram validity under merge: the combined histogram is kept ONLY
+    when every contributing partial carries one (a legacy partial without
+    quantile state leaves rows unrepresented — a median interpolated over
+    part of the mass would be silently wrong) AND all stored widths agree
+    (bucket ids under different widths mean different value ranges).
+    Otherwise hist/hist_width merge to NULL and finalize_partials reports
+    median_est = NULL — absent, never garbage. Moment/HLL state merges
+    regardless."""
     allp = partials[0]
     for p in partials[1:]:
         allp = allp.unionByName(p, allowMissingColumns=True)
@@ -141,7 +148,9 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
         F.min("mn").alias("mn"),
         F.max("mx").alias("mx"),
         F.hll_union_agg("hll").alias("hll"),
-        F.max("hist_width").alias("hist_width"),
+        F.max("hist_width").alias("__w"),
+        F.bool_and(F.col("hist").isNotNull()).alias("__complete"),
+        F.count_distinct("hist_width").alias("__n_widths"),
     )
     merged_hist = (
         allp.select("column_name", F.explode("hist").alias("b", "c"))
@@ -151,10 +160,15 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
         .agg(
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("b", "c")))
-            ).alias("hist")
+            ).alias("__hist")
         )
     )
-    return base.join(merged_hist, "column_name", "left").select(*PARTIAL_COLS)
+    hist_ok = F.col("__complete") & (F.col("__n_widths") == 1)
+    return base.join(merged_hist, "column_name", "left").select(
+        "column_name", "n", "nn", "s", "s2", "mn", "mx", "hll",
+        F.when(hist_ok, F.col("__hist")).alias("hist"),
+        F.when(hist_ok, F.col("__w")).alias("hist_width"),
+    )
 
 
 def finalize_partials(partials: DataFrame, num_decimals: int = 6) -> DataFrame:

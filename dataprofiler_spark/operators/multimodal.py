@@ -123,25 +123,33 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 def _png_decode_builtin(buf: bytes) -> np.ndarray | None:
     """Built-in minimal PNG decoder: chunk walk → zlib inflate → scanline
-    de-filtering (filters 0-4), 8-bit grayscale only. Real codec-stream
-    parsing; anything it can't parse returns None (byte-stats fallback)."""
+    de-filtering (filters 0-4), 8-bit grayscale, non-interlaced only. Real
+    codec-stream parsing; anything it can't parse returns None (byte-stats
+    fallback) — including truncated/corrupt streams (any parse error is
+    caught by decode_image, never propagated into the Spark task)."""
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, idat, w, h, depth, color = 8, b"", None, None, None, None
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
     while pos + 8 <= len(buf):
         ln = int.from_bytes(buf[pos : pos + 4], "big")
         tag = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
+            if len(data) < 13:
+                return None
             w, h, depth, color = struct.unpack(">IIBB", data[:10])
+            interlace = data[12]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
-    if not idat or depth != 8 or color != 0:
+    if not idat or depth != 8 or color != 0 or interlace != 0:
         return None
     raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        return None
     out = np.empty((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
     i = 0
@@ -176,13 +184,16 @@ def _png_decode_builtin(buf: bytes) -> np.ndarray | None:
 
 def decode_image(buf: bytes) -> np.ndarray | None:
     """Decode an image payload to a grayscale uint8 array: PIL when the
-    library is present (any format), built-in PNG parsing otherwise."""
-    if _PILImage is not None:
-        try:
+    library is present (any format), built-in PNG parsing otherwise.
+    ANY decode failure (truncated IDAT → zlib.error, short buffers, bad
+    headers) returns None — one corrupt asset must fall back to byte
+    stats, never kill the mapInPandas task."""
+    try:
+        if _PILImage is not None:
             return np.asarray(_PILImage.open(io.BytesIO(buf)).convert("L"))
-        except Exception:
-            return None
-    return _png_decode_builtin(buf)
+        return _png_decode_builtin(buf)
+    except Exception:
+        return None
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

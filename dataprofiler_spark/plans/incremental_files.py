@@ -29,30 +29,48 @@ from dataprofiler_spark.plans.manifest import Manifest
 
 
 class FileLedger:
-    """Validated-file set stored next to the partition manifest: one JSON
-    file, atomically replaced (temp + rename) — a killed run never leaves
-    a torn ledger. Append-only semantics: recording merges with what's on
-    disk, so two racing runs can only over-validate files they each fully
-    processed, never lose entries."""
+    """Validated-file set stored next to the partition manifest as
+    APPEND-ONLY shards: each record_files call writes its OWN
+    `files-<contenthash>.json` (temp + atomic rename), and
+    validated_files() is the union over all shards. Two racing runs each
+    write their own shard, so neither can lose the other's entries (a
+    read-merge-rewrite of one shared file would be last-writer-wins —
+    lost entries mean files get re-validated and their rows appended
+    AGAIN to the append-only sinks). Identical file sets hash to the same
+    shard name, so re-recording is idempotent. A killed run leaves no
+    torn shard (rename is atomic)."""
 
     def __init__(self, manifest: Manifest | str):
         self.dir = manifest.dir if isinstance(manifest, Manifest) else manifest
         os.makedirs(self.dir, exist_ok=True)
-        self._path = os.path.join(self.dir, "validated_files.json")
+
+    def _shards(self) -> list[str]:
+        return [
+            os.path.join(self.dir, fn)
+            for fn in sorted(os.listdir(self.dir))
+            if fn.startswith("files-") and fn.endswith(".json")
+        ]
 
     def validated_files(self) -> set[str]:
-        if not os.path.exists(self._path):
-            return set()
-        with open(self._path) as f:
-            return set(json.load(f))
+        out: set[str] = set()
+        for path in self._shards():
+            with open(path) as f:
+                out.update(json.load(f))
+        return out
 
     def record_files(self, files: list[str] | set[str]) -> None:
-        merged = sorted(self.validated_files() | set(files))
+        import hashlib
+
+        entries = sorted(set(files))
+        if not entries:
+            return
+        digest = hashlib.md5("\n".join(entries).encode()).hexdigest()[:16]
+        target = os.path.join(self.dir, f"files-{digest}.json")
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump(merged, f)
-            os.replace(tmp, self._path)
+                json.dump(entries, f)
+            os.replace(tmp, target)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

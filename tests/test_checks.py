@@ -157,3 +157,35 @@ def test_violation_cap_is_per_check_per_partition(spark):
     per_part = {r["partition_value"]: r["count"] for r in
                 violations.groupBy("partition_value").count().collect()}
     assert per_part == {"0": 10, "1": 10, "2": 10, "3": 10}
+
+
+def test_violation_caps_are_per_partition_everywhere(spark):
+    """uniqueness/RI/equality violation caps bound rows PER (check,
+    partition) — a global limit starves later partitions of their budget
+    (mass failure in one partition would read as 'other partitions
+    clean')."""
+    from dataprofiler_spark.operators.checks import (
+        referential_integrity_check,
+        uniqueness_check,
+    )
+
+    rows = [(f"dup{i % 3}", p) for p in ("p1", "p2") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    _, v = uniqueness_check(df, "t", violation_cap=5)
+    per_part = {r.partition_value: 0 for r in v.collect()}
+    for r in v.collect():
+        per_part[r.partition_value] += 1
+    assert per_part == {"p1": 5, "p2": 5}  # 5 per partition, not 5 total
+
+    parents = spark.createDataFrame([("known",)], "source string")
+    orphans = spark.createDataFrame(
+        [(f"k{i}", p) for p in ("p1", "p2") for i in range(20)],
+        "doc_id string, source2 string",
+    ).withColumnRenamed("source2", "source")
+    _, rv = referential_integrity_check(
+        orphans, parents, "t", key_col="source", part_col="source", violation_cap=3
+    )
+    counts = {}
+    for r in rv.collect():
+        counts[r.partition_value] = counts.get(r.partition_value, 0) + 1
+    assert all(c == 3 for c in counts.values()) and len(counts) == 2

@@ -145,3 +145,21 @@ def test_daily_count_anomalies_planted_spike(spark):
     assert all(not r.is_anomaly for k, r in out.items() if k != ("a", "2024-01-05"))
     # zero-variance group: z is NULL, flagged False
     assert out[("b", "2024-01-01")].z is None
+
+
+def test_anomalies_keep_null_group(spark):
+    """Rows with a NULL group value keep their history through the
+    null-safe join — a dropped-feed incident on the NULL-source rows is
+    exactly what the monitor must flag, not silently drop."""
+    from dataprofiler_spark.operators.growth import daily_count_anomalies
+
+    rows = []
+    for d in range(1, 11):
+        n = 50 if d == 5 else 5
+        rows += [(f"2024-01-{d:02d} 12:00:00", None)] * n
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = daily_count_anomalies(df, "event_type").collect()
+    assert len(out) == 10  # NULL group fully present
+    assert sum(1 for r in out if r.is_anomaly) == 1

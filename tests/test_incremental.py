@@ -92,3 +92,26 @@ def test_incremental_median_from_merged_histograms(spark):
     legacy = numeric_partials(slices[0], ["x"]).drop("hist", "hist_width")
     mixed = finalize_partials(merge_partials(legacy, parts[1].drop("hist", "hist_width"))).collect()[0]
     assert mixed.median_est is None and mixed.row_count > 0
+
+
+def test_histogram_invalidated_on_partial_or_mismatched_state(spark):
+    """A merged histogram is only trusted when EVERY partial carries one
+    with the SAME width: legacy+hist mixes and width mismatches must yield
+    median_est = NULL (absent), never a silently shifted value."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+        numeric_partials,
+    )
+
+    df = spark.range(1, 2001).select((F.col("id") % 97).alias("x"))
+    a, b = (df.filter(F.abs(F.xxhash64("x", F.lit(i))) % 2 == 0) for i in (1, 2))
+    with_hist = numeric_partials(a, ["x"], hist_widths={"x": 10.0})
+    legacy = numeric_partials(b, ["x"]).drop("hist", "hist_width")
+    mixed = finalize_partials(merge_partials(with_hist, legacy)).collect()[0]
+    assert mixed.median_est is None  # incomplete mass → no median claim
+    assert mixed.row_count == a.count() + b.count()  # moments still merge
+
+    other_width = numeric_partials(b, ["x"], hist_widths={"x": 25.0})
+    clash = finalize_partials(merge_partials(with_hist, other_width)).collect()[0]
+    assert clash.median_est is None  # mismatched widths → no median claim

@@ -117,3 +117,25 @@ def test_profile_assets(spark, assets):
     assert set(prof) == {"image", "audio", "video"}
     assert prof["video"].min_bytes == prof["video"].max_bytes == 1024 * 16
     assert prof["image"].asset_count == 100
+
+
+def test_corrupt_png_falls_back_not_crashes(spark):
+    """A payload with the PNG magic but a truncated/corrupt body must fall
+    back to byte stats (decoded=False) — never kill the mapInPandas task."""
+    from dataprofiler_spark.operators.multimodal import decode_image, png_encode
+
+    import numpy as np
+
+    valid = png_encode(np.zeros((4, 4), dtype=np.uint8))
+    corrupt = valid[: len(valid) // 2]  # truncated IDAT
+    assert decode_image(corrupt) is None
+    assert decode_image(b"\x89PNG\r\n\x1a\n" + b"garbage" * 4) is None
+
+    rows = [
+        ("a1", "image", bytes(corrupt), None),
+        ("a2", "image", bytes(valid), None),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r.asset_id: r for r in extract_features(df).collect()}
+    assert out["a1"].decoded is False  # fallback, job alive
+    assert out["a2"].decoded is True

@@ -264,3 +264,34 @@ def test_new_ops_plan_shapes(spark):
     p = plan_of(repetition_stats(docs).select("doc_id", "dup_word_frac", "dup_bigram_frac"))
     assert "Exchange" not in p  # map-side only
     assert "EvalPython" not in p
+
+
+def test_contamination_single_corpus_scan(spark):
+    """contamination_check must scan the corpus ONCE (shingle count rides
+    the exploded rows) — a separate sizes aggregate re-ran the whole
+    split+shingle+md5 pipeline."""
+    from dataprofiler_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = contamination_check(
+        docs.filter(F.col("doc_id") % 41 != 0), docs.filter(F.col("doc_id") % 41 == 0)
+    )
+    # exactly 2 scans total: one corpus side, one benchmark side
+    assert plan_of(q).count("Scan parquet") == 2
+
+
+def test_file_ledger_concurrent_records_never_lose_entries(tmp_path):
+    """Two racing runs record different file sets without re-reading each
+    other: append-only shards mean the union survives (a read-merge-write
+    of one shared file would be last-writer-wins)."""
+    from dataprofiler_spark.plans.incremental_files import FileLedger
+
+    a = FileLedger(str(tmp_path / "m"))
+    b = FileLedger(str(tmp_path / "m"))
+    # both observe the empty ledger, then record independently
+    a.record_files(["f1.parquet"])
+    b.record_files(["f2.parquet"])
+    assert a.validated_files() == {"f1.parquet", "f2.parquet"}
+    # idempotent re-record: same content, same shard
+    a.record_files(["f1.parquet"])
+    assert a.validated_files() == {"f1.parquet", "f2.parquet"}
