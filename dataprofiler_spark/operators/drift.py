@@ -14,7 +14,7 @@ is a tiny broadcast join of two histogram frames.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,9 +39,10 @@ def _joined_proportions(
     baseline: DataFrame, current: DataFrame, key_cols: list[str], eps: float
 ) -> DataFrame:
     """Full-outer join of two histograms with epsilon-smoothed proportions
-    (buckets present on one side only must not produce ±inf)."""
-    b_tot = baseline.agg(F.sum("cnt")).collect()[0][0] or 0
-    c_tot = current.agg(F.sum("cnt")).collect()[0][0] or 0
+    (buckets present on one side only must not produce ±inf). Totals ride
+    the joined frame as unpartitioned window sums (histogram-sized input),
+    so the caller's aggregate is ONE job — no separate driver round-trips
+    for the totals."""
     b = baseline.withColumnRenamed("cnt", "b_cnt").alias("b")
     c = current.withColumnRenamed("cnt", "c_cnt").alias("c")
     # null-safe equality: the NULL bucket (null-rate mass) must match the
@@ -56,12 +57,16 @@ def _joined_proportions(
         F.coalesce(F.col("b_cnt"), F.lit(0)).alias("b_cnt"),
         F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
     )
+    w_all = Window.partitionBy()
+    b_tot = F.greatest(F.sum("b_cnt").over(w_all), F.lit(1))
+    c_tot = F.greatest(F.sum("c_cnt").over(w_all), F.lit(1))
     return joined.select(
         *key_cols,
         "b_cnt",
         "c_cnt",
-        F.greatest(F.col("b_cnt") / F.lit(max(b_tot, 1)), F.lit(eps)).alias("p_base"),
-        F.greatest(F.col("c_cnt") / F.lit(max(c_tot, 1)), F.lit(eps)).alias("p_cur"),
+        c_tot.alias("c_tot"),
+        F.greatest(F.col("b_cnt") / b_tot, F.lit(eps)).alias("p_base"),
+        F.greatest(F.col("c_cnt") / c_tot, F.lit(eps)).alias("p_cur"),
     )
 
 
@@ -95,28 +100,22 @@ def chi_squared(
     Buckets with zero baseline mass are excluded (no expected count)."""
     key_cols = key_cols or ["bucket"]
     j = _joined_proportions(baseline, current, key_cols, eps=0.0)
-    c_tot = current.agg(F.sum("cnt")).collect()[0][0] or 0
+    expected = F.col("p_base") * F.col("c_tot")
     stats = (
         j.filter(F.col("b_cnt") > 0)
-        .select(
-            ((F.col("c_cnt") - F.col("p_base") * c_tot) ** 2 / (F.col("p_base") * c_tot)).alias("term")
-        )
+        .select(((F.col("c_cnt") - expected) ** 2 / expected).alias("term"))
         .agg(F.sum("term").alias("stat"), F.count(F.lit(1)).alias("k"))
         .collect()[0]
     )
     return float(stats["stat"] or 0.0), max(int(stats["k"]) - 1, 0)
 
 
-def drift_by_group(
-    baseline: DataFrame,
-    current: DataFrame,
-    group_col: str,
-    eps: float = 1e-6,
+def _grouped_joined(
+    baseline: DataFrame, current: DataFrame, group_col: str
 ) -> DataFrame:
-    """Per-group PSI and χ² between two grouped histograms
-    ((group, bucket, cnt) each) — fully distributed, one row per group:
-    (group, psi, chi2_stat, chi2_dof). This is the per-partition drift
-    verdict input for the validation pipeline."""
+    """Shared merge for the grouped drift statistics: null-safe full-outer
+    join of two grouped histograms plus per-group totals →
+    (group, bucket, b_cnt, c_cnt, b_tot, c_tot)."""
     b_tot = baseline.groupBy(group_col).agg(F.sum("cnt").alias("b_tot"))
     c_tot = current.groupBy(group_col).agg(F.sum("cnt").alias("c_tot"))
     b = baseline.withColumnRenamed("cnt", "b_cnt").alias("b")
@@ -138,7 +137,7 @@ def drift_by_group(
     # keeps groups that exist on only one side as well
     bt = b_tot.withColumnRenamed(group_col, "__bg").alias("bt")
     ct = c_tot.withColumnRenamed(group_col, "__cg").alias("ct")
-    j = (
+    return (
         merged.join(bt, F.col(group_col).eqNullSafe(F.col("__bg")), "left")
         .join(ct, F.col(group_col).eqNullSafe(F.col("__cg")), "left")
         .select(
@@ -150,6 +149,19 @@ def drift_by_group(
             F.coalesce(F.col("c_tot"), F.lit(0)).alias("c_tot"),
         )
     )
+
+
+def drift_by_group(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group PSI and χ² between two grouped histograms
+    ((group, bucket, cnt) each) — fully distributed, one row per group:
+    (group, psi, chi2_stat, chi2_dof). This is the per-partition drift
+    verdict input for the validation pipeline."""
+    j = _grouped_joined(baseline, current, group_col)
     p_base = F.greatest(F.col("b_cnt") / F.greatest(F.col("b_tot"), F.lit(1)), F.lit(eps))
     p_cur = F.greatest(F.col("c_cnt") / F.greatest(F.col("c_tot"), F.lit(1)), F.lit(eps))
     expected = p_base * F.col("c_tot")
@@ -169,6 +181,89 @@ def drift_by_group(
             6,
         ).alias("chi2_stat"),
         (F.sum(F.when(F.col("b_cnt") > 0, 1).otherwise(0)) - 1).alias("chi2_dof"),
+    )
+
+
+def jsd_by_group(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence between two grouped histograms:
+    JSD = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2, in nats, bounded
+    [0, ln 2 ≈ 0.6931]. Complements PSI/χ²: symmetric, always finite (no
+    epsilon smoothing needed — a bucket absent on one side contributes a
+    bounded term, where PSI's log-ratio diverges and needs eps).
+
+    Same distributed shape as drift_by_group: null-safe full-outer merge +
+    one hash aggregate per group. The reference has no distributional test
+    (this module's header); designed extension like PSI/χ²."""
+    j = _grouped_joined(baseline, current, group_col)
+    p = F.col("b_cnt") / F.greatest(F.col("b_tot"), F.lit(1))
+    q = F.col("c_cnt") / F.greatest(F.col("c_tot"), F.lit(1))
+    m = (p + q) / F.lit(2.0)
+    # 0·log(0/m) ≡ 0 (limit), so gate each KL term on its own mass
+    term = (
+        F.when(F.col("b_cnt") > 0, p * F.log(p / m) / 2).otherwise(F.lit(0.0))
+        + F.when(F.col("c_cnt") > 0, q * F.log(q / m) / 2).otherwise(F.lit(0.0))
+    )
+    return j.groupBy(group_col).agg(F.round(F.sum(term), 6).alias("jsd"))
+
+
+def ks_statistic(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, optionally per group:
+    D = max over observed values of |CDF_base(x) − CDF_cur(x)|, computed on
+    RAW rows (no pre-bucketing — this is the exact test the bucketed
+    PSI/χ² approximate). NULL values carry no order and are excluded; each
+    side's sample size is returned so callers can apply the asymptotic
+    critical value c(α)·√((n+m)/(n·m)).
+
+    Distributed shape: tag each side, union, and run ONE hash aggregate
+    over (group, value) with conditional sums — map-side partials collapse
+    row count to distinct-value count, and the tagged union replaces the
+    two-aggregate + full-outer-join merge (3 shuffles) with a single
+    shuffle. Then a cumulative-sum window per group ordered by value. The
+    window sorts only DISTINCT values within each group (bounded by value
+    cardinality, not row count); for truly continuous high-cardinality
+    columns at corpus scale, quantize first (histogram()) and accept the
+    bucketed approximation — the sort per group is the scale limit of the
+    exact test on any engine.
+    """
+    keys = [group_col] if group_col else []
+    tagged = baseline.filter(F.col(col).isNotNull()).select(
+        *keys, F.col(col).alias("v"), F.lit(1).alias("__b"), F.lit(0).alias("__c")
+    ).unionByName(
+        current.filter(F.col(col).isNotNull()).select(
+            *keys, F.col(col).alias("v"), F.lit(0).alias("__b"), F.lit(1).alias("__c")
+        )
+    )
+    merged = tagged.groupBy(*keys, "v").agg(
+        F.sum("__b").alias("b_cnt"), F.sum("__c").alias("c_cnt")
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    staged = merged.select(
+        *keys,
+        (F.sum("b_cnt").over(w_cum)).alias("cb"),
+        (F.sum("c_cnt").over(w_cum)).alias("cc"),
+        F.greatest(F.sum("b_cnt").over(w_all), F.lit(1)).alias("nb"),
+        F.greatest(F.sum("c_cnt").over(w_all), F.lit(1)).alias("nc"),
+    )
+    return staged.groupBy(*keys).agg(
+        F.round(
+            F.max(F.abs(F.col("cb") / F.col("nb") - F.col("cc") / F.col("nc"))), 6
+        ).alias("ks_stat"),
+        F.max("nb").alias("n_base"),
+        F.max("nc").alias("n_cur"),
     )
 
 

@@ -278,3 +278,53 @@ def metric_history_anomalies(
             F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
         )
     )
+
+
+def metric_history_anomalies_robust(
+    history: DataFrame,
+    group_cols: list[str],
+    metric_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """MAD-based robust variant of metric_history_anomalies: score each
+    observation with the modified z-score 0.6745·(x − median)/MAD, where
+    MAD = median(|x − group median|). A mean/σ z-score is itself dragged by
+    the outlier it is trying to flag (one 100× row-count spike inflates σ
+    enough to hide itself); median/MAD have a 50% breakdown point, so one
+    bad snapshot can never mask itself. 3.5 is the standard
+    Iglewicz–Hoban cutoff.
+
+    Shape: two group-sized aggregates (median, then MAD of deviations —
+    MAD is inherently two-pass: the deviations need the median first) +
+    null-safe broadcast joins back; no window over the history. Zero MAD
+    (≥half the group identical) yields rz = NULL / is_anomaly = false —
+    absent, never ±inf."""
+    med = history.groupBy(*group_cols).agg(F.median(metric_col).alias("__med"))
+    for i, g in enumerate(group_cols):
+        med = med.withColumnRenamed(g, f"__mg{i}")
+    cond = None
+    for i, g in enumerate(group_cols):
+        eq = F.col(g).eqNullSafe(F.col(f"__mg{i}"))
+        cond = eq if cond is None else (cond & eq)
+    with_med = history.join(F.broadcast(med), cond)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.median(F.abs(F.col(metric_col) - F.col("__med"))).alias("__mad")
+    )
+    for i, g in enumerate(group_cols):
+        mad = mad.withColumnRenamed(g, f"__ag{i}")
+    cond2 = None
+    for i, g in enumerate(group_cols):
+        eq = F.col(g).eqNullSafe(F.col(f"__ag{i}"))
+        cond2 = eq if cond2 is None else (cond2 & eq)
+    rz = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col(metric_col) - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        with_med.join(F.broadcast(mad), cond2)
+        .select(
+            *history.columns,
+            F.round(rz, 6).alias("robust_z"),
+            F.coalesce(F.abs(rz) > z_threshold, F.lit(False)).alias("is_anomaly"),
+        )
+    )

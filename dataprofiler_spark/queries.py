@@ -1780,3 +1780,198 @@ def skew_report_documents_by_source(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = load_table(spark, sf_dir, "documents")
     return partition_skew_report(docs, "source")
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: PII, exact KS, JSD, robust (MAD) anomalies.
+# Registered LAST because each is cheap at sf0.01 (regex scan / window over
+# distinct n_chars / tiny daily-count history) — the driver harvest runs in
+# registration order under a budget (CLAUDE.md gotcha 20).
+# --------------------------------------------------------------------------
+
+# PII planted deterministically from doc_id in BOTH engines (gotcha-19
+# pattern: make the data a pure function both engines can replay) — the
+# synthetic corpus has no natural PII, so an unplanted scan would be an
+# all-zeros trivial match.
+_PII_PLANT_SQL = """COALESCE(text, '') || CASE
+  WHEN doc_id % 50 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+  WHEN doc_id % 50 = 1 THEN ' call 555-123-4567 now'
+  WHEN doc_id % 50 = 2 THEN ' from host 10.0.0.1'
+  WHEN doc_id % 50 = 3 THEN ' ssn 123-45-6789'
+  WHEN doc_id % 50 = 4 THEN ' card 4111-1111-1111-1111'
+  ELSE '' END"""
+
+
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    suffix = (
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(F.col("doc_id") % 50 == 1, F.lit(" call 555-123-4567 now"))
+        .when(F.col("doc_id") % 50 == 2, F.lit(" from host 10.0.0.1"))
+        .when(F.col("doc_id") % 50 == 3, F.lit(" ssn 123-45-6789"))
+        .when(F.col("doc_id") % 50 == 4, F.lit(" card 4111-1111-1111-1111"))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    )
+
+
+@register(
+    "pii_summary_documents",
+    """WITH planted AS (
+  SELECT source, {plant} AS t FROM documents
+), scanned AS (
+  SELECT source, t,
+    COALESCE(LENGTH(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')), 0) AS e,
+    COALESCE(LENGTH(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')), 0) AS i,
+    COALESCE(LENGTH(regexp_extract_all(t, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')), 0) AS p,
+    COALESCE(LENGTH(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')), 0) AS s,
+    COALESCE(LENGTH(regexp_extract_all(t, '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b')), 0) AS c,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+      '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+      '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b', '[CARD]', 'g'),
+      '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '[SSN]', 'g'),
+      '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '[PHONE]', 'g') AS red
+  FROM planted
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN e + i + p + s + c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  CAST(SUM(e) AS BIGINT) AS total_email,
+  CAST(SUM(i) AS BIGINT) AS total_ipv4,
+  CAST(SUM(p) AS BIGINT) AS total_phone,
+  CAST(SUM(s) AS BIGINT) AS total_ssn,
+  CAST(SUM(c) AS BIGINT) AS total_credit_card,
+  CAST(SUM(CASE WHEN red <> t THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted
+FROM scanned GROUP BY source""".format(plant=_PII_PLANT_SQL),
+)
+def pii_summary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over deterministically planted PII (the
+    synthetic corpus has none naturally; both engines replay the same
+    doc_id→PII plant). docs_redacted cross-checks redact(): a doc changes
+    under redaction iff it contains PII. Map-side regex only + one
+    group-sized aggregate."""
+    from dataprofiler_spark.operators.pii import pii_summary, redact
+
+    docs = _pii_planted(load_table(spark, sf_dir, "documents"))
+    summary = pii_summary(docs, "text", "source")
+    red = redact(docs, "text").select(
+        "source",
+        (F.col("text_redacted") != F.col("text")).cast("long").alias("chg"),
+    )
+    changed = red.groupBy("source").agg(F.sum("chg").alias("docs_redacted"))
+    return summary.join(changed, "source")
+
+
+@register(
+    "ks_nchars_split",
+    """WITH b AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS bc FROM documents
+  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY lang, n_chars
+), c AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS cc FROM documents
+  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY lang, n_chars
+), m AS (
+  SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.v, c.v) AS v,
+    COALESCE(bc, 0) AS bc, COALESCE(cc, 0) AS cc
+  FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.v = c.v
+), s AS (
+  SELECT lang,
+    SUM(bc) OVER (PARTITION BY lang ORDER BY v) AS cb,
+    SUM(cc) OVER (PARTITION BY lang ORDER BY v) AS ccum,
+    GREATEST(SUM(bc) OVER (PARTITION BY lang), 1) AS nb,
+    GREATEST(SUM(cc) OVER (PARTITION BY lang), 1) AS nc
+  FROM m
+)
+SELECT lang, ROUND(MAX(ABS(cb * 1.0 / nb - ccum * 1.0 / nc)), 6) AS ks_stat,
+  CAST(MAX(nb) AS BIGINT) AS n_base, CAST(MAX(nc) AS BIGINT) AS n_cur
+FROM s GROUP BY lang""",
+)
+def ks_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per lang between the
+    even/odd doc_id halves of the corpus — the unbucketed exact test the
+    PSI/χ² histograms approximate. Distinct-value aggregation + one
+    cumulative window per group."""
+    from dataprofiler_spark.operators.drift import ks_statistic
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_statistic(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        "lang",
+    )
+
+
+@register(
+    "jsd_nchars_split",
+    """WITH b AS (
+  SELECT lang, FLOOR(n_chars / 50) * 50 AS bucket, COUNT(*) AS b_cnt
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY lang, 2
+), c AS (
+  SELECT lang, FLOOR(n_chars / 50) * 50 AS bucket, COUNT(*) AS c_cnt
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY lang, 2
+), m AS (
+  SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.bucket, c.bucket) AS bucket,
+    COALESCE(b_cnt, 0) AS b_cnt, COALESCE(c_cnt, 0) AS c_cnt
+  FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.bucket IS NOT DISTINCT FROM c.bucket
+), t AS (
+  SELECT lang, bucket, b_cnt, c_cnt,
+    GREATEST(SUM(b_cnt) OVER (PARTITION BY lang), 1) AS bt,
+    GREATEST(SUM(c_cnt) OVER (PARTITION BY lang), 1) AS ct
+  FROM m
+)
+SELECT lang, ROUND(SUM(
+  CASE WHEN b_cnt > 0 THEN (b_cnt * 1.0 / bt) * LN((b_cnt * 1.0 / bt) / ((b_cnt * 1.0 / bt + c_cnt * 1.0 / ct) / 2)) / 2 ELSE 0 END
+  + CASE WHEN c_cnt > 0 THEN (c_cnt * 1.0 / ct) * LN((c_cnt * 1.0 / ct) / ((b_cnt * 1.0 / bt + c_cnt * 1.0 / ct) / 2)) / 2 ELSE 0 END
+), 6) AS jsd
+FROM t GROUP BY lang""",
+)
+def jsd_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang Jensen–Shannon divergence between the even/odd halves'
+    n_chars histograms (width 50) — symmetric, finite drift measure
+    complementing PSI/χ² (same merge, different statistic)."""
+    from dataprofiler_spark.operators.drift import histogram, jsd_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    hb = histogram(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", 50.0, ["lang"])
+    hc = histogram(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", 50.0, ["lang"])
+    return jsd_by_group(hb, hc, "lang")
+
+
+@register(
+    "robust_anomalies_events",
+    """WITH d AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, 2
+), med AS (
+  SELECT event_type, MEDIAN(cnt) AS m FROM d GROUP BY event_type
+), j AS (
+  SELECT d.event_type, d.day, d.cnt, med.m FROM d JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, MEDIAN(ABS(cnt - m)) AS mad FROM j GROUP BY event_type
+)
+SELECT j.event_type, j.day, j.cnt,
+  ROUND(CASE WHEN mad > 0 THEN 0.6745 * (j.cnt - j.m) / mad END, 6) AS robust_z,
+  COALESCE(ABS(CASE WHEN mad > 0 THEN 0.6745 * (j.cnt - j.m) / mad END) > 3.5, FALSE) AS is_anomaly
+FROM j JOIN mad USING (event_type)""",
+)
+def robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust z-scores over the per-day event-count history: a
+    mean/σ score is dragged by the outlier it hunts; median/MAD has a 50%
+    breakdown point. Two group-sized aggregates + broadcast joins."""
+    from dataprofiler_spark.operators.growth import metric_history_anomalies_robust
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return metric_history_anomalies_robust(daily, ["event_type"], "cnt")

@@ -126,3 +126,65 @@ def test_categorical_entropy_known_values(spark):
     p = [6 / 12, 2 / 12, 4 / 12]
     assert total.entropy == pytest.approx(-sum(x * math.log(x) for x in p), abs=1e-6)
     assert total.n_classes == 3
+
+
+def test_jsd_by_group_properties(spark):
+    """JSD: 0 for identical distributions, symmetric, bounded by ln 2
+    (reached for disjoint supports) — all without epsilon smoothing."""
+    import math
+
+    from dataprofiler_spark.operators.drift import histogram, jsd_by_group
+
+    a = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    b = spark.range(0, 5000).select(
+        ((F.col("id") * 7) % 130).alias("x"), (F.col("id") % 2).cast("string").alias("g")
+    )
+    ha, hb = histogram(a, "x", 10.0, ["g"]), histogram(b, "x", 10.0, ["g"])
+    assert all(r.jsd == 0.0 for r in jsd_by_group(ha, ha, "g").collect())
+    ab = {r.g: r.jsd for r in jsd_by_group(ha, hb, "g").collect()}
+    ba = {r.g: r.jsd for r in jsd_by_group(hb, ha, "g").collect()}
+    assert ab == ba  # symmetric
+    assert all(0 < v <= math.log(2) + 1e-9 for v in ab.values())
+    # disjoint supports -> exactly ln 2
+    c = spark.range(0, 1000).select((F.col("id") % 10 + 1000).alias("x"), F.lit("0").alias("g"))
+    hc = histogram(c, "x", 10.0, ["g"])
+    one = jsd_by_group(ha.filter(F.col("g") == "0"), hc, "g").collect()[0]
+    assert abs(one.jsd - math.log(2)) < 1e-6
+
+
+def test_ks_statistic_exact_vs_numpy(spark):
+    """Grouped exact KS equals the brute-force numpy computation."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.drift import ks_statistic
+
+    a = spark.range(0, 6000).select(
+        (F.col("id") % 97).alias("x"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    b = spark.range(0, 6000).select(
+        ((F.col("id") * 11) % 123).alias("x"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = {r.g: r for r in ks_statistic(a, b, "x", "g").collect()}
+    for g in ("0", "1", "2"):
+        av = np.array([i % 97 for i in range(6000) if i % 3 == int(g)])
+        bv = np.array([(i * 11) % 123 for i in range(6000) if i % 3 == int(g)])
+        vals = np.unique(np.concatenate([av, bv]))
+        d = np.abs(
+            np.searchsorted(np.sort(av), vals, side="right") / len(av)
+            - np.searchsorted(np.sort(bv), vals, side="right") / len(bv)
+        ).max()
+        assert abs(out[g].ks_stat - d) < 1e-6
+        assert out[g].n_base == len(av) and out[g].n_cur == len(bv)
+    # identical samples -> 0
+    assert all(r.ks_stat == 0.0 for r in ks_statistic(a, a, "x", "g").collect())
+
+
+def test_ks_nulls_excluded(spark):
+    from dataprofiler_spark.operators.drift import ks_statistic
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (None,)], "x double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    r = ks_statistic(a, b, "x").collect()[0]
+    assert r.ks_stat == 0.0 and r.n_base == 2  # NULL carries no order

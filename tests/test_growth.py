@@ -163,3 +163,32 @@ def test_anomalies_keep_null_group(spark):
     out = daily_count_anomalies(df, "event_type").collect()
     assert len(out) == 10  # NULL group fully present
     assert sum(1 for r in out if r.is_anomaly) == 1
+
+
+def test_robust_mad_anomalies(spark):
+    """MAD scoring: the planted spike cannot mask itself (50% breakdown),
+    zero-MAD groups make no claim, NULL group keys keep their history."""
+    from dataprofiler_spark.operators.growth import (
+        metric_history_anomalies,
+        metric_history_anomalies_robust,
+    )
+
+    rows = (
+        [("a", float(v)) for v in [10, 11, 9, 10, 12, 10, 1000]]
+        + [("b", 5.0)] * 6
+        + [(None, float(v)) for v in [3, 4, 3, 400]]
+    )
+    df = spark.createDataFrame(rows, "g string, m double")
+    out = {(r.g, r.m): r for r in
+           metric_history_anomalies_robust(df, ["g"], "m").collect()}
+    assert out[("a", 1000.0)].is_anomaly is True
+    assert out[("a", 10.0)].is_anomaly is False
+    assert all(not r.is_anomaly for (g, _), r in out.items() if g == "b")
+    assert out[("b", 5.0)].robust_z is None  # zero MAD -> no claim
+    assert out[(None, 400.0)].is_anomaly is True  # NULL group scored
+
+    # the motivating contrast: with n=7 one 100x spike drags sigma enough
+    # that the plain z-score stays under its own threshold
+    plain = {(r.g, r.m): r for r in
+             metric_history_anomalies(df, ["g"], "m", z_threshold=2.5).collect()}
+    assert abs(plain[("a", 1000.0)].z) < 2.5  # masked for mean/sigma

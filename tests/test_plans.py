@@ -295,3 +295,35 @@ def test_file_ledger_concurrent_records_never_lose_entries(tmp_path):
     # idempotent re-record: same content, same shard
     a.record_files(["f1.parquet"])
     assert a.validated_files() == {"f1.parquet", "f2.parquet"}
+
+
+def test_round3_addition_plan_shapes(spark):
+    """PII is map-side expressions over one scan; KS is a tagged union
+    into ONE aggregate (no two-aggregate + full-outer merge); nothing new
+    routes through a Python UDF."""
+    from dataprofiler_spark.operators.drift import ks_statistic
+    from dataprofiler_spark.operators.pii import pii_summary
+    from dataprofiler_spark.queries import queries
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(pii_summary(docs))
+    assert p.count("Scan parquet") == 1
+    assert "EvalPython" not in p
+
+    k = plan_of(
+        ks_statistic(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            "n_chars",
+            "lang",
+        )
+    )
+    assert "EvalPython" not in k
+    # tagged-union merge: exactly ONE hash-aggregate shuffle feeds the
+    # window (two sides x partial+final = 2 HashAggregate pairs would show
+    # as >2 Exchange hops before the window sort)
+    assert k.count("Union") == 1
+
+    q = plan_of(queries()["robust_anomalies_events"](spark, SF))
+    assert "EvalPython" not in q
+    assert "BroadcastHashJoin" in q  # MAD joins back broadcast, not shuffled
