@@ -1,0 +1,84 @@
+"""Global contiguous id / dense-rank assignment at scale.
+
+`ROW_NUMBER() OVER (ORDER BY key)` plans as Exchange SinglePartition →
+one task sorts the entire table — the classic global-window scale
+killer (fine at 60k rows, dead at 10^12). A training pipeline still
+needs stable contiguous ids (shard/offset addressing, resumable
+iteration order). This operator produces the EXACT same ids with no
+single-task stage, via range bucketing:
+
+1. one column-pruned pass estimates bucket cut points
+   (`approxQuantile` on the key — sampled sketch, any error only
+   skews bucket SIZES, never correctness);
+2. one group-sized aggregate counts rows per bucket → driver-side
+   running offsets (≤ num_buckets scalars);
+3. row_number within each bucket (window partitioned BY BUCKET — each
+   task sorts ~n/num_buckets rows) + the bucket's offset.
+
+Ids are identical to the global ROW_NUMBER because bucket ranges are
+disjoint and ordered: every row in bucket b sorts after all rows of
+buckets < b. The oracle states exactly that equivalence.
+
+The reference has no analog (single-node engines get global order for
+free); this is the Spark-first replacement for the pattern.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "seq_id",
+    num_buckets: int = 32,
+    sample_error: float = 0.001,
+) -> DataFrame:
+    """Add `id_col` = the 0-based global rank of `key_col` — exactly
+    ROW_NUMBER() OVER (ORDER BY key) − 1 — without a single-partition
+    sort. Requires a NUMERIC, NON-NULL key; ids are deterministic iff the
+    key is unique (duplicate keys straddling a cut point get an arbitrary
+    relative order, like any engine's underspecified ROW_NUMBER tie).
+
+    Cost: two column-pruned metadata passes (quantile sketch + bucket
+    counts) + the main pass. At 100 TB the metadata passes read one
+    column and the window sorts 1/num_buckets of the data per task."""
+    key = F.col(key_col)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = df.stat.approxQuantile(key_col, probs, sample_error)
+    # dedupe (heavy skew can collapse adjacent quantiles) and keep order
+    interior = sorted(set(cuts))
+    if interior:
+        # sum of boolean casts stays in whole-stage codegen (an aggregate()
+        # HOF here would be interpreted per element — CLAUDE.md gotcha 15)
+        bucket = reduce(
+            lambda a, b: a + b,
+            [(key >= F.lit(c)).cast("int") for c in interior],
+        )
+    else:
+        bucket = F.lit(0)
+    staged = df.withColumn("__bucket", bucket)
+
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in staged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, run = {}, 0
+    for b in sorted(counts):
+        offsets[b] = run
+        run += counts[b]
+    off_expr = F.lit(0)
+    for b, off in offsets.items():
+        off_expr = F.when(F.col("__bucket") == b, F.lit(off)).otherwise(off_expr)
+
+    w = Window.partitionBy("__bucket").orderBy(key_col)
+    return (
+        staged.withColumn(
+            id_col, (off_expr + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__bucket")
+    )

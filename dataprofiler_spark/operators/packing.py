@@ -1,0 +1,90 @@
+"""Sequence packing: assign documents to fixed-size training chunks.
+
+Pretraining consumes documents as a concatenated token stream split into
+fixed context windows ("concat then chunk"). Planning that packing is a
+corpus-level operation: which chunk does each document start in, how many
+windows does it span, how much of the stream does a boundary split, and
+how full are the chunks per source. The reference has no analog (it
+validates schemas, not corpora); designed LLM-pipeline extension like
+dedup/sampling/pii.
+
+Semantics are the exact concat-then-chunk rule, NOT first-fit bin packing:
+document d with stream offset `start = cumsum(tokens) - tokens_d` lands in
+chunk floor(start/B) and spans through chunk floor((cumsum-1)/B). This is
+deterministic, window-expressible, and what packed pretraining loaders
+actually do; true first-fit needs sequential state no engine parallelizes.
+
+Scale shape: one cumulative-sum window per group (source/shard) ordered by
+the document key — the shuffle is the groupBy key, window state is one
+running counter (no sort-spill risk beyond the shuffle), and chunk stats
+are a bounded groupBy. Pack per source/shard (the natural unit a loader
+reads) rather than one global group: a single global cumsum serializes on
+one task in ANY engine — if a global stream order is required, use
+assign_sequential_ids-style range bucketing first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_chunks(
+    df: DataFrame,
+    tokens_col: str | Column,
+    chunk_tokens: int,
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-document chunk assignment under concat-then-chunk packing:
+    adds (stream_offset, chunk_id, chunk_pos, n_chunks_spanned,
+    is_boundary_split). Zero-token documents occupy no stream space:
+    they land at their offset's chunk with n_chunks_spanned = 0."""
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    start = (cum - tok).cast("long")
+    b = F.lit(int(chunk_tokens))
+    chunk_id = F.floor(start / b)
+    end_chunk = F.floor((cum - 1) / b)
+    spanned = F.when(tok > 0, end_chunk - chunk_id + 1).otherwise(F.lit(0))
+    return df.select(
+        *df.columns,
+        start.alias("stream_offset"),
+        chunk_id.alias("chunk_id"),
+        (start % b).alias("chunk_pos"),
+        spanned.cast("long").alias("n_chunks_spanned"),
+        (spanned > 1).alias("is_boundary_split"),
+    )
+
+
+def packing_stats(
+    df: DataFrame,
+    tokens_col: str | Column,
+    chunk_tokens: int,
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group packing plan summary: total tokens, chunk count
+    (= ceil(total/B)), documents split across a chunk boundary, mean fill
+    of the allocated chunks, and the tokens wasted in the final partial
+    chunk. The numbers a data-loading plan is sized from."""
+    packed = pack_chunks(df, tokens_col, chunk_tokens, order_col, group_col)
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    keys = [group_col] if group_col else []
+    b = int(chunk_tokens)
+    total = F.sum(tok)
+    n_chunks = F.ceil(total / F.lit(b))
+    return packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("long").alias("total_tokens"),
+        n_chunks.cast("long").alias("n_chunks"),
+        F.sum(F.col("is_boundary_split").cast("long")).alias("docs_split"),
+        F.round(total / (n_chunks * F.lit(b)), 6).alias("mean_fill"),
+        (n_chunks * F.lit(b) - total).cast("long").alias("tail_waste_tokens"),
+    )

@@ -90,3 +90,70 @@ def stratified_sample(
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def mix_plan(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+    total_rows: int,
+) -> DataFrame:
+    """Sampling plan for resampling a corpus to a target mixture: for each
+    group, the hash-sampling rate that yields `targets[g] * total_rows`
+    rows (capped at 1.0 — a group cannot be up-sampled by filtering, only
+    a deficit reported). Groups absent from `targets` get rate 0.
+    Returns (group, n_rows, target_frac, rate, expected_rows, deficit).
+
+    One group-sized aggregate; the plan frame is broadcast-sized (one row
+    per source/language)."""
+    frac = sum(targets.values())
+    if frac > 1.0 + 1e-9:
+        raise ValueError(f"target fractions sum to {frac} > 1")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tmap = F.create_map(
+        *[x for k, v in sorted(targets.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    target_frac = F.coalesce(tmap[F.col(group_col)], F.lit(0.0))
+    want = target_frac * F.lit(float(total_rows))
+    rate = F.least(F.lit(1.0), want / F.greatest(F.col("n_rows"), F.lit(1)))
+    # quantized to the hash-bucket resolution so expected_rows states what
+    # the deterministic filter actually delivers, not the real-valued rate
+    qrate = F.round(rate * BUCKETS, 0) / BUCKETS
+    return counts.select(
+        group_col,
+        "n_rows",
+        F.round(target_frac, 6).alias("target_frac"),
+        F.round(qrate, 6).alias("rate"),
+        F.ceil(want).cast("long").alias("want_rows"),
+        (want > F.col("n_rows") + 0.5).alias("deficit"),
+    )
+
+
+def mix_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    targets: dict[str, float],
+    total_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a target mixture (the 'data mixing' step of a training
+    pipeline): keep each row iff its key hash-bucket falls under its
+    group's planned rate. Deterministic (pure function of key + salt +
+    counts), rerun-stable, supersets nest as total_rows grows. The plan
+    join is broadcast (one row per group) — no extra shuffle; the filter
+    itself is map-side."""
+    plan = mix_plan(df, group_col, targets, total_rows).select(
+        F.col(group_col).alias("__g"), "rate"
+    )
+    return (
+        df.join(F.broadcast(plan), F.col(group_col).eqNullSafe(F.col("__g")))
+        .filter(
+            # round, don't truncate: rate was quantized to 1/BUCKETS, so
+            # rate*BUCKETS is integral up to float error — a cast would
+            # floor 1249.9999... to 1249
+            hash_bucket(key_col, salt)
+            < F.round(F.col("rate") * BUCKETS, 0).cast("int")
+        )
+        .drop("__g", "rate")
+    )

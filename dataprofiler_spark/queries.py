@@ -1975,3 +1975,95 @@ def robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.col("ts").cast("timestamp")).cast("string").alias("day"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return metric_history_anomalies_robust(daily, ["event_type"], "cnt")
+
+
+@register(
+    "sequential_ids_documents",
+    """SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+FROM documents""",
+)
+def sequential_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global 0-based rank WITHOUT the global single-task window:
+    range-bucketed two-level rank (quantile cuts → per-bucket row_number +
+    driver offsets). The oracle IS the naive global ROW_NUMBER — the claim
+    is bit-identical ids from a plan with no SinglePartition exchange
+    (plan-gated in tests/test_plans.py)."""
+    from dataprofiler_spark.operators.ordering import assign_sequential_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_sequential_ids(docs.select("doc_id"), "doc_id")
+
+
+@register(
+    "packing_plan_documents",
+    """WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT source, n_tok,
+    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), p AS (
+  SELECT source, n_tok,
+    CASE WHEN n_tok > 0
+         THEN FLOOR((cum - 1) / 1024) - FLOOR((cum - n_tok) / 1024) + 1
+         ELSE 0 END AS spanned
+  FROM c
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(CEIL(SUM(n_tok) / 1024.0) AS BIGINT) AS n_chunks,
+  CAST(SUM(CASE WHEN spanned > 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_split,
+  ROUND(SUM(n_tok) * 1.0 / (CEIL(SUM(n_tok) / 1024.0) * 1024), 6) AS mean_fill,
+  CAST(CEIL(SUM(n_tok) / 1024.0) * 1024 - SUM(n_tok) AS BIGINT) AS tail_waste_tokens
+FROM p GROUP BY source""",
+)
+def packing_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing plan per source at a 1024-token context:
+    chunk counts, boundary-split docs, fill factor, tail waste — the
+    numbers a pretraining loader is sized from. One cumsum window per
+    source + a bounded aggregate."""
+    from dataprofiler_spark.operators.packing import packing_stats
+    from dataprofiler_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("source", "doc_id", token_count("text").alias("n_tok"))
+    return packing_stats(staged, "n_tok", 1024, "doc_id", "source")
+
+
+@register(
+    "mix_sample_documents",
+    """WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), plan AS (
+  SELECT source, n,
+    CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.4
+      ELSE 0.0 END AS t
+  FROM counts
+), thresholds AS (
+  SELECT source, ROUND(LEAST(1.0, t * 40.0 / GREATEST(n, 1)) * 10000, 0) AS thr
+  FROM plan
+), kept AS (
+  SELECT d.source, d.doc_id FROM documents d JOIN thresholds USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 < thr
+)
+SELECT source, COUNT(*) AS sampled_docs,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id, CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM kept GROUP BY source""",
+)
+def mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling to a target training mixture (30/30/40
+    over three sources, 40-row budget): per-source sampled counts with
+    min/max ids — the oracle replays the exact hash-threshold membership,
+    so the selected SET (not just its size) is engine-portable."""
+    from dataprofiler_spark.operators.sampling import mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = mix_sample(
+        docs, "source", "doc_id", {"src0": 0.3, "src1": 0.3, "src2": 0.4}, 40
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -1,0 +1,39 @@
+"""Distributed contiguous id assignment (operators/ordering.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.ordering import assign_sequential_ids
+
+
+def test_ids_equal_global_rank(spark):
+    """Two-level range-bucketed ids == ROW_NUMBER() OVER (ORDER BY key)-1,
+    on a scattered non-contiguous key."""
+    df = spark.range(0, 50000).select((F.col("id") * 7919 % 1000003).alias("k"))
+    out = assign_sequential_ids(df, "k").orderBy("k").collect()
+    assert [r.seq_id for r in out] == list(range(len(out)))
+
+
+def test_no_single_partition_stage(spark):
+    """The whole point: the plan must contain NO SinglePartition exchange
+    (the global-window scale killer this operator replaces)."""
+    df = spark.range(0, 10000).select((F.col("id") * 31 % 99991).alias("k"))
+    plan = (
+        assign_sequential_ids(df, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_skewed_key_still_correct(spark):
+    """Heavy skew collapses quantile cuts (deduped); ids stay a valid
+    contiguous rank — skew only unbalances bucket sizes, never breaks
+    correctness."""
+    df = spark.range(0, 20000).select(
+        F.when(F.col("id") < 19000, F.col("id") % 5)  # 95% mass on 5 keys
+        .otherwise(F.col("id"))
+        .alias("k")
+    )
+    out = assign_sequential_ids(df, "k").select("seq_id").collect()
+    ids = sorted(r.seq_id for r in out)
+    assert ids == list(range(20000))  # contiguous 0..n-1, no dupes/gaps

@@ -1,0 +1,54 @@
+"""Concat-then-chunk sequence packing (operators/packing.py)."""
+
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.packing import pack_chunks, packing_stats
+
+
+def _docs(spark, toks, source="s"):
+    return spark.createDataFrame(
+        [(i, source, t) for i, t in enumerate(toks)],
+        "doc_id long, source string, n_tok long",
+    )
+
+
+def test_chunk_assignment_exact(spark):
+    """300-token docs into 1024-token chunks: offsets 0,300,...; doc 3
+    (offset 900 → 1200) straddles the first boundary."""
+    out = {r.doc_id: r for r in
+           pack_chunks(_docs(spark, [300] * 10), "n_tok", 1024,
+                       group_col="source").collect()}
+    assert out[0].stream_offset == 0 and out[0].chunk_id == 0
+    assert out[3].stream_offset == 900 and out[3].chunk_id == 0
+    assert out[3].n_chunks_spanned == 2 and out[3].is_boundary_split
+    assert out[4].chunk_id == 1 and out[4].chunk_pos == 1200 % 1024
+
+
+def test_doc_longer_than_chunk_spans_many(spark):
+    out = pack_chunks(_docs(spark, [5000]), "n_tok", 1024).collect()[0]
+    assert out.n_chunks_spanned == 5  # ceil(5000/1024)
+
+
+def test_zero_token_doc_occupies_nothing(spark):
+    out = {r.doc_id: r for r in
+           pack_chunks(_docs(spark, [100, 0, 100]), "n_tok", 1024).collect()}
+    assert out[1].n_chunks_spanned == 0 and not out[1].is_boundary_split
+    assert out[2].stream_offset == 100  # the empty doc consumed no stream
+
+
+def test_packing_stats(spark):
+    s = packing_stats(_docs(spark, [300] * 10), "n_tok", 1024,
+                      group_col="source").collect()[0]
+    assert s.total_tokens == 3000 and s.n_chunks == 3
+    assert s.docs_split == 2  # docs at offsets 900 and 1800
+    assert s.tail_waste_tokens == 3 * 1024 - 3000
+    assert abs(s.mean_fill - 3000 / (3 * 1024)) < 1e-6
+
+
+def test_groups_pack_independently(spark):
+    a = _docs(spark, [600] * 4, "a")
+    b = _docs(spark, [600] * 4, "b")
+    out = pack_chunks(a.unionByName(b), "n_tok", 1024, group_col="source")
+    firsts = {r.source: r.stream_offset for r in
+              out.filter(F.col("doc_id") == 0).collect()}
+    assert firsts == {"a": 0, "b": 0}  # each source starts its own stream

@@ -327,3 +327,21 @@ def test_round3_addition_plan_shapes(spark):
     q = plan_of(queries()["robust_anomalies_events"](spark, SF))
     assert "EvalPython" not in q
     assert "BroadcastHashJoin" in q  # MAD joins back broadcast, not shuffled
+
+
+def test_packing_mix_ids_plan_shapes(spark):
+    """Packing = one scan + window + agg, no UDF; mix_sample joins its
+    broadcast-sized plan without an extra shuffle; sequential ids never
+    create a SinglePartition stage (gated in test_ordering too)."""
+    from dataprofiler_spark.queries import queries
+
+    p = plan_of(queries()["packing_plan_documents"](spark, SF))
+    assert p.count("Scan parquet") == 1
+    assert "EvalPython" not in p
+
+    m = plan_of(queries()["mix_sample_documents"](spark, SF))
+    assert "BroadcastHashJoin" in m
+    assert "EvalPython" not in m
+
+    s = plan_of(queries()["sequential_ids_documents"](spark, SF))
+    assert "SinglePartition" not in s

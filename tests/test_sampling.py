@@ -76,3 +76,49 @@ def test_stratified_sample_balanced_and_nested(spark):
     # a different salt draws a different subset
     salted = {(r.g, r.k) for r in stratified_sample(df, "g", "k", 10, salt="x").collect()}
     assert salted != s10b
+
+
+def test_mix_plan_rates_and_deficit(spark):
+    from dataprofiler_spark.operators.sampling import mix_plan
+
+    corpus = spark.createDataFrame(
+        [(i, "web" if i % 10 < 8 else "books") for i in range(10000)],
+        "doc_id long, source string",
+    )
+    # books has 2000 rows; asking for 3000 -> rate capped at 1.0, deficit
+    plan = {r.source: r for r in
+            mix_plan(corpus, "source", {"web": 0.5, "books": 0.5}, 6000).collect()}
+    assert plan["web"].rate == 3000 / 8000
+    assert plan["books"].rate == 1.0 and plan["books"].deficit is True
+    assert plan["web"].deficit is False
+
+
+def test_mix_sample_deterministic_and_proportioned(spark):
+    from dataprofiler_spark.operators.sampling import mix_sample
+
+    corpus = spark.createDataFrame(
+        [(i, "web" if i % 10 < 8 else "books") for i in range(20000)],
+        "doc_id long, source string",
+    )
+    t = {"web": 0.5, "books": 0.5}
+    a = mix_sample(corpus, "source", "doc_id", t, 4000)
+    got = {r.source: r.cnt for r in
+           a.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # hash-uniformity: within ~10% of the 2000/2000 target
+    assert abs(got["web"] - 2000) < 200 and abs(got["books"] - 2000) < 200
+    # pure function of key: identical set on rerun
+    b = mix_sample(corpus, "source", "doc_id", t, 4000)
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # nesting: a smaller budget selects a subset of the larger one
+    small = mix_sample(corpus, "source", "doc_id", t, 1000)
+    assert small.subtract(a).count() == 0
+
+
+def test_mix_sample_untargeted_group_dropped(spark):
+    from dataprofiler_spark.operators.sampling import mix_sample
+
+    corpus = spark.createDataFrame(
+        [(1, "web"), (2, "spam")], "doc_id long, source string"
+    )
+    out = mix_sample(corpus, "source", "doc_id", {"web": 1.0}, 10)
+    assert [r.source for r in out.collect()] == ["web"]
