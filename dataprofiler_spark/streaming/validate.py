@@ -211,3 +211,56 @@ def streaming_violation_counts(
             F.sum(F.when(ck.fail_predicate, 1).otherwise(0)).alias(f"{ck.name}_violations")
         )
     return stream_df.groupBy(part_col).agg(*aggs)
+
+
+def drift_stream(
+    spark: SparkSession,
+    input_path: str,
+    baseline_hist: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    value_col: str = "n_tok",
+    group_col: str = "source",
+    bucket_width: float = 50.0,
+    psi_alert: float = 0.25,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous drift monitoring: every micro-batch is histogrammed and
+    scored against a STATIC baseline histogram with the batch drift
+    operators (drift_by_group: per-group PSI + χ², null-safe merge), and
+    the per-group verdict rows append to a parquet sink with batch
+    lineage. `psi_alert` uses the standard PSI > 0.25 'major shift'
+    convention.
+
+    foreachBatch (not a stateful operator) for the same reason as
+    validate_stream: ONE implementation of the drift semantics — the
+    static baseline join is ordinary batch code inside the micro-batch.
+    The baseline frame is histogram-sized (groups × buckets), so each
+    batch adds one broadcast-sized join, no streaming state at all:
+    a restarted query resumes from the checkpoint with nothing to
+    rebuild."""
+    from dataprofiler_spark.operators.drift import drift_by_group, histogram
+
+    reader = spark.readStream.schema(sequence_schema())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cur = histogram(batch_df, value_col, bucket_width, [group_col])
+        out = (
+            drift_by_group(baseline_hist, cur, group_col)
+            .withColumn("psi_alert", F.col("psi") > psi_alert)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        out.write.mode("append").parquet(f"{output_dir}/drift")
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -165,3 +165,61 @@ def test_round3_ops_on_empty_and_degenerate_inputs(spark):
     self_only = spark.createDataFrame([(5, 5)], "key1 bigint, key2 bigint")
     rows = {r.node: r.component for r in connected_components_star(self_only).collect()}
     assert rows == {5: 5}
+
+
+def test_round3_ops_edge_cases(spark):
+    """Empty / single-row / degenerate inputs for the round-3 additions:
+    packing, ordering, mix sampling, KS, JSD, PII."""
+    from dataprofiler_spark.operators.drift import (
+        histogram,
+        jsd_by_group,
+        ks_statistic,
+    )
+    from dataprofiler_spark.operators.ordering import assign_sequential_ids
+    from dataprofiler_spark.operators.packing import pack_chunks, packing_stats
+    from dataprofiler_spark.operators.pii import pii_scan, pii_summary
+    from dataprofiler_spark.operators.sampling import mix_plan, mix_sample
+
+    empty = spark.createDataFrame([], "doc_id long, source string, n_tok long")
+    assert pack_chunks(empty, "n_tok", 1024, group_col="source").count() == 0
+    assert packing_stats(empty, "n_tok", 1024, group_col="source").count() == 0
+    one = spark.createDataFrame([(1, "s", 7)], "doc_id long, source string, n_tok long")
+    r = pack_chunks(one, "n_tok", 1024, group_col="source").collect()[0]
+    assert r.chunk_id == 0 and r.n_chunks_spanned == 1
+
+    # ordering: empty frame (no quantiles, no buckets) and single row
+    empty_k = spark.createDataFrame([], "k long")
+    assert assign_sequential_ids(empty_k, "k").count() == 0
+    single = spark.createDataFrame([(42,)], "k long")
+    assert assign_sequential_ids(single, "k").collect()[0].seq_id == 0
+    # constant key: every cut collapses; still contiguous ids
+    const = spark.createDataFrame([(7,)] * 100, "k long")
+    ids = sorted(r.seq_id for r in assign_sequential_ids(const, "k").collect())
+    assert ids == list(range(100))
+
+    # mix: empty corpus -> empty plan and sample; zero-budget -> empty
+    e2 = spark.createDataFrame([], "doc_id long, source string")
+    assert mix_plan(e2, "source", {"web": 1.0}, 10).count() == 0
+    assert mix_sample(e2, "source", "doc_id", {"web": 1.0}, 10).count() == 0
+    c = spark.createDataFrame([(1, "web"), (2, "web")], "doc_id long, source string")
+    assert mix_sample(c, "source", "doc_id", {"web": 1.0}, 0).count() == 0
+
+    # KS/JSD: empty sides and single-value distributions
+    ev = spark.createDataFrame([], "x double, g string")
+    assert ks_statistic(ev, ev, "x", "g").count() == 0
+    sv = spark.createDataFrame([(1.0, "a")] * 3, "x double, g string")
+    assert ks_statistic(sv, sv, "x", "g").collect()[0].ks_stat == 0.0
+    # one side empty: D = 1 (all mass vs none) on the populated support
+    d = ks_statistic(sv, ev, "x", "g").collect()[0]
+    assert d.ks_stat == 1.0 and d.n_cur == 1  # clamped denominator
+    h = histogram(sv, "x", 1.0, ["g"])
+    he = histogram(ev, "x", 1.0, ["g"])
+    assert jsd_by_group(h, h, "g").collect()[0].jsd == 0.0
+    assert jsd_by_group(h, he, "g").count() == 1  # baseline-only group kept
+
+    # PII on empty frame and empty-string text
+    ep = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert pii_scan(ep).count() == 0
+    assert pii_summary(ep).count() == 0
+    blank = spark.createDataFrame([(1, "", "s")], "doc_id long, text string, source string")
+    assert pii_scan(blank).collect()[0].has_pii is False

@@ -345,3 +345,33 @@ def test_packing_mix_ids_plan_shapes(spark):
 
     s = plan_of(queries()["sequential_ids_documents"](spark, SF))
     assert "SinglePartition" not in s
+
+
+def test_file_layout_report(spark, tmp_path):
+    """Small-file diagnosis from a metadata-only FS listing: a table
+    written as many tiny files trips needs_compaction with a sane
+    recommended file count; a compacted copy does not."""
+    from dataprofiler_spark.plans.layout import file_layout_report, list_data_files
+
+    frag = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(40).write.parquet(frag)
+    listing = list_data_files(spark, frag)
+    assert listing.count() == 40
+
+    rep = file_layout_report(spark, frag, small_file_mb=1.0).collect()[0]
+    assert rep.n_files == 40 and rep.small_files == 40
+    assert rep.needs_compaction is True and rep.small_fraction == 1.0
+    assert rep.recommended_files == 1  # tiny table -> one target file
+
+    compact = str(tmp_path / "compact")
+    spark.range(0, 10000).coalesce(1).write.parquet(compact)
+    rep2 = file_layout_report(spark, compact, small_file_mb=0.00001).collect()[0]
+    assert rep2.n_files == 1 and rep2.needs_compaction is False
+
+    # empty directory: a zero-row report, no crash
+    empty = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty)
+    rep3 = file_layout_report(spark, empty).collect()[0]
+    assert rep3.n_files == 0 and rep3.needs_compaction is False

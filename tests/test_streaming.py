@@ -238,3 +238,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.doc_id, r.payload) for r in spark.sql("SELECT * FROM dedup_out").collect()}
     assert got == {("a", "v1"), ("b", "v1"), ("c", "v1")}  # redelivery dropped
+
+
+def test_drift_stream_alerts_on_shifted_batch(spark, tmp_path):
+    """Two micro-batches against a static baseline histogram: the
+    matching batch stays quiet, the shifted batch (n_tok + 200) raises
+    the PSI > 0.25 alert — per batch, per group, with lineage."""
+    from dataprofiler_spark.operators.drift import histogram
+    from dataprofiler_spark.streaming.validate import drift_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = gen_sequences(spark, N, violations=False)
+    baseline_hist = histogram(base, "n_tok", 50.0, ["source"])
+    baseline_hist.cache().count()  # static, tiny
+
+    # batch 1: same distribution; batch 2: all lengths shifted +200
+    # (each ONE file, so maxFilesPerTrigger=1 gives exactly two batches)
+    gen_sequences(spark, N, violations=False).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{inp}/f1")
+    gen_sequences(spark, N, violations=False).withColumn(
+        "n_tok", F.col("n_tok") + F.lit(200)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{inp}/f2")
+
+    q = drift_stream(
+        spark, f"{inp}/*", baseline_hist, ckpt, out, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    drift = spark.read.parquet(f"{out}/drift")
+    batches = sorted(r.batch_id for r in drift.select("batch_id").distinct().collect())
+    assert len(batches) == 2  # one drift verdict set per micro-batch
+    per_batch = {
+        r.batch_id: r.alerts
+        for r in drift.groupBy("batch_id")
+        .agg(F.sum(F.col("psi_alert").cast("int")).alias("alerts"))
+        .collect()
+    }
+    # exactly one of the two batches alerted, on every source group
+    n_groups = drift.select("source").distinct().count()
+    assert sorted(per_batch.values()) == [0, n_groups]
+    baseline_hist.unpersist()
