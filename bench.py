@@ -41,7 +41,16 @@ from dataprofiler_spark.operators.incremental import (  # noqa: E402
     merge_partials,
     numeric_partials,
 )
-from dataprofiler_spark.operators.drift import drift_by_group, histogram, token_frequency  # noqa: E402
+from dataprofiler_spark.operators.drift import (  # noqa: E402
+    drift_by_group,
+    histogram,
+    ks_statistic,
+    token_frequency,
+)
+from dataprofiler_spark.operators.ordering import assign_sequential_ids  # noqa: E402
+from dataprofiler_spark.operators.packing import packing_stats  # noqa: E402
+from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
+from dataprofiler_spark.operators.textstats import token_count  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
 from dataprofiler_spark.operators.similarity import batch_topk, brute_force_topk  # noqa: E402
 from dataprofiler_spark.pipeline import ValidationConfig, run_validation  # noqa: E402
@@ -151,6 +160,19 @@ def main() -> None:
             "dedup_clusters": lambda: dedup_clusters(dc, "doc_id", num_hashes=16, bands=8).count(),
             "batch_knn_top5": lambda: _batch_knn(em),
             "incremental_profile_merge": lambda: _incremental_merge(bad),
+            # round-3 ops: PII regex scan (map-side, scan-bound); exact KS
+            # bad-vs-golden; packing plan (tokenize + cumsum window);
+            # two-level global ids (agg forces the window, count would
+            # prune it)
+            "pii_summary": lambda: pii_summary(dc, "text", "source").collect(),
+            "ks_ntok_bad_vs_ref": lambda: ks_statistic(bad, golden, "n_tok", "source").collect(),
+            "packing_plan": lambda: packing_stats(
+                dc.select("source", "doc_id", token_count("text").alias("n_tok")),
+                "n_tok", 1024, "doc_id", "source",
+            ).collect(),
+            "sequential_ids": lambda: assign_sequential_ids(
+                dc.select("doc_id"), "doc_id"
+            ).agg(F.max("seq_id")).collect(),
         }
 
     def _batch_knn(em):
