@@ -85,6 +85,10 @@ def packing_stats(
         total.cast("long").alias("total_tokens"),
         n_chunks.cast("long").alias("n_chunks"),
         F.sum(F.col("is_boundary_split").cast("long")).alias("docs_split"),
-        F.round(total / (n_chunks * F.lit(b)), 6).alias("mean_fill"),
+        # an all-empty group has 0 chunks: fill is undefined (NULL), and
+        # ANSI mode makes the unguarded division an ERROR, not a NaN
+        F.round(
+            F.when(n_chunks > 0, total / (n_chunks * F.lit(b))), 6
+        ).alias("mean_fill"),
         (n_chunks * F.lit(b) - total).cast("long").alias("tail_waste_tokens"),
     )
