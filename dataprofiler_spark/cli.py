@@ -45,6 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validate", action="store_true")
     p.add_argument("--drift", action="store_true")
     p.add_argument("--growth", action="store_true")
+    p.add_argument(
+        "--pii-scan",
+        action="store_true",
+        help="per-partition PII prevalence summary over --text-col "
+        "(regex detectors: email/ipv4/phone/ssn/credit card); with "
+        "--output-dir also writes the redacted copy",
+    )
+    p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--layout-report",
+        action="store_true",
+        help="storage-layout verdict for --input from a metadata-only file "
+        "listing: small-file fraction + recommended compaction target",
+    )
     p.add_argument("--baseline", help="parquet path of baseline n_tok histogram (for --drift)")
     p.add_argument(
         "--write-baseline",
@@ -105,16 +119,25 @@ def build_parser() -> argparse.ArgumentParser:
 
 def validate_args(args) -> str | None:
     if not (
-        args.data_profile or args.validate or args.drift or args.growth or args.write_baseline
+        args.data_profile
+        or args.validate
+        or args.drift
+        or args.growth
+        or args.write_baseline
+        or args.pii_scan
+        or args.layout_report
     ):
         return (
             "at least one stage flag required "
-            "(--data-profile/--validate/--drift/--growth/--write-baseline)"
+            "(--data-profile/--validate/--drift/--growth/--write-baseline/"
+            "--pii-scan/--layout-report)"
         )
     if not args.input and not args.synthetic_rows and not args.config:
         return "--input, --synthetic-rows, or --config required"
     if args.drift and not args.baseline:
         return "--drift requires --baseline"
+    if args.layout_report and not args.input:
+        return "--layout-report requires --input (a table directory)"
     return None
 
 
@@ -274,6 +297,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(res.summary))
         if not res.summary["passed"]:
             exit_code = 1  # reference main.py:809-819 exit semantics
+
+    if args.pii_scan:
+        from dataprofiler_spark.operators.pii import pii_summary, redact
+
+        if args.text_col not in df.columns:
+            print(f"error: --pii-scan: no column '{args.text_col}'", file=sys.stderr)
+            return 2
+        part = (
+            args.partition_col
+            if args.partition_col in df.columns
+            else df.columns[0]
+        )
+        rows = pii_summary(df, args.text_col, part).collect()
+        for r in sorted(rows, key=lambda r: str(r[part])):
+            print(json.dumps(r.asDict()))
+        if args.output_dir:
+            redact(df, args.text_col).write.mode("overwrite").parquet(
+                f"{args.output_dir}/redacted"
+            )
+            print(json.dumps({"redacted_written": f"{args.output_dir}/redacted"}))
+
+    if args.layout_report:
+        from dataprofiler_spark.plans.layout import file_layout_report
+
+        rep = file_layout_report(spark, args.input).collect()[0]
+        print(json.dumps(rep.asDict()))
 
     if args.growth:
         from dataprofiler_spark.operators.growth import growth_profile

@@ -209,3 +209,53 @@ def test_package_zip_importable(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "zip-import-ok True" in r.stdout
+
+
+def test_cli_pii_and_layout(spark, tmp_path):
+    """--pii-scan prints per-partition prevalence rows (+ writes the
+    redacted copy with --output-dir); --layout-report prints the
+    small-file verdict. In-process main() like the config test."""
+    import json as _json
+
+    from dataprofiler_spark.cli import main
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "write to a@b.io today", "s1"),
+            (2, "nothing here", "s1"),
+            (3, "ip 10.0.0.1 and ssn 123-45-6789", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    ).repartition(4).write.parquet(inp)
+
+    out_dir = str(tmp_path / "out")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--input", inp, "--pii-scan", "--output-dir", out_dir])
+    assert rc == 0
+    lines = [_json.loads(l) for l in buf.getvalue().strip().splitlines()]
+    by_src = {l["source"]: l for l in lines if "source" in l}
+    assert by_src["s1"]["docs_with_pii"] == 1 and by_src["s1"]["total_email"] == 1
+    assert by_src["s2"]["total_ssn"] == 1 and by_src["s2"]["total_ipv4"] == 1
+    red = spark.read.parquet(f"{out_dir}/redacted")
+    texts = {r.doc_id: r.text_redacted for r in red.collect()}
+    assert texts[1] == "write to [EMAIL] today"
+
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc2 = main(["--input", inp, "--layout-report"])
+    assert rc2 == 0
+    rep = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    # AQE may coalesce the tiny write below 4 part-files; all are small
+    assert rep["n_files"] >= 2 and rep["small_fraction"] == 1.0
+    assert rep["needs_compaction"] is True
+
+    # gating: --layout-report without --input is an error
+    from dataprofiler_spark.cli import build_parser, validate_args
+
+    args = build_parser().parse_args(["--layout-report", "--synthetic-rows", "10"])
+    assert "--layout-report" in validate_args(args)
