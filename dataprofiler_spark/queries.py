@@ -2067,3 +2067,129 @@ def mix_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# Deterministic snapshot perturbation replayed in BOTH engines (gotcha-19
+# pattern): drop %13, re-lang %7, bump n_chars %11, add %17 with shifted ids
+_DIFF_NEW_SQL = """SELECT doc_id,
+  text,
+  CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lang,
+  source,
+  CASE WHEN doc_id % 11 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+FROM documents WHERE doc_id % 13 <> 0
+UNION ALL
+SELECT doc_id + 10000000, text, lang, source, n_chars
+FROM documents WHERE doc_id % 17 = 0"""
+
+
+def _diff_new(docs: DataFrame) -> DataFrame:
+    modified = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        "source",
+        F.when(F.col("doc_id") % 11 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return modified.unionByName(added)
+
+
+@register(
+    "snapshot_diff_documents",
+    """WITH new AS ({new_sql}),
+j AS (
+  SELECT o.doc_id AS o_id, n.doc_id AS n_id,
+    (o.text IS DISTINCT FROM n.text) AS d_text,
+    (o.lang IS DISTINCT FROM n.lang) AS d_lang,
+    (o.source IS DISTINCT FROM n.source) AS d_source,
+    (o.n_chars IS DISTINCT FROM n.n_chars) AS d_nchars
+  FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+), c AS (
+  SELECT CASE WHEN o_id IS NULL THEN 'added'
+              WHEN n_id IS NULL THEN 'removed'
+              WHEN d_text OR d_lang OR d_source OR d_nchars THEN 'changed'
+              ELSE 'unchanged' END AS ct,
+         d_text, d_lang, d_source, d_nchars
+  FROM j
+)
+SELECT
+  CAST(SUM(CASE WHEN ct = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+  CAST(SUM(CASE WHEN ct = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+  CAST(SUM(CASE WHEN ct = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+  CAST(SUM(CASE WHEN ct = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+  CAST(SUM(CASE WHEN ct = 'changed' AND d_text THEN 1 ELSE 0 END) AS BIGINT) AS changed_text,
+  CAST(SUM(CASE WHEN ct = 'changed' AND d_lang THEN 1 ELSE 0 END) AS BIGINT) AS changed_lang,
+  CAST(SUM(CASE WHEN ct = 'changed' AND d_source THEN 1 ELSE 0 END) AS BIGINT) AS changed_source,
+  CAST(SUM(CASE WHEN ct = 'changed' AND d_nchars THEN 1 ELSE 0 END) AS BIGINT) AS changed_n_chars
+FROM c""".format(new_sql=_DIFF_NEW_SQL),
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level reconciliation between two snapshots (deterministic
+    perturbation replayed in both engines): added/removed/changed/
+    unchanged + per-column changed counts. The Spark side classifies on
+    per-column xxhash64 digests (payloads never ride the diff shuffle —
+    plan-gated); the oracle classifies on direct value comparison, so the
+    digest semantics are checked against ground truth."""
+    from dataprofiler_spark.operators.diff import diff_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return diff_summary(docs, _diff_new(docs), "doc_id").select(
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        "changed_text",
+        "changed_lang",
+        "changed_source",
+        F.col("changed_n_chars").alias("changed_n_chars"),
+    )
+
+
+@register(
+    "wasserstein_nchars_split",
+    """WITH b AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS bc FROM documents
+  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY lang, n_chars
+), c AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS cc FROM documents
+  WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY lang, n_chars
+), m AS (
+  SELECT COALESCE(b.lang, c.lang) AS lang, COALESCE(b.v, c.v) AS v,
+    COALESCE(bc, 0) AS bc, COALESCE(cc, 0) AS cc
+  FROM b FULL OUTER JOIN c ON b.lang = c.lang AND b.v = c.v
+), s AS (
+  SELECT lang, v,
+    SUM(bc) OVER (PARTITION BY lang ORDER BY v) * 1.0
+      / GREATEST(SUM(bc) OVER (PARTITION BY lang), 1) AS fb,
+    SUM(cc) OVER (PARTITION BY lang ORDER BY v) * 1.0
+      / GREATEST(SUM(cc) OVER (PARTITION BY lang), 1) AS fc,
+    LEAD(v) OVER (PARTITION BY lang ORDER BY v) AS nv
+  FROM m
+)
+SELECT lang,
+  ROUND(COALESCE(SUM(ABS(fb - fc) * (nv - v)), 0.0), 6) AS w1
+FROM s GROUP BY lang""",
+)
+def wasserstein_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang 1-D Wasserstein distance between the even/odd halves'
+    n_chars distributions — the magnitude-sensitive drift measure (units
+    of n_chars) complementing KS's scale-free max-gap."""
+    from dataprofiler_spark.operators.drift import wasserstein_1d
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wasserstein_1d(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        "lang",
+    )

@@ -188,3 +188,29 @@ def test_ks_nulls_excluded(spark):
     b = spark.createDataFrame([(1.0,), (2.0,)], "x double")
     r = ks_statistic(a, b, "x").collect()[0]
     assert r.ks_stat == 0.0 and r.n_base == 2  # NULL carries no order
+
+
+def test_wasserstein_exact_and_shift_property(spark):
+    """W1 equals the sorted-sample mean absolute difference for
+    equal-size samples, and W1(x, x+c) == c exactly."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.drift import wasserstein_1d
+
+    a = spark.range(0, 4000).select((F.col("id") % 211).alias("x"), F.lit("g").alias("g"))
+    b = spark.range(0, 4000).select(((F.col("id") * 13) % 301).alias("x"), F.lit("g").alias("g"))
+    got = wasserstein_1d(a, b, "x", "g").collect()[0].w1
+    av = np.sort(np.array([i % 211 for i in range(4000)]))
+    bv = np.sort(np.array([(i * 13) % 301 for i in range(4000)]))
+    assert abs(got - np.abs(av - bv).mean()) < 1e-6
+
+    shifted = a.withColumn("x", F.col("x") + 37)
+    assert wasserstein_1d(a, shifted, "x", "g").collect()[0].w1 == 37.0
+    assert wasserstein_1d(a, a, "x", "g").collect()[0].w1 == 0.0
+    # magnitude sensitivity vs KS: a +500 shift has KS 1.0 (same as +5 on
+    # disjoint support) but 100x the W1
+    from dataprofiler_spark.operators.drift import ks_statistic
+    s5 = a.withColumn("x", F.col("x") + 500)
+    ks = ks_statistic(a, s5, "x", "g").collect()[0].ks_stat
+    w = wasserstein_1d(a, s5, "x", "g").collect()[0].w1
+    assert ks == 1.0 and w == 500.0
