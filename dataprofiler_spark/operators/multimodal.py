@@ -344,3 +344,66 @@ def profile_assets(df: DataFrame) -> DataFrame:
         F.max(F.length("data")).alias("max_bytes"),
         F.round(F.avg(F.length("data")), 2).alias("avg_bytes"),
     )
+
+
+RESIZE_SCHEMA = (
+    "asset_id string, data binary, width int, height int, resized boolean"
+)
+
+
+def _block_mean_resize(px: "np.ndarray", th: int, tw: int) -> "np.ndarray":
+    """Pure-numpy area resize: index-mapped block mean (no PIL needed).
+    Each target pixel averages its source box — the standard anti-aliased
+    downscale; upscale degenerates to nearest-neighbor replication."""
+    h, w = px.shape
+    ys = (np.arange(th + 1) * h // th).clip(1, h)
+    xs = (np.arange(tw + 1) * w // tw).clip(1, w)
+    # cumulative-sum integral image -> box means in O(th*tw)
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = px.astype(np.int64).cumsum(0).cumsum(1)
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    # guarantee non-empty boxes (upscale: y0 may equal y1)
+    y0 = np.minimum(y0, y1 - 1)
+    x0 = np.minimum(x0, x1 - 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = (
+        ii[y1][:, x1]
+        - ii[y0][:, x1]
+        - ii[y1][:, x0]
+        + ii[y0][:, x0]
+    )
+    return (s // area).astype(np.uint8)
+
+
+def resize_images(df: DataFrame, target_h: int, target_w: int) -> DataFrame:
+    """Batch image resize to (target_h, target_w): decode (built-in PNG
+    parser / PIL when present) → area-mean downscale in numpy → re-encode
+    PNG. Arrow-batched mapInPandas — the brief's 'resize' operator with
+    REAL pixel processing, no codec library required. Undecodable payloads
+    pass through untouched with resized=False (one corrupt asset never
+    kills the job — same contract as extract_features)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "data", "width", "height", "resized")}
+            for aid, b in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(b)
+                px = decode_image(b)
+                if px is not None and px.size:
+                    small = _block_mean_resize(px, target_h, target_w)
+                    out["data"].append(png_encode(small))
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["resized"].append(True)
+                else:
+                    out["data"].append(b)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["resized"].append(False)
+                out["asset_id"].append(aid)
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("modality") == "image").select(
+        "asset_id", "data"
+    ).mapInPandas(kernel, RESIZE_SCHEMA)

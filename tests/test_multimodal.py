@@ -139,3 +139,41 @@ def test_corrupt_png_falls_back_not_crashes(spark):
     out = {r.asset_id: r for r in extract_features(df).collect()}
     assert out["a1"].decoded is False  # fallback, job alive
     assert out["a2"].decoded is True
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images decodes, area-means to the target shape, re-encodes
+    PNG — output payloads decode to exactly (target_h, target_w), and a
+    constant image stays constant through the resample (mean-preserving).
+    Corrupt payloads pass through with resized=False."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import (
+        decode_image,
+        gen_assets_real,
+        png_encode,
+        resize_images,
+    )
+
+    assets = gen_assets_real(spark, 30)
+    out = resize_images(assets, 8, 8).collect()
+    assert out and all(r.resized for r in out)
+    for r in out:
+        px = decode_image(bytes(r.data))
+        assert px is not None and px.shape == (8, 8)
+
+    flat = png_encode(np.full((20, 30), 77, dtype=np.uint8))
+    rows = [("a", "image", flat, None), ("b", "image", b"\x89PNGgarbage", None)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    res = {r.asset_id: r for r in resize_images(df, 5, 5).collect()}
+    got = decode_image(bytes(res["a"].data))
+    assert (got == 77).all() and got.shape == (5, 5)
+    assert res["b"].resized is False and bytes(res["b"].data) == b"\x89PNGgarbage"
+
+    # upscale path: 2x2 -> 6x6 nearest-replication, values preserved
+    tiny = png_encode(np.array([[0, 255], [255, 0]], dtype=np.uint8))
+    up = resize_images(
+        spark.createDataFrame([("c", "image", tiny, None)], ASSET_SCHEMA), 6, 6
+    ).collect()[0]
+    upx = decode_image(bytes(up.data))
+    assert upx.shape == (6, 6) and upx[0, 0] == 0 and upx[0, 5] == 255
