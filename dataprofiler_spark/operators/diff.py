@@ -116,3 +116,29 @@ def diff_summary(
             )
         )
     return d.agg(*aggs)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str] | str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply (the MERGE INTO / SCD-1 upsert semantics a snapshot store
+    needs without a table format's transaction layer): `changes` carries
+    the same payload columns as `base` plus `op_col` ∈ {'I','U','D'} —
+    insert/upsert rows replace the base row with their key, 'D' removes
+    it. Exactly-one change per key (CDC compaction upstream); verified
+    cheap with a count-distinct assert in tests, not at runtime.
+
+    Shape: one left-anti join (base keys untouched by any change) + the
+    non-delete change rows appended — both sides shuffle once on the key,
+    payloads ride only their own side, and with base and changes bucketed
+    by key the anti join is exchange-free (test_bucketing.py pattern).
+    Equivalent SQL (the oracle): base rows WHERE key NOT IN changes,
+    UNION ALL changes WHERE op <> 'D'."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [c for c in base.columns]
+    untouched = base.join(changes.select(*keys), keys, "left_anti")
+    applied = changes.filter(F.col(op_col) != "D").select(*payload)
+    return untouched.unionByName(applied)

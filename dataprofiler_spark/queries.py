@@ -2193,3 +2193,56 @@ def wasserstein_nchars_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "lang",
     )
+
+
+@register(
+    "cdc_apply_documents",
+    """WITH changes AS (
+  SELECT doc_id, text, 'xx' AS lang, source, n_chars + 5 AS n_chars, 'U' AS op
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 'D' AS op
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 20000000, text, lang, source, n_chars, 'I' AS op
+  FROM documents WHERE doc_id % 17 = 0
+), applied AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = d.doc_id)
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars FROM changes WHERE op <> 'D'
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+  CAST(SUM(CASE WHEN lang = 'xx' THEN 1 ELSE 0 END) AS BIGINT) AS n_xx
+FROM applied GROUP BY source""",
+)
+def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: a deterministic CDC
+    batch (upserts %7, deletes %13, inserts %17 with shifted ids) applied
+    via one left-anti join + append; per-source summary of the resulting
+    snapshot. The oracle applies the same batch with NOT EXISTS + UNION
+    ALL — the declarative definition of the merge."""
+    from dataprofiler_spark.operators.diff import apply_changes
+
+    docs = load_table(spark, sf_dir, "documents")
+    upserts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text", F.lit("xx").alias("lang"), "source",
+        (F.col("n_chars") + 5).alias("n_chars"), F.lit("U").alias("op"),
+    )
+    deletes = docs.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)).select(
+        "doc_id", "text", "lang", "source", "n_chars", F.lit("D").alias("op")
+    )
+    inserts = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        "text", "lang", "source", "n_chars", F.lit("I").alias("op"),
+    )
+    changes = upserts.unionByName(deletes).unionByName(inserts)
+    applied = apply_changes(docs, changes, "doc_id")
+    return applied.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum((F.col("lang") == "xx").cast("long")).alias("n_xx"),
+    )

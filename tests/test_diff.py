@@ -78,3 +78,37 @@ def test_identical_snapshots_empty_diff(spark):
     assert snapshot_diff(old, old, "id").count() == 0
     s = diff_summary(old, old, "id").collect()[0]
     assert s.unchanged == len(OLD) and s.added == s.removed == s.changed == 0
+
+
+def test_apply_changes_scd1(spark):
+    """MERGE semantics: U replaces, I inserts, D deletes, untouched rows
+    survive; applying the diff between two snapshots reproduces the
+    target exactly (roundtrip property)."""
+    from dataprofiler_spark.operators.diff import apply_changes, snapshot_diff
+
+    base = spark.createDataFrame(OLD, SCHEMA)
+    changes = spark.createDataFrame(
+        [
+            (2, "BETA", 20, "U"),
+            (4, None, None, "D"),
+            (6, "zeta", 60, "I"),
+        ],
+        SCHEMA + ", op string",
+    )
+    out = {r.id: r for r in apply_changes(base, changes, "id").collect()}
+    assert out[2].txt == "BETA"          # upsert applied
+    assert 4 not in out                  # delete applied
+    assert out[6].txt == "zeta"          # insert applied
+    assert out[1].txt == "alpha" and out[3].txt == "gamma"  # untouched
+    assert set(out) == {1, 2, 3, 5, 6}
+
+    # roundtrip: base + (diff base->new as CDC ops) == new
+    new = spark.createDataFrame(NEW, SCHEMA)
+    d = snapshot_diff(base, new, "id")
+    ops = d.select(
+        "id",
+        F.when(F.col("change_type") == "removed", "D").otherwise("U").alias("op"),
+    ).join(new, "id", "left").select("id", "txt", "num", "op")
+    rebuilt = apply_changes(base, ops, "id")
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0

@@ -81,3 +81,26 @@ def test_identical_schema_all_unchanged():
     rows = schema_evolution(s, s)
     assert all(r.change == "unchanged" and not r.breaking for r in rows)
     assert can_read_old_with_new(s, s)[0] is True
+
+
+def test_evolution_from_store(spark, tmp_path):
+    """The schema_profiles sink history doubles as an evolution audit:
+    two appended snapshots -> verdict between the LATEST two."""
+    from dataprofiler_spark.operators.compare import spec_from_struct
+    from dataprofiler_spark.operators.evolution import evolution_from_store
+    from dataprofiler_spark.sinks import MetricsStore
+
+    store = MetricsStore(spark, str(tmp_path / "m"), application="t", environment="e")
+    store.init()
+    v1 = _s(("a", T.IntegerType(), True), ("b", T.StringType(), True))
+    v2 = _s(("a", T.LongType(), True), ("c", T.StringType(), True))
+    store.append_schema_profile(spec_from_struct("docs", v1), scan_time=1000.0)
+    store.append_schema_profile(spec_from_struct("docs", v2), scan_time=2000.0)
+
+    rows = evolution_from_store(store.read("schema_profiles"), "docs")
+    kinds = {r.column: r.change for r in rows}
+    assert kinds["a"] == "widened"       # int -> bigint via stored strings
+    assert kinds["b"] == "removed"
+    assert kinds["c"] == "added_nullable"
+    # fewer than two snapshots -> None
+    assert evolution_from_store(store.read("schema_profiles"), "nope") is None
