@@ -159,3 +159,61 @@ def vocabulary_stats(
         F.count_distinct("w").alias("vocab_size"),
         F.round(F.count_distinct("w") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
     )
+
+
+def unigram_vocab(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus unigram counts (word, cnt) — the language-model table
+    unigram_logprob scores against. One explode + hash aggregate over a
+    bounded vocabulary (map-side partials collapse the explosion).
+    Materialize/store it once per corpus snapshot; scoring batches then
+    broadcast it."""
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    return counts
+
+
+def unigram_logprob(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability + perplexity — the
+    CCNet-style fluency score: a document whose words are improbable
+    under the corpus language model (gibberish, boilerplate noise,
+    wrong-language fragments) scores low and gets filtered/bucketed.
+    Smoothing: logp(w) = ln((cnt_w + α) / (N + α·(V+1))) with OOV words
+    taking cnt_w = 0 — every word has finite mass, no -inf.
+
+    Shape: vocab (bounded, word-count rows) is broadcast; the scoring
+    pass is one explode + broadcast join + per-doc aggregate. vocab=None
+    self-scores against the input corpus (one extra scan to build the
+    table — production stores it per snapshot instead). Documents with
+    no words yield NULL score."""
+    if vocab is None:
+        vocab = unigram_vocab(df, text_col)
+    totals = vocab.agg(
+        F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    words = df.select(key_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (F.col("__n") + F.lit(alpha) * (F.col("__v") + 1))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("perplexity"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -2246,3 +2246,74 @@ def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.sum((F.col("lang") == "xx").cast("long")).alias("n_xx"),
     )
+
+
+@register(
+    "unigram_logprob_documents",
+    """WITH vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w
+), t AS (
+  SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), s AS (
+  SELECT doc_id,
+    LN((COALESCE(cnt, 0) + 0.5) / (n + 0.5 * (v + 1))) AS lp
+  FROM words LEFT JOIN vocab USING (w) CROSS JOIN t
+)
+SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logprob,
+  ROUND(EXP(-AVG(lp)), 4) AS perplexity,
+  COUNT(*) AS n_words
+FROM s GROUP BY doc_id""",
+)
+def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency score: per-doc mean unigram log-probability +
+    perplexity against the corpus's own unigram LM (α=0.5 smoothing,
+    OOV-safe). Broadcast vocab join, one explode pass."""
+    from dataprofiler_spark.operators.textstats import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+@register(
+    "join_estimate_events_selfjoin",
+    """WITH ca AS (
+  SELECT user_id AS k, COUNT(*) AS ca FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+), hot AS (
+  SELECT DISTINCT k FROM (
+    SELECT k FROM ca ORDER BY ca DESC, k LIMIT 100) h
+), hc AS (
+  SELECT COALESCE(ca.ca, 0) AS ca FROM hot LEFT JOIN ca USING (k)
+), hagg AS (
+  SELECT CAST(SUM(ca * ca) AS BIGINT) AS exact_hot_rows,
+    CAST(MAX(ca * ca) AS BIGINT) AS worst_key_rows,
+    CAST(SUM(ca) AS BIGINT) AS rows_hot,
+    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_hot
+  FROM hc
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS rows_a, COUNT(*) AS distinct_a FROM ca
+)
+SELECT rows_a, rows_a AS rows_b, distinct_a, distinct_a AS distinct_b,
+  exact_hot_rows,
+  CAST(ROUND((rows_a - rows_hot) * (rows_a - rows_hot) * 1.0
+       / GREATEST(distinct_a - d_hot, 1), 0) AS BIGINT) AS tail_estimate,
+  exact_hot_rows + CAST(ROUND((rows_a - rows_hot) * (rows_a - rows_hot) * 1.0
+       / GREATEST(distinct_a - d_hot, 1), 0) AS BIGINT) AS estimated_rows,
+  worst_key_rows,
+  (exact_hot_rows + CAST(ROUND((rows_a - rows_hot) * (rows_a - rows_hot) * 1.0
+       / GREATEST(distinct_a - d_hot, 1), 0) AS BIGINT))
+    > 10.0 * rows_a AS explodes
+FROM hagg CROSS JOIN tot""",
+)
+def join_estimate_events_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion advisor on the events.user_id self-join: exact
+    top-100 hot-key contribution + uniform-containment tail. The SQL
+    replays the whole deterministic estimator (both sides identical ⇒
+    ca = cb in the oracle)."""
+    from dataprofiler_spark.plans.advisor import join_size_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    return join_size_estimate(events, events, "user_id", top_k=100)

@@ -375,3 +375,34 @@ def test_file_layout_report(spark, tmp_path):
     os.makedirs(empty)
     rep3 = file_layout_report(spark, empty).collect()[0]
     assert rep3.n_files == 0 and rep3.needs_compaction is False
+
+
+def test_join_size_estimate(spark):
+    """Hot keys are counted EXACTLY (estimate == truth when top_k covers
+    every key); a planted hot key flips the explodes flag; uniform tails
+    estimate within a small factor of the true join size."""
+    from dataprofiler_spark.plans.advisor import join_size_estimate
+
+    # uniform: 1000 rows x 100 keys each side -> join = 100 * 10 * 10
+    a = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    b = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+    r = join_size_estimate(a, b, "k", top_k=200).collect()[0]
+    exact = a.join(b, "k").count()
+    assert r.estimated_rows == exact == 10_000  # full hot coverage: exact
+    assert r.explodes is False
+
+    # skew: one key holds 50% of each side -> quadratic blowup flagged
+    sa = spark.range(0, 10000).select(
+        F.when(F.col("id") < 5000, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    r2 = join_size_estimate(sa, sa, "k", top_k=10).collect()[0]
+    exact2 = sa.join(sa.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).count()
+    assert r2.worst_key_rows == 5000 * 5000
+    assert r2.explodes is True
+    # hot part exact, tail estimated: total within 2% here
+    assert abs(r2.estimated_rows - exact2) / exact2 < 0.02
+
+    # NULL keys never join and never count
+    na = spark.createDataFrame([(None,), (1,)], "k int")
+    r3 = join_size_estimate(na, na, "k").collect()[0]
+    assert r3.rows_a == 1 and r3.estimated_rows == 1

@@ -106,3 +106,32 @@ def test_vocabulary_stats_known_values(spark):
     assert rows["a"].total_words == 5 and rows["a"].vocab_size == 3
     assert rows["a"].type_token_ratio == 0.6
     assert rows["b"].total_words == 4 and rows["b"].vocab_size == 1
+
+
+def test_unigram_logprob_manual(spark):
+    """Score equals the hand computation; a gibberish (all-OOV vs the
+    external vocab) doc scores strictly lower; perplexity = exp(-mean)."""
+    import math
+
+    from dataprofiler_spark.operators.textstats import unigram_logprob, unigram_vocab
+
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(corpus).collect()}
+    # vocab: a=3, b=2, c=1, N=6, V=3; alpha=.5 -> denom = 6 + .5*4 = 8
+    lp = lambda c: math.log((c + 0.5) / 8.0)
+    exp1 = (2 * lp(3) + lp(2)) / 3
+    assert abs(out[1].mean_logprob - round(exp1, 6)) < 1e-6
+    assert abs(out[1].perplexity - round(math.exp(-out[1].mean_logprob), 4)) < 1e-3
+    assert out[2].n_words == 3
+
+    vocab = unigram_vocab(corpus)
+    probe = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], "doc_id long, text string"
+    )
+    scored = {r.doc_id: r.mean_logprob for r in
+              unigram_logprob(probe, vocab=vocab).collect()}
+    assert scored[11] < scored[10]  # OOV gibberish scores lower
+    # OOV logprob is finite (smoothed), never -inf/NULL
+    assert scored[11] is not None and math.isfinite(scored[11])
