@@ -49,8 +49,9 @@ from dataprofiler_spark.operators.drift import (  # noqa: E402
 )
 from dataprofiler_spark.operators.ordering import assign_sequential_ids  # noqa: E402
 from dataprofiler_spark.operators.packing import packing_stats  # noqa: E402
+from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
-from dataprofiler_spark.operators.textstats import token_count  # noqa: E402
+from dataprofiler_spark.operators.textstats import token_count, unigram_logprob  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
 from dataprofiler_spark.operators.similarity import batch_topk, brute_force_topk  # noqa: E402
 from dataprofiler_spark.pipeline import ValidationConfig, run_validation  # noqa: E402
@@ -173,7 +174,19 @@ def main() -> None:
             "sequential_ids": lambda: assign_sequential_ids(
                 dc.select("doc_id"), "doc_id"
             ).agg(F.max("seq_id")).collect(),
+            # digest-only snapshot diff of the doc table vs a 1/7-perturbed
+            # copy; unigram LM scoring (explode + broadcast vocab join)
+            "snapshot_diff": lambda: _snapshot_diff(dc),
+            "unigram_logprob": lambda: unigram_logprob(dc)
+            .agg(F.avg("mean_logprob"), F.count("*")).collect(),
         }
+
+    def _snapshot_diff(dc):
+        new = dc.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit("xx")).otherwise(F.col("lang")),
+        )
+        return diff_summary(dc, new, "doc_id").collect()
 
     def _batch_knn(em):
         qs = em.filter(F.col("vec_id") % 97 == 0).select(

@@ -8,7 +8,7 @@ it value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language marker sets for the n-gram/stopword heuristic.
@@ -216,4 +216,50 @@ def unigram_logprob(
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
         F.round(F.exp(-F.avg("__lp")), 4).alias("perplexity"),
         F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_k: int = 5,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF: tf = term count in doc,
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, never zero). The corpus-level
+    summarization primitive (topic labeling, near-dup explanation,
+    quality auditing).
+
+    Shape: the (doc, word) term-count frame feeds BOTH the doc-frequency
+    aggregate and the scoring join, so it is persisted across the two
+    uses — re-deriving it would scan and explode the text twice
+    (CLAUDE.md gotcha 16; the pipeline's persist-across-writes
+    precedent). Doc frequencies are vocabulary-sized and broadcast back
+    (a per-word collect_list would concentrate a stopword's whole
+    posting list in one row — the OOM shape, deliberately avoided). N is
+    a parquet count-star (metadata-only). Top-k per doc is a rank window
+    over (doc) — state per task is one counter. Ties break by word for
+    determinism/oracle parity."""
+    n_docs = df.count()  # count-star: column-pruned/metadata, no explode
+    words = df.select(
+        key_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy(key_col, "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    if min_doc_freq > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_doc_freq)
+    idf = F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1
+    scored = tf.join(F.broadcast(dfreq), "w").select(
+        key_col,
+        "w",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    rk = Window.partitionBy(key_col).orderBy(
+        F.desc("tfidf"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(key_col, "rank", F.col("w").alias("keyword"), "tfidf")
     )

@@ -2317,3 +2317,33 @@ def join_estimate_events_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
 
     events = load_table(spark, sf_dir, "events")
     return join_size_estimate(events, events, "user_id", top_k=100)
+
+
+@register(
+    "tfidf_keywords_documents",
+    """WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words WHERE w <> '' GROUP BY doc_id, w
+), dfq AS (
+  SELECT w, COUNT(*) AS df FROM wf GROUP BY w
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), s AS (
+  SELECT doc_id, w, ROUND(tf * (LN((n + 1.0) / (df + 1)) + 1), 6) AS tfidf
+  FROM wf JOIN dfq USING (w) CROSS JOIN n
+), r AS (
+  SELECT doc_id, w, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+  FROM s
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, w AS keyword, tfidf
+FROM r WHERE rank <= 3""",
+)
+def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (smoothed idf, rounded-then-ranked
+    with word tie-break so both engines rank identically)."""
+    from dataprofiler_spark.operators.textstats import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, top_k=3)

@@ -135,3 +135,37 @@ def test_unigram_logprob_manual(spark):
     assert scored[11] < scored[10]  # OOV gibberish scores lower
     # OOV logprob is finite (smoothed), never -inf/NULL
     assert scored[11] is not None and math.isfinite(scored[11])
+
+
+def test_tfidf_keywords(spark):
+    """A term unique to one doc outranks ubiquitous terms; ranks are
+    dense 1..k with deterministic word tie-break; min_doc_freq prunes."""
+    from dataprofiler_spark.operators.textstats import tfidf_keywords
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "common common rare rare rare"),
+            (2, "common common common unique"),
+            (3, "common other other"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(corpus, top_k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    assert rows[(1, 1)].keyword == "rare"     # 3x doc-unique term wins
+    assert rows[(2, 1)].keyword == "common"   # tf=3 beats 1x unique here?
+    # verify against manual idf: common df=3, unique df=1, N=3
+    import math
+    idf_u = math.log(4 / 2) + 1
+    idf_c = math.log(4 / 4) + 1
+    assert abs(rows[(2, 2)].tfidf - round(1 * idf_u, 6)) < 1e-9 or \
+           abs(rows[(2, 1)].tfidf - round(3 * idf_c, 6)) < 1e-9
+    # every doc gets exactly min(top_k, vocab) rows, ranks dense
+    per_doc = {}
+    for (d, r), _ in rows.items():
+        per_doc.setdefault(d, []).append(r)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+
+    pruned = tfidf_keywords(corpus, top_k=5, min_doc_freq=2)
+    kws = {r.keyword for r in pruned.collect()}
+    assert kws == {"common"}  # every df=1 term (rare/unique/other) pruned
