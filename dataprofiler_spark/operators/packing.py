@@ -92,3 +92,59 @@ def packing_stats(
         ).alias("mean_fill"),
         (n_chunks * F.lit(b) - total).cast("long").alias("tail_waste_tokens"),
     )
+
+
+def batch_padding_stats(
+    df: DataFrame,
+    tokens_col: str | Column,
+    batch_size: int,
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Padding efficiency of fixed-size batching (the padded-batch
+    alternative to concat-then-chunk): documents are grouped into batches
+    of `batch_size`, every sequence pads to its batch's max length, and
+    the waste is Σ(batch_max − n_tok). With `bucket_width` set, docs are
+    length-bucketed FIRST (floor(n_tok/width)) and batched within their
+    bucket — the standard bucketed-batching trick that collapses padding
+    by batching similar lengths together. Returns per-group totals plus
+    `padding_frac` (padded tokens / total batch capacity) — run with and
+    without bucketing to quantify the win before committing a loader
+    config.
+
+    Shape: one row_number + one max window per (group, bucket) ordered by
+    the doc key, then a bounded aggregate. Batch ids are deterministic
+    (rank order), so the whole computation replays in SQL."""
+    tok = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
+        "long"
+    )
+    keys = [group_col] if group_col else []
+    staged = df.select(*keys, F.col(order_col).alias("__ord"), tok.alias("__tok"))
+    if bucket_width is not None:
+        staged = staged.withColumn(
+            "__bucket", F.floor(F.col("__tok") / F.lit(int(bucket_width)))
+        )
+    else:
+        staged = staged.withColumn("__bucket", F.lit(0))
+    w = Window.partitionBy(*keys, "__bucket").orderBy("__ord")
+    batched = staged.withColumn(
+        "__batch", ((F.row_number().over(w) - 1) / F.lit(int(batch_size))).cast("long")
+    )
+    wb = Window.partitionBy(*keys, "__bucket", "__batch")
+    per_row = batched.select(
+        *keys,
+        "__tok",
+        (F.max("__tok").over(wb) - F.col("__tok")).alias("__pad"),
+        F.max("__tok").over(wb).alias("__bmax"),
+    )
+    return per_row.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.sum("__pad").alias("padded_tokens"),
+        F.round(
+            F.sum("__pad")
+            / F.greatest(F.sum("__tok") + F.sum("__pad"), F.lit(1)),
+            6,
+        ).alias("padding_frac"),
+    )

@@ -2347,3 +2347,38 @@ def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_keywords(docs, top_k=3)
+
+
+@register(
+    "batch_padding_documents",
+    """WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), bkt AS (
+  SELECT source, doc_id, n_tok, FLOOR(n_tok / 50) AS bucket FROM d
+), batched AS (
+  SELECT source, n_tok, bucket,
+    CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1) / 8.0) AS BIGINT) AS batch
+  FROM bkt
+), padded AS (
+  SELECT source, n_tok,
+    MAX(n_tok) OVER (PARTITION BY source, bucket, batch) - n_tok AS pad
+  FROM batched
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(pad) AS BIGINT) AS padded_tokens,
+  ROUND(SUM(pad) * 1.0 / GREATEST(SUM(n_tok) + SUM(pad), 1), 6) AS padding_frac
+FROM padded GROUP BY source""",
+)
+def batch_padding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding efficiency of length-bucketed batching (width 50, batch 8)
+    per source — the loader-config question 'how many tokens does this
+    batching waste'. Deterministic batch assignment replayed in SQL."""
+    from dataprofiler_spark.operators.packing import batch_padding_stats
+    from dataprofiler_spark.operators.textstats import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("source", "doc_id", token_count("text").alias("n_tok"))
+    return batch_padding_stats(
+        staged, "n_tok", 8, "doc_id", "source", bucket_width=50
+    )

@@ -52,3 +52,36 @@ def test_groups_pack_independently(spark):
     firsts = {r.source: r.stream_offset for r in
               out.filter(F.col("doc_id") == 0).collect()}
     assert firsts == {"a": 0, "b": 0}  # each source starts its own stream
+
+
+def test_batch_padding_stats_exact_and_bucketed_win(spark):
+    """Exact padded-token math for known batches; length-bucketing
+    strictly reduces padding on a bimodal corpus."""
+    from dataprofiler_spark.operators.packing import batch_padding_stats
+
+    # bimodal: alternating short (10) and long (1000) docs
+    docs = spark.createDataFrame(
+        [(i, "s", 10 if i % 2 == 0 else 1000) for i in range(8)],
+        "doc_id long, source string, n_tok long",
+    )
+    # batch_size 2, unbucketed, ordered by doc_id: every batch = (10, 1000)
+    # -> pad 990 per batch x 4 batches
+    un = batch_padding_stats(docs, "n_tok", 2, group_col="source").collect()[0]
+    assert un.padded_tokens == 990 * 4
+    # capacity = sum(tok) + sum(pad) = 4040 + 3960 = 8000 = 4 batches x 2 x 1000
+    assert un.total_tokens == 4040 and un.padding_frac == round(3960 / 8000, 6)
+
+    # bucketed by width 100: shorts batch with shorts -> zero padding
+    b = batch_padding_stats(
+        docs, "n_tok", 2, group_col="source", bucket_width=100
+    ).collect()[0]
+    assert b.padded_tokens == 0 and b.padding_frac == 0.0
+
+    # ragged final batch still pads to ITS max, not the global max
+    three = spark.createDataFrame(
+        [(1, "s", 5), (2, "s", 7), (3, "s", 9)],
+        "doc_id long, source string, n_tok long",
+    )
+    r = batch_padding_stats(three, "n_tok", 2, group_col="source").collect()[0]
+    # batches: (5,7) pad 2; (9) pad 0
+    assert r.padded_tokens == 2
