@@ -52,9 +52,20 @@ def snapshot_diff(
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in keys
         ]
-    o = _digest_side(old, keys, compare_cols, "o")
-    n = _digest_side(new, keys, compare_cols, "n")
-    j = o.join(n, keys, "full_outer")
+    o = _digest_side(old, keys, compare_cols, "o").alias("o")
+    n = _digest_side(new, keys, compare_cols, "n").alias("n")
+    # null-safe on the key: a NULL-keyed row present on both sides is the
+    # SAME row (keys are unique per side), not an added+removed pair — the
+    # engine's eqNullSafe convention (drift/growth/mix joins)
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys],
+        *[c for c in o.columns if c not in keys],
+        *[c for c in n.columns if c not in keys],
+    )
 
     col_changed = [
         F.col(f"__o_{i}") != F.col(f"__n_{i}") for i in range(len(compare_cols))

@@ -356,16 +356,20 @@ def _block_mean_resize(px: "np.ndarray", th: int, tw: int) -> "np.ndarray":
     Each target pixel averages its source box — the standard anti-aliased
     downscale; upscale degenerates to nearest-neighbor replication."""
     h, w = px.shape
-    ys = (np.arange(th + 1) * h // th).clip(1, h)
-    xs = (np.arange(tw + 1) * w // tw).clip(1, w)
+    # box edges 0..h / 0..w — the first block MUST start at row/col 0 (a
+    # lower clip of 1 silently dropped the first row+column from the
+    # first block's mean)
+    ys = np.arange(th + 1) * h // th
+    xs = np.arange(tw + 1) * w // tw
     # cumulative-sum integral image -> box means in O(th*tw)
     ii = np.zeros((h + 1, w + 1), dtype=np.int64)
     ii[1:, 1:] = px.astype(np.int64).cumsum(0).cumsum(1)
     y0, y1 = ys[:-1], ys[1:]
     x0, x1 = xs[:-1], xs[1:]
-    # guarantee non-empty boxes (upscale: y0 may equal y1)
-    y0 = np.minimum(y0, y1 - 1)
-    x0 = np.minimum(x0, x1 - 1)
+    # guarantee non-empty boxes (upscale: floor edges can repeat); y0+1
+    # never exceeds h because y0 <= (t-1)*h//t <= h-1
+    y1 = np.maximum(y1, y0 + 1)
+    x1 = np.maximum(x1, x0 + 1)
     area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     s = (
         ii[y1][:, x1]

@@ -61,12 +61,21 @@ def assign_sequential_ids(
         )
     else:
         bucket = F.lit(0)
-    staged = df.withColumn("__bucket", bucket)
+    # a NULL key has no rank: keep its bucket NULL (even in the no-cuts
+    # case) so the counts pass below detects it and raises a clear error
+    # instead of a driver TypeError or silently NULLS-FIRST ids
+    staged = df.withColumn("__bucket", F.when(key.isNotNull(), bucket))
 
     counts = {
         r["__bucket"]: r["cnt"]
         for r in staged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
+    if None in counts:
+        raise ValueError(
+            f"assign_sequential_ids: {key_col} contains {counts[None]} NULL "
+            "value(s) — a NULL has no position in a total order. Filter them "
+            "out (or assign a sentinel) before calling."
+        )
     offsets, run = {}, 0
     for b in sorted(counts):
         offsets[b] = run

@@ -102,7 +102,7 @@ def mix_plan(
     group, the hash-sampling rate that yields `targets[g] * total_rows`
     rows (capped at 1.0 — a group cannot be up-sampled by filtering, only
     a deficit reported). Groups absent from `targets` get rate 0.
-    Returns (group, n_rows, target_frac, rate, expected_rows, deficit).
+    Returns (group, n_rows, target_frac, rate, want_rows, deficit).
 
     One group-sized aggregate; the plan frame is broadcast-sized (one row
     per source/language)."""
@@ -116,8 +116,8 @@ def mix_plan(
     target_frac = F.coalesce(tmap[F.col(group_col)], F.lit(0.0))
     want = target_frac * F.lit(float(total_rows))
     rate = F.least(F.lit(1.0), want / F.greatest(F.col("n_rows"), F.lit(1)))
-    # quantized to the hash-bucket resolution so expected_rows states what
-    # the deterministic filter actually delivers, not the real-valued rate
+    # rate quantized to the hash-bucket resolution so it states what the
+    # deterministic filter actually delivers, not the real-valued target
     qrate = F.round(rate * BUCKETS, 0) / BUCKETS
     return counts.select(
         group_col,

@@ -169,7 +169,9 @@ def unigram_vocab(
     bounded vocabulary (map-side partials collapse the explosion).
     Materialize/store it once per corpus snapshot; scoring batches then
     broadcast it."""
-    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
     counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
@@ -200,7 +202,12 @@ def unigram_logprob(
     totals = vocab.agg(
         F.sum("cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
     )
-    words = df.select(key_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    # empty pseudo-tokens from consecutive whitespace are not words: they
+    # must not enter the vocab or a doc's word count (a formatting
+    # artifact would shift the fluency score)
+    words = df.select(
+        key_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
     scored = (
         words.join(F.broadcast(vocab), "w", "left")
         .crossJoin(F.broadcast(totals))
@@ -232,10 +239,11 @@ def tfidf_keywords(
     quality auditing).
 
     Shape: the (doc, word) term-count frame feeds BOTH the doc-frequency
-    aggregate and the scoring join, so it is persisted across the two
-    uses — re-deriving it would scan and explode the text twice
-    (CLAUDE.md gotcha 16; the pipeline's persist-across-writes
-    precedent). Doc frequencies are vocabulary-sized and broadcast back
+    aggregate and the scoring join, so it is lazily localCheckpoint-ed
+    across the two uses — re-deriving it would scan and explode the text
+    twice (CLAUDE.md gotcha 16), and unlike a catalog-pinned persist the
+    checkpoint blocks are freed by the ContextCleaner when the returned
+    frame is dropped. Doc frequencies are vocabulary-sized and broadcast back
     (a per-word collect_list would concentrate a stopword's whole
     posting list in one row — the OOM shape, deliberately avoided). N is
     a parquet count-star (metadata-only). Top-k per doc is a rank window
@@ -245,7 +253,11 @@ def tfidf_keywords(
     words = df.select(
         key_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
-    tf = words.groupBy(key_col, "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = (
+        words.groupBy(key_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     if min_doc_freq > 1:
         dfreq = dfreq.filter(F.col("df") >= min_doc_freq)

@@ -39,15 +39,22 @@ def join_size_estimate(
     tail_estimate, estimated_rows, worst_key_rows, explodes).
     NULL keys never join — excluded from both sides. `explodes` flags an
     estimate above explosion_factor × the larger input."""
+    # each per-key count frame feeds THREE consumers (top-k, broadcast
+    # join, totals) — localCheckpoint materializes it once instead of
+    # re-running the input scan + aggregate per consumer (gotcha 16);
+    # blocks are freed with the frame by the ContextCleaner, unlike a
+    # catalog-pinned persist
     ca = (
         a.filter(F.col(key).isNotNull())
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("ca"))
+        .localCheckpoint(eager=False)
     )
     cb = (
         b.filter(F.col(key).isNotNull())
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
     )
     hot_a = ca.orderBy(F.desc("ca"), F.asc(key)).limit(top_k).select(key)
     hot_b = cb.orderBy(F.desc("cb"), F.asc(key)).limit(top_k).select(key)

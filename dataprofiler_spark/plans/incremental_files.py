@@ -53,6 +53,13 @@ class FileLedger:
 
     def validated_files(self) -> set[str]:
         out: set[str] = set()
+        # legacy single-file ledger (pre-shard format): a dir written by
+        # the previous release must not read as empty — that would
+        # re-validate everything and double-append rows to the sinks
+        legacy = os.path.join(self.dir, "validated_files.json")
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                out.update(json.load(f))
         for path in self._shards():
             with open(path) as f:
                 out.update(json.load(f))

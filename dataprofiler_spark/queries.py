@@ -2252,11 +2252,14 @@ def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob_documents",
     """WITH vocab AS (
   SELECT w, COUNT(*) AS cnt FROM (
-    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
 ), t AS (
   SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab
 ), words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
 ), s AS (
   SELECT doc_id,
     LN((COALESCE(cnt, 0) + 0.5) / (n + 0.5 * (v + 1))) AS lp

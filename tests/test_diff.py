@@ -112,3 +112,13 @@ def test_apply_changes_scd1(spark):
     rebuilt = apply_changes(base, ops, "id")
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+
+
+def test_null_key_rows_match_null_safely(spark):
+    """A NULL-keyed row present unchanged in both snapshots is MATCHED
+    (unchanged), not misread as an added+removed pair."""
+    old = spark.createDataFrame([(None, "x", 1), (1, "y", 2)], SCHEMA)
+    new = spark.createDataFrame([(None, "x", 1), (1, "y", 3)], SCHEMA)
+    s = diff_summary(old, new, "id").collect()[0]
+    assert s.added == 0 and s.removed == 0
+    assert s.changed == 1 and s.unchanged == 1  # only id=1 changed

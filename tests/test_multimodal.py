@@ -177,3 +177,19 @@ def test_resize_images_real_pixels(spark):
     ).collect()[0]
     upx = decode_image(bytes(up.data))
     assert upx.shape == (6, 6) and upx[0, 0] == 0 and upx[0, 5] == 255
+
+
+def test_block_mean_resize_exact_means():
+    """Area resize is a true block mean including row 0 / col 0 (the
+    review-found clip bug averaged without them)."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import _block_mean_resize
+
+    assert _block_mean_resize(np.array([[0, 0], [0, 255]], dtype=np.uint8), 1, 1)[0, 0] == 63
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    expect = np.array([[2, 4], [10, 12]])
+    assert (_block_mean_resize(a, 2, 2) == expect).all()
+    # non-divisible shapes stay exact block means over their boxes
+    r = _block_mean_resize(np.arange(15, dtype=np.uint8).reshape(5, 3), 2, 2)
+    assert r.shape == (2, 2) and r[0, 0] == np.arange(15).reshape(5, 3)[:2, :1].mean() // 1

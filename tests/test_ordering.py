@@ -37,3 +37,17 @@ def test_skewed_key_still_correct(spark):
     out = assign_sequential_ids(df, "k").select("seq_id").collect()
     ids = sorted(r.seq_id for r in out)
     assert ids == list(range(20000))  # contiguous 0..n-1, no dupes/gaps
+
+
+def test_null_keys_raise_clearly(spark):
+    """NULL keys have no rank: a clear ValueError, never a driver
+    TypeError or silent NULLS-FIRST ids — in BOTH the with-cuts and the
+    collapsed-cuts (constant key) paths."""
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id")).alias("k")
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        assign_sequential_ids(df, "k")
+    const_with_null = spark.createDataFrame([(7,), (7,), (None,)], "k int")
+    with pytest.raises(ValueError, match="NULL"):
+        assign_sequential_ids(const_with_null, "k")

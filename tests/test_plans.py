@@ -406,3 +406,20 @@ def test_join_size_estimate(spark):
     na = spark.createDataFrame([(None,), (1,)], "k int")
     r3 = join_size_estimate(na, na, "k").collect()[0]
     assert r3.rows_a == 1 and r3.estimated_rows == 1
+
+
+def test_file_ledger_reads_legacy_format(tmp_path):
+    """A ledger dir written by the pre-shard release (one
+    validated_files.json) must not read as empty — that would re-validate
+    and double-append everything."""
+    import json
+
+    from dataprofiler_spark.plans.incremental_files import FileLedger
+
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "validated_files.json").write_text(json.dumps(["old1.parquet", "old2.parquet"]))
+    led = FileLedger(str(d))
+    assert led.validated_files() == {"old1.parquet", "old2.parquet"}
+    led.record_files(["new.parquet"])
+    assert led.validated_files() == {"old1.parquet", "old2.parquet", "new.parquet"}
