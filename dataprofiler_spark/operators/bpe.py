@@ -1,0 +1,157 @@
+"""BPE tokenizer training over a corpus, Spark-first.
+
+A training pipeline that ships a corpus usually ships a tokenizer trained
+on it. BPE training has two phases with very different scale profiles:
+
+1. **Word counting** — the corpus-sized part. One explode + hash
+   aggregate over 100 TB of text; map-side partials collapse it to the
+   vocabulary size. This is the ONLY phase that touches the corpus, and
+   it is fully distributed here (`word_counts`).
+2. **Merge learning** — iterating "most frequent adjacent symbol pair"
+   over the (word, count) table. The table is vocabulary-sized (≈10^5-10^6
+   rows regardless of corpus size), so the industry-standard approach
+   (HuggingFace trainers, SentencePiece) runs it in memory on the counts —
+   a distributed per-merge job would pay a full shuffle per merge for a
+   megabyte of state. `learn_merges` does exactly that, driver-side, with
+   incremental pair-count updates (only words containing the merged pair
+   are touched per round).
+
+Encoding applies learned merges per word — `bpe_encode_udf` returns an
+Arrow-batched pandas UDF (the engine's UDF budget: encoding is genuinely
+per-row stateful-loop work no Column expression expresses; the vectorized
+batch amortizes the Python cost).
+
+Determinism: ties in pair frequency break lexicographically, so the same
+counts always learn the same merges — rerun-stable vocabularies.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pandas as pd  # module-level: the encode UDF's type hints resolve here
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # word-boundary marker, standard BPE convention
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed (word, cnt) over the corpus — the only corpus-sized
+    phase of BPE training."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def learn_merges(
+    counts: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn `num_merges` BPE merges from a (word, count) table.
+    Incremental: pair counts are adjusted only for the words containing
+    each merged pair (not recounted from scratch per round). Ties break
+    lexicographically — deterministic for identical counts."""
+    words: list[list[str]] = [list(w) + [END] for w, _ in counts]
+    freqs = [c for _, c in counts]
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (syms, f) in enumerate(zip(words, freqs)):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += f
+            pair_words[(a, b)].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # highest count; ties break to the lexicographically SMALLEST
+        # pair — deterministic and matching the common convention
+        maxc = max(pair_counts.values())
+        if maxc <= 0:
+            break
+        best = min(p for p, c in pair_counts.items() if c == maxc)
+        merges.append(best)
+        merged = best[0] + best[1]
+        for i in list(pair_words[best]):
+            syms, f = words[i], freqs[i]
+            # remove this word's old pair contributions
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= f
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(i)
+            # apply the merge left-to-right
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            # add the new contributions
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += f
+                pair_words[(a, b)].add(i)
+    return merges
+
+
+def train_bpe(
+    df: DataFrame, num_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """End-to-end: distributed word counts → driver-side merge learning.
+    The collect is vocabulary-sized (word, count) rows, never corpus
+    rows. Sorted (count desc, word) so the merge sequence is a pure
+    function of the corpus content."""
+    rows = word_counts(df, text_col).collect()
+    counts = sorted(((r.w, r.cnt) for r in rows), key=lambda t: (-t[1], t[0]))
+    return learn_merges(counts, num_merges)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word (lowest-rank pair first — the
+    standard BPE encode order)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(syms, syms[1:]))]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return syms
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched pandas UDF: text → array<string> of BPE tokens.
+    The merge table rides the closure (broadcast with the task binary);
+    per-word results are memoized per batch (Zipf: most words repeat)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(t):
+            if t is None:
+                return None
+            out = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                if w not in cache:
+                    cache[w] = encode_word(w, ranks)
+                out.extend(cache[w])
+            return out
+
+        return texts.map(enc)
+
+    return encode
