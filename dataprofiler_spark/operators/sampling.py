@@ -157,3 +157,27 @@ def mix_sample(
         )
         .drop("__g", "rate")
     )
+
+
+def temperature_targets(
+    df: DataFrame, group_col: str, temperature: float
+) -> DataFrame:
+    """Temperature-scaled mixture targets: p_g ∝ n_g^T (T=1 keeps natural
+    proportions, T→0 approaches uniform) — the standard multilingual
+    rebalancing rule (e.g. T≈0.3 upweights low-resource languages).
+    Returns (group, n_rows, target_frac) with fractions summing to 1;
+    group-count-sized frame. Feed the dict form into mix_plan/mix_sample:
+
+        t = {r[group_col]: r.target_frac for r in
+             temperature_targets(df, "lang", 0.3).collect()}
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature)))
+    tot = F.sum(w).over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        "n_rows",
+        F.round(w / tot, 6).alias("target_frac"),
+    )

@@ -2385,3 +2385,22 @@ def batch_padding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_padding_stats(
         staged, "n_tok", 8, "doc_id", "source", bucket_width=50
     )
+
+
+@register(
+    "temperature_mix_documents",
+    """WITH c AS (
+  SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source
+)
+SELECT source, n_rows,
+  ROUND(POW(n_rows, 0.3) / SUM(POW(n_rows, 0.3)) OVER (), 6) AS target_frac
+FROM c""",
+)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=0.3) mixture targets per source — the
+    multilingual rebalancing rule p ∝ n^T; one group-sized aggregate +
+    an unpartitioned window over it."""
+    from dataprofiler_spark.operators.sampling import temperature_targets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_targets(docs, "source", 0.3)

@@ -264,3 +264,61 @@ def drift_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def profile_stream(
+    spark: SparkSession,
+    input_path: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    hist_widths: dict[str, float] | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous profile maintenance: every micro-batch computes its
+    merge-safe numeric partials (operators/incremental.py) and APPENDS
+    them — batch-id-stamped — to a partials store. Because the partial
+    state is associative and commutative (counts/sums add, min/max
+    combine, HLL unions, histogram buckets add), the current profile at
+    any moment is `current_profile(spark, partials_dir)` regardless of
+    how arrivals were batched; nothing is ever rescanned or rewritten.
+    The streaming analog of incremental snapshot profiling, and the
+    reason the partial state was designed merge-safe in the first
+    place."""
+    from dataprofiler_spark.operators.incremental import numeric_partials
+
+    cols = columns or ["n_tok"]
+    reader = spark.readStream.schema(sequence_schema())
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            numeric_partials(batch_df, cols, hist_widths=hist_widths)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_profile(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Finalized profile over everything the stream has appended so far —
+    one merge of the stored partials, no source rescans."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+    )
+
+    stored = spark.read.parquet(partials_dir).drop("batch_id")
+    return finalize_partials(merge_partials(stored))

@@ -122,3 +122,28 @@ def test_mix_sample_untargeted_group_dropped(spark):
     )
     out = mix_sample(corpus, "source", "doc_id", {"web": 1.0}, 10)
     assert [r.source for r in out.collect()] == ["web"]
+
+
+def test_temperature_targets(spark):
+    """T=1 reproduces natural proportions; T->0 flattens toward uniform;
+    low-resource groups are upweighted at T<1."""
+    import pytest as _pytest
+
+    from dataprofiler_spark.operators.sampling import temperature_targets
+
+    corpus = spark.createDataFrame(
+        [(i, "big" if i < 9000 else "small") for i in range(10000)],
+        "doc_id long, source string",
+    )
+    nat = {r.source: r.target_frac for r in
+           temperature_targets(corpus, "source", 1.0).collect()}
+    assert nat == {"big": 0.9, "small": 0.1}
+    t3 = {r.source: r.target_frac for r in
+          temperature_targets(corpus, "source", 0.3).collect()}
+    assert t3["small"] > 0.1 and t3["big"] < 0.9  # rebalanced
+    assert abs(sum(t3.values()) - 1.0) < 1e-5
+    flat = {r.source: r.target_frac for r in
+            temperature_targets(corpus, "source", 0.01).collect()}
+    assert abs(flat["small"] - 0.5) < 0.02  # near-uniform
+    with _pytest.raises(ValueError):
+        temperature_targets(corpus, "source", 0.0)

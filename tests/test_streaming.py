@@ -282,3 +282,37 @@ def test_drift_stream_alerts_on_shifted_batch(spark, tmp_path):
     n_groups = drift.select("source").distinct().count()
     assert sorted(per_batch.values()) == [0, n_groups]
     baseline_hist.unpersist()
+
+
+def test_profile_stream_matches_batch_profile(spark, tmp_path):
+    """Partials appended per micro-batch merge to EXACTLY the batch
+    profile over all data (moments/min/max exact; that is the merge-safe
+    guarantee) — and a later batch only appends, never rewrites."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        numeric_partials,
+    )
+    from dataprofiler_spark.streaming.validate import current_profile, profile_stream
+
+    inp = str(tmp_path / "in")
+    parts = str(tmp_path / "parts")
+    ckpt = str(tmp_path / "ckpt")
+    gen_sequences(spark, 2000, violations=False).coalesce(1).write.parquet(f"{inp}/f1")
+    gen_sequences(spark, 1000, violations=False).withColumn(
+        "n_tok", F.col("n_tok") + F.lit(7)
+    ).coalesce(1).write.parquet(f"{inp}/f2")
+
+    q = profile_stream(spark, f"{inp}/*", parts, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    got = current_profile(spark, parts).collect()[0]
+    all_rows = spark.read.schema(sequence_schema()).parquet(f"{inp}/f1", f"{inp}/f2")
+    want = finalize_partials(numeric_partials(all_rows, ["n_tok"])).collect()[0]
+    assert got.row_count == want.row_count == 3000
+    assert got.avg_value == want.avg_value
+    assert got.min_value == want.min_value and got.max_value == want.max_value
+    assert got.stddev_pop == want.stddev_pop
+
+    # two batch ids recorded -> per-batch lineage retained in the store
+    ids = spark.read.parquet(parts).select("batch_id").distinct().count()
+    assert ids == 2
