@@ -19,7 +19,7 @@ Scale notes (10^12-row design point):
   * RI = broadcast left-anti join when the parent is small (dimension
     tables always are); falls back to shuffle anti-join + AQE otherwise.
   * Reference-equality = shuffle join on doc_id + ONE vectorized Arrow
-    pandas UDF (the only UDF in the engine, per input_hint).
+    pandas UDF (with the BPE encoder, one of the engine's two UDFs).
 """
 
 from __future__ import annotations
@@ -293,7 +293,7 @@ def empty_partition_check(
 
 
 # ---------------------------------------------------------------------------
-# Token-array equality vs the golden reference copy — the engine's ONLY UDF
+# Token-array equality vs the golden reference copy — the engine's primary UDF
 # (input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)").
 # ---------------------------------------------------------------------------
 
