@@ -39,13 +39,12 @@ END = "</w>"  # word-boundary marker, standard BPE convention
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distributed (word, cnt) over the corpus — the only corpus-sized
-    phase of BPE training."""
-    return (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    phase of BPE training. Delegates to textstats.unigram_vocab so the
+    engine has ONE word-count aggregate to keep correct (the empty-token
+    filter lives there)."""
+    from dataprofiler_spark.operators.textstats import unigram_vocab
+
+    return unigram_vocab(df, text_col)
 
 
 def learn_merges(
@@ -58,6 +57,8 @@ def learn_merges(
     words: list[list[str]] = [list(w) + [END] for w, _ in counts]
     freqs = [c for _, c in counts]
 
+    import heapq
+
     pair_counts: Counter = Counter()
     pair_words: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
     for i, (syms, f) in enumerate(zip(words, freqs)):
@@ -65,25 +66,45 @@ def learn_merges(
             pair_counts[(a, b)] += f
             pair_words[(a, b)].add(i)
 
+    # lazy-invalidation max-heap over (-count, pair): every count change
+    # pushes a fresh entry; stale entries are skipped at pop time when
+    # they disagree with the live pair_counts. Each merge is O(log P) +
+    # the touched-pair updates instead of two full O(P) dict scans — the
+    # difference between minutes and hours at a 30k-merge vocabulary.
+    # Ordering: highest count, ties to the lexicographically SMALLEST
+    # pair — deterministic, matching the common convention.
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        heapq.heappush(heap, (-pair_counts[p], p))
+
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        if not pair_counts:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc and -negc > 0:
+                best = p
+                break
+        if best is None:
             break
-        # highest count; ties break to the lexicographically SMALLEST
-        # pair — deterministic and matching the common convention
-        maxc = max(pair_counts.values())
-        if maxc <= 0:
-            break
-        best = min(p for p, c in pair_counts.items() if c == maxc)
         merges.append(best)
         merged = best[0] + best[1]
         for i in list(pair_words[best]):
             syms, f = words[i], freqs[i]
-            # remove this word's old pair contributions
+            # remove this word's old pair contributions (push the lowered
+            # count too — lazy invalidation skips the stale higher entry,
+            # so without a fresh entry a decreased pair would vanish from
+            # the heap's consideration entirely)
             for a, b in zip(syms, syms[1:]):
                 pair_counts[(a, b)] -= f
                 if pair_counts[(a, b)] <= 0:
                     del pair_counts[(a, b)]
+                else:
+                    push((a, b))
                 pair_words[(a, b)].discard(i)
             # apply the merge left-to-right
             out, j = [], 0
@@ -99,6 +120,7 @@ def learn_merges(
             for a, b in zip(out, out[1:]):
                 pair_counts[(a, b)] += f
                 pair_words[(a, b)].add(i)
+                push((a, b))
     return merges
 
 

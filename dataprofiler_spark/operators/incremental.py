@@ -149,7 +149,12 @@ def merge_partials(*partials: DataFrame) -> DataFrame:
         F.max("mx").alias("mx"),
         F.hll_union_agg("hll").alias("hll"),
         F.max("hist_width").alias("__w"),
-        F.bool_and(F.col("hist").isNotNull()).alias("__complete"),
+        # a zero-mass partial (empty/all-NULL slice — e.g. an empty
+        # micro-batch) represents no rows, so a missing histogram there
+        # must not invalidate the merged one
+        F.bool_and(F.col("hist").isNotNull() | (F.col("nn") == 0)).alias(
+            "__complete"
+        ),
         F.count_distinct("hist_width").alias("__n_widths"),
     )
     merged_hist = (

@@ -107,7 +107,10 @@ def mix_plan(
     One group-sized aggregate; the plan frame is broadcast-sized (one row
     per source/language)."""
     frac = sum(targets.values())
-    if frac > 1.0 + 1e-9:
+    # tolerance matches the 6dp rounding of temperature_targets' output
+    # (each rounded fraction can carry +5e-7; a genuinely over-budget mix
+    # still raises)
+    if frac > 1.0 + 1e-4:
         raise ValueError(f"target fractions sum to {frac} > 1")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
     tmap = F.create_map(
@@ -173,7 +176,13 @@ def temperature_targets(
     """
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    # NULL groups are excluded: they cannot be addressed as a dict key in
+    # mix_plan's targets (and an unnamed bucket has no place in a mix)
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
     w = F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature)))
     tot = F.sum(w).over(Window.partitionBy())
     return counts.select(

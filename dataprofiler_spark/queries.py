@@ -2113,7 +2113,7 @@ j AS (
     (o.lang IS DISTINCT FROM n.lang) AS d_lang,
     (o.source IS DISTINCT FROM n.source) AS d_source,
     (o.n_chars IS DISTINCT FROM n.n_chars) AS d_nchars
-  FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+  FROM documents o FULL OUTER JOIN new n ON o.doc_id IS NOT DISTINCT FROM n.doc_id
 ), c AS (
   SELECT CASE WHEN o_id IS NULL THEN 'added'
               WHEN n_id IS NULL THEN 'removed'

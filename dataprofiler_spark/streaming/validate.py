@@ -320,5 +320,14 @@ def current_profile(spark: SparkSession, partials_dir: str) -> DataFrame:
         merge_partials,
     )
 
-    stored = spark.read.parquet(partials_dir).drop("batch_id")
+    # idempotence under foreachBatch's at-least-once semantics: a batch
+    # whose append succeeded but whose checkpoint commit did not is
+    # re-run with the SAME batch_id and writes identical (deterministic)
+    # partial rows — dedup on (batch_id, column_name) makes the replay
+    # merge-neutral instead of double-counting the whole batch
+    stored = (
+        spark.read.parquet(partials_dir)
+        .dropDuplicates(["batch_id", "column_name"])
+        .drop("batch_id")
+    )
     return finalize_partials(merge_partials(stored))

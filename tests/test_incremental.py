@@ -115,3 +115,21 @@ def test_histogram_invalidated_on_partial_or_mismatched_state(spark):
     other_width = numeric_partials(b, ["x"], hist_widths={"x": 25.0})
     clash = finalize_partials(merge_partials(with_hist, other_width)).collect()[0]
     assert clash.median_est is None  # mismatched widths → no median claim
+
+
+def test_zero_mass_partial_does_not_invalidate_histogram(spark):
+    """An empty/all-NULL slice (e.g. an empty micro-batch) carries no
+    histogram but also no mass — merging it must keep the median claim."""
+    from dataprofiler_spark.operators.incremental import (
+        finalize_partials,
+        merge_partials,
+        numeric_partials,
+    )
+
+    full = spark.range(1, 1001).select((F.col("id") % 97).alias("x"))
+    empty = full.filter(F.lit(False))
+    a = numeric_partials(full, ["x"], hist_widths={"x": 10.0})
+    b = numeric_partials(empty, ["x"], hist_widths={"x": 10.0})
+    merged = finalize_partials(merge_partials(a, b)).collect()[0]
+    assert merged.row_count == 1000
+    assert merged.median_est is not None  # zero-mass slice is harmless

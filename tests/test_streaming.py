@@ -316,3 +316,28 @@ def test_profile_stream_matches_batch_profile(spark, tmp_path):
     # two batch ids recorded -> per-batch lineage retained in the store
     ids = spark.read.parquet(parts).select("batch_id").distinct().count()
     assert ids == 2
+
+
+def test_profile_stream_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch whose append landed but
+    whose checkpoint commit didn't is re-run with the SAME batch_id —
+    current_profile must not double-count it."""
+    from dataprofiler_spark.operators.incremental import numeric_partials
+    from dataprofiler_spark.streaming.validate import current_profile, profile_stream
+
+    inp = str(tmp_path / "in")
+    parts = str(tmp_path / "parts")
+    ckpt = str(tmp_path / "ckpt")
+    gen_sequences(spark, 1500, violations=False).coalesce(1).write.parquet(f"{inp}/f1")
+    q = profile_stream(spark, f"{inp}/*", parts, ckpt)
+    q.awaitTermination(120)
+
+    # simulate the replay: append the same batch's partials again with
+    # the same batch_id (what a crash-restart produces)
+    replay = numeric_partials(
+        spark.read.schema(sequence_schema()).parquet(f"{inp}/f1"), ["n_tok"]
+    ).withColumn("batch_id", F.lit(0))
+    replay.write.mode("append").parquet(parts)
+
+    got = current_profile(spark, parts).collect()[0]
+    assert got.row_count == 1500  # not 3000
