@@ -80,3 +80,54 @@ def test_empty_and_null_inputs(spark):
     rows = {r.doc_id: r.toks for r in
             docs.select("doc_id", enc(F.col("text")).alias("toks")).collect()}
     assert rows[1] is None and rows[2] == []
+
+
+def test_heap_learner_equals_naive_reference():
+    """The lazy-invalidation heap must select exactly the same merge
+    sequence as a brute-force highest-count/smallest-pair scan, on
+    randomized corpora (hypothesis)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def naive_merges(counts, num_merges):
+        words = [list(w) + [END] for w, _ in counts]
+        freqs = [c for _, c in counts]
+        out = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for syms, f in zip(words, freqs):
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            maxc = max(pc.values())
+            best = min(p for p, c in pc.items() if c == maxc)
+            out.append(best)
+            merged = best[0] + best[1]
+            for i, syms in enumerate(words):
+                ns, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                        ns.append(merged)
+                        j += 2
+                    else:
+                        ns.append(syms[j])
+                        j += 1
+                words[i] = ns
+        return out
+
+    @given(
+        st.lists(
+            st.tuples(st.text(alphabet="abcd", min_size=1, max_size=6),
+                      st.integers(1, 9)),
+            min_size=1, max_size=12, unique_by=lambda t: t[0],
+        ),
+        st.integers(1, 8),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(counts, k):
+        assert learn_merges(counts, k) == naive_merges(counts, k)
+
+    check()
