@@ -70,11 +70,14 @@ def profile_sql(
     group_by: str | None = None,
     columns: list[str] | None = None,
     where: str | None = None,
+    schema: list[tuple[str, str]] | None = None,
 ) -> str:
     """UNION-ALL long-format profile matching operators/profile.profile():
     identical aliases, rounding (4dp proportions / 6dp numerics,
-    reference metrics.py:404-413), and type gating (:193-229)."""
-    schema = TESTDATA_SCHEMAS[table]
+    reference metrics.py:404-413), and type gating (:193-229). `schema`
+    overrides the static TESTDATA registry — used by the randomized
+    differential tests to profile arbitrary generated tables."""
+    schema = schema if schema is not None else TESTDATA_SCHEMAS[table]
     cols = [
         (c, t) for c, t in schema if c != group_by and (columns is None or c in columns)
     ]

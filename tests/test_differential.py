@@ -1,0 +1,124 @@
+"""Randomized differential testing: profile() vs the DuckDB oracle on
+GENERATED tables, not just the fixed testdata — hypothesis drives row
+counts, NULL patterns, unicode, and integer extremes.
+
+Float comparison uses tolerance (1e-6 absolute on 6dp-rounded metrics)
+instead of hash equality: Spark rounds HALF_UP and DuckDB half-even, so a
+metric landing exactly on a .5×10⁻⁶ boundary is a legitimate
+representation difference, not an engine bug — everything else must agree
+exactly.
+"""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from dataprofiler_spark.operators.profile import profile
+from dataprofiler_spark.oracle import profile_sql
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.DoubleType(), True),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("g", T.StringType(), False),
+    ]
+)
+ORACLE_SCHEMA = [("a", "bigint"), ("b", "double"), ("s", "string")]
+
+longs = st.one_of(
+    st.none(),
+    st.integers(-(2**62), 2**62),
+    st.sampled_from([0, 1, -1, 2**31, -(2**31) - 1]),
+)
+# exact 64ths: 6-decimal representation is exact, so 6dp rounding is
+# identity in both engines for raw values (derived stats use tolerance)
+doubles = st.one_of(st.none(), st.integers(-10_000, 10_000).map(lambda k: k / 64))
+strings = st.one_of(
+    st.none(), st.sampled_from(["", "x", "héllo", "日本語", "a b", "NULL", "'q'"])
+)
+rows_strategy = st.lists(
+    st.tuples(longs, doubles, strings, st.sampled_from(["g1", "g2"])),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _compare(spark_rows, duck_rows):
+    skey = sorted(
+        (tuple(r) for r in spark_rows), key=lambda t: (str(t[0]), str(t[1]), str(t[2]))
+    )
+    dkey = sorted(
+        (tuple(r) for r in duck_rows), key=lambda t: (str(t[0]), str(t[1]), str(t[2]))
+    )
+    assert len(skey) == len(dkey), f"row count {len(skey)} vs {len(dkey)}"
+    for srow, drow in zip(skey, dkey):
+        assert len(srow) == len(drow)
+        for sv, dv in zip(srow, drow):
+            if isinstance(sv, float) and isinstance(dv, float):
+                # absolute 2e-6 (6dp rounding boundary) OR relative 1e-9
+                # (the two engines compute stddev/avg through different
+                # float expression orders; at 1e9-magnitude values the
+                # last-ulp difference crosses the rounding quantum)
+                tol = max(2e-6, 1e-9 * max(abs(sv), abs(dv)))
+                assert abs(sv - dv) <= tol, (sv, dv, srow)
+            else:
+                assert sv == dv or (sv is None and dv is None), (sv, dv, srow)
+
+
+@given(rows_strategy, st.booleans())
+@settings(max_examples=6, deadline=None)
+def test_profile_matches_duckdb_on_random_tables(tmp_path_factory, rows, grouped):
+    from dataprofiler_spark import get_spark
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    path = str(tmp_path_factory.mktemp("diffr") / "t.parquet")
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    group_by = ["g"] if grouped else None
+    prof = profile(stored, "t", group_by=group_by, columns=["a", "b", "s"])
+    sql = profile_sql(
+        "t", group_by="g" if grouped else None, schema=ORACLE_SCHEMA
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    cols = prof.columns
+    duck = con.execute(
+        f"SELECT {', '.join(cols)} FROM ({sql})"
+    ).fetchall()
+    spark_rows = [tuple(r) for r in prof.select(*cols).collect()]
+    _compare(spark_rows, duck)
+    con.close()
+
+
+def test_differential_seeded_regression(spark, tmp_path):
+    """A fixed worst-case row set (all-NULL columns, unicode, extremes,
+    quote characters, empty strings) through the same differential
+    compare — the deterministic companion to the hypothesis sweep."""
+    rows = [
+        (None, None, None, "g1"),
+        (2**62, -156.25, "", "g1"),
+        (-(2**31) - 1, 0.015625, "'q'", "g2"),
+        (0, None, "日本語", "g2"),
+        (1, 0.0, "NULL", "g2"),
+    ]
+    path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(rows, SCHEMA).write.parquet(path)
+    stored = spark.read.parquet(path)
+    for group_by in (None, ["g"]):
+        prof = profile(stored, "t", group_by=group_by, columns=["a", "b", "s"])
+        sql = profile_sql(
+            "t", group_by="g" if group_by else None, schema=ORACLE_SCHEMA
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+        cols = prof.columns
+        duck = con.execute(f"SELECT {', '.join(cols)} FROM ({sql})").fetchall()
+        _compare([tuple(r) for r in prof.select(*cols).collect()], duck)
+        con.close()
