@@ -243,7 +243,11 @@ def referential_integrity_check(
     keys = parent.select(F.col(pk).alias(key_col)).distinct()
     if broadcast_parent:
         keys = F.broadcast(keys)
-    orphans = child.join(keys, key_col, "left_anti")
+    # SQL FK semantics (MATCH SIMPLE): a NULL foreign key does NOT
+    # violate referential integrity — null-ness is the NOT-NULL check's
+    # job. The anti join would otherwise count every NULL key as an
+    # orphan (found by the randomized differential test).
+    orphans = child.filter(F.col(key_col).isNotNull()).join(keys, key_col, "left_anti")
 
     per_part = child.groupBy(part_col).agg(F.count(F.lit(1)).alias("row_count"))
     bad_part = orphans.groupBy(part_col).agg(F.count(F.lit(1)).alias("violation_count"))
@@ -489,7 +493,13 @@ def fused_partition_verdicts(
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for i, ck in enumerate(checks):
         aggs.append(F.sum(F.when(ck.fail_predicate, 1).otherwise(0)).alias(f"__v_{i}"))
-    aggs.append(F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0)).alias("__ri"))
+    # NULL FK never violates RI (MATCH SIMPLE) — same rule as
+    # referential_integrity_check so the fused path stays bit-identical
+    aggs.append(
+        F.sum(
+            F.when(F.col(ri_key).isNotNull() & F.col("__known").isNull(), 1).otherwise(0)
+        ).alias("__ri")
+    )
     wide = staged.groupBy(part_col).agg(*aggs)
 
     registered = parts_ref.select(F.col(part_col)).distinct().withColumn("__reg", F.lit(1))

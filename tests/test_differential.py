@@ -122,3 +122,72 @@ def test_differential_seeded_regression(spark, tmp_path):
         duck = con.execute(f"SELECT {', '.join(cols)} FROM ({sql})").fetchall()
         _compare([tuple(r) for r in prof.select(*cols).collect()], duck)
         con.close()
+
+
+ck_longs = st.one_of(st.none(), st.integers(0, 12))
+ck_rows = st.lists(
+    st.tuples(ck_longs, st.sampled_from(["p1", "p2", "p3"])),
+    min_size=0,
+    max_size=50,
+)
+
+
+@given(ck_rows, st.lists(st.integers(0, 12), min_size=0, max_size=8))
+@settings(max_examples=6, deadline=None)
+def test_uniqueness_and_ri_verdicts_match_sql(tmp_path_factory, rows, parent_keys):
+    """Check-suite verdicts (uniqueness duplicate counts, RI orphan
+    counts) equal the direct SQL definition on random key/partition
+    shapes — including NULL keys and empty inputs."""
+    from dataprofiler_spark import get_spark
+    from dataprofiler_spark.operators.checks import (
+        referential_integrity_check,
+        uniqueness_check,
+    )
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    base = str(tmp_path_factory.mktemp("ckdiff"))
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    df.write.mode("overwrite").parquet(f"{base}/t.parquet")
+    stored = spark.read.parquet(f"{base}/t.parquet")
+    parents = spark.createDataFrame(
+        [(k,) for k in sorted(set(parent_keys))] or [(None,)], "doc_id long"
+    )
+    parents.write.mode("overwrite").parquet(f"{base}/p.parquet")
+    stored_p = spark.read.parquet(f"{base}/p.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{base}/t.parquet/*.parquet')")
+    con.execute(f"CREATE VIEW p AS SELECT * FROM read_parquet('{base}/p.parquet/*.parquet')")
+
+    uv, _ = uniqueness_check(stored, "t", key_col="doc_id", part_col="source")
+    got = {r.partition_value: r.violation_count for r in uv.collect()}
+    # engine semantics: keys must be GLOBALLY unique; each row of a
+    # globally-duplicated key counts against ITS OWN partition. NULL keys
+    # are never duplicates.
+    want = dict(
+        con.execute(
+            """SELECT source, COALESCE(SUM(flag), 0) FROM (
+                 SELECT source,
+                   CASE WHEN doc_id IS NOT NULL
+                        AND COUNT(*) OVER (PARTITION BY doc_id) > 1
+                        THEN 1 ELSE 0 END AS flag
+                 FROM t)
+               GROUP BY source"""
+        ).fetchall()
+    )
+    assert got == {k: int(v) for k, v in want.items()}, (got, want)
+
+    rv, _ = referential_integrity_check(
+        stored, stored_p, "t", key_col="doc_id", part_col="source"
+    )
+    got_r = {r.partition_value: r.violation_count for r in rv.collect()}
+    want_r = dict(
+        con.execute(
+            """SELECT source, COUNT(*) FILTER (
+                 WHERE doc_id IS NOT NULL
+                 AND doc_id NOT IN (SELECT doc_id FROM p WHERE doc_id IS NOT NULL))
+               FROM t GROUP BY source"""
+        ).fetchall()
+    )
+    assert got_r == {k: int(v) for k, v in want_r.items()}, (got_r, want_r)
+    con.close()
