@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Integer max values per type (reference autoincrement.py:24-56; Spark types)
@@ -326,5 +326,100 @@ def metric_history_anomalies_robust(
             *history.columns,
             F.round(rz, 6).alias("robust_z"),
             F.coalesce(F.abs(rz) > z_threshold, F.lit(False)).alias("is_anomaly"),
+        )
+    )
+
+
+def cusum_level_shift(
+    history: DataFrame,
+    group_cols: list[str],
+    metric_col: str,
+    order_col: str,
+    threshold_sigmas: float = 3.0,
+) -> DataFrame:
+    """CUSUM level-shift detection over an ordered metric history: point
+    z-scores (metric_history_anomalies) catch spikes but are blind to a
+    sustained shift (a feed that quietly halves stays within ±2σ of the
+    polluted mean forever). CUSUM accumulates S_t = Σ(x_i − x̄); a level
+    shift makes S trend, so range(S) = max(S) − min(S) grows linearly
+    with the shifted span. Flags groups where range(S) >
+    threshold_sigmas · σ · √n.
+
+    Calibration of the normalized score range/(σ·√n): a stationary iid
+    series is a Brownian bridge — its score concentrates near ~1.25 and
+    rarely exceeds 2.5; a mid-history level shift SATURATES the score at
+    √n/2 (σ itself absorbs the shift), so 3.0 separates the two for
+    n ≥ 36 points; shorter histories cannot clear it by construction —
+    collect more points rather than lowering the threshold.
+
+    One cumulative window per group (ordered by `order_col`) + a
+    group-sized aggregate; returns (group…, n_points, cusum_range_sigmas,
+    shift_detected). Zero-variance or <2-point groups make no claim."""
+    w_all = Window.partitionBy(*group_cols)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = history.select(
+        *group_cols,
+        order_col,
+        F.col(metric_col).alias("__x"),
+        F.avg(metric_col).over(w_all).alias("__mean"),
+        F.stddev_pop(metric_col).over(w_all).alias("__std"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).withColumn(
+        "__s", F.sum(F.col("__x") - F.col("__mean")).over(w_cum)
+    )
+    rng = F.max("__s") - F.min("__s")
+    sig = F.first("__std")
+    n = F.first("__n")
+    score = F.when(
+        (sig > 0) & (n >= 2), rng / (sig * F.sqrt(n.cast("double")))
+    )
+    return staged.groupBy(*group_cols).agg(
+        n.cast("long").alias("n_points"),
+        F.round(score, 6).alias("cusum_range_sigmas"),
+        F.coalesce(score > threshold_sigmas, F.lit(False)).alias("shift_detected"),
+    )
+
+
+def daily_count_anomalies_seasonal(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Day-of-week-aware volume anomalies: each day's count is scored
+    against ITS OWN (group, weekday) history — a weekly-pattern feed
+    (weekend dips, Monday surges) false-positives under the flat daily
+    z-score and stays quiet here, while a genuinely anomalous Monday is
+    judged against other Mondays only. Same null-safe broadcast shape as
+    daily_count_anomalies with weekday in the key; <2 snapshots or zero
+    variance per (group, dow) → no claim."""
+    daily = df.groupBy(
+        F.col(group_col),
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = (
+        daily.groupBy(group_col, "dow")
+        .agg(F.avg("cnt").alias("__mean"), F.stddev_pop("cnt").alias("__std"))
+        .withColumnRenamed(group_col, "__g")
+        .withColumnRenamed("dow", "__d")
+    )
+    cond = F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("dow") == F.col("__d"))
+    z = F.when(
+        F.col("__std") > 0, (F.col("cnt") - F.col("__mean")) / F.col("__std")
+    )
+    return (
+        daily.join(F.broadcast(stats), cond)
+        .select(
+            group_col,
+            "day",
+            "dow",
+            "cnt",
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
         )
     )

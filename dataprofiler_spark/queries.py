@@ -2404,3 +2404,74 @@ def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_targets(docs, "source", 0.3)
+
+
+@register(
+    "cusum_shift_events",
+    """WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, 2
+), s AS (
+  SELECT event_type, day, cnt,
+    AVG(cnt) OVER (PARTITION BY event_type) AS m,
+    STDDEV_POP(cnt) OVER (PARTITION BY event_type) AS sd,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), c AS (
+  SELECT event_type, sd, n,
+    SUM(cnt - m) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_points,
+  ROUND(CASE WHEN MAX(sd) > 0 AND MAX(n) >= 2
+        THEN (MAX(cum) - MIN(cum)) / (MAX(sd) * SQRT(MAX(n))) END, 6)
+    AS cusum_range_sigmas,
+  COALESCE(CASE WHEN MAX(sd) > 0 AND MAX(n) >= 2
+    THEN (MAX(cum) - MIN(cum)) / (MAX(sd) * SQRT(MAX(n))) END > 3.0, FALSE)
+    AS shift_detected
+FROM c GROUP BY event_type""",
+)
+def cusum_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift score over each event type's daily-count history
+    — catches the sustained drop/rise the point z-score is blind to. One
+    cumulative window per group + a bounded aggregate."""
+    from dataprofiler_spark.operators.growth import cusum_level_shift
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return cusum_level_shift(daily, ["event_type"], "cnt", "day")
+
+
+@register(
+    "seasonal_anomalies_events",
+    """WITH d AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    dayofweek(ts) + 1 AS dow, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, 2, 3
+), st AS (
+  SELECT event_type, dow, AVG(cnt) AS m, STDDEV_POP(cnt) AS sd
+  FROM d GROUP BY event_type, dow
+)
+SELECT d.event_type, d.day, CAST(d.dow AS INT) AS dow, d.cnt,
+  ROUND(CASE WHEN sd > 0 THEN (cnt - m) / sd END, 6) AS z,
+  COALESCE(ABS(CASE WHEN sd > 0 THEN (cnt - m) / sd END) > 3.0, FALSE)
+    AS is_anomaly
+FROM d JOIN st ON d.event_type = st.event_type AND d.dow = st.dow""",
+)
+def seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-aware volume anomalies (each day scored against its
+    own (type, weekday) history) — the seasonal upgrade of
+    daily_anomalies_events. DuckDB numbers weekdays 0-6 from Sunday,
+    Spark 1-7: the oracle shifts by one."""
+    from dataprofiler_spark.operators.growth import daily_count_anomalies_seasonal
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = daily_count_anomalies_seasonal(events, "event_type")
+    return out.select(
+        "event_type", F.col("day").cast("string").alias("day"), "dow", "cnt", "z", "is_anomaly"
+    )

@@ -192,3 +192,75 @@ def test_robust_mad_anomalies(spark):
     plain = {(r.g, r.m): r for r in
              metric_history_anomalies(df, ["g"], "m", z_threshold=2.5).collect()}
     assert abs(plain[("a", 1000.0)].z) < 2.5  # masked for mean/sigma
+
+
+def test_cusum_detects_level_shift_zscore_misses(spark):
+    """A feed that halves mid-history: every point stays within ~2sigma of
+    the polluted mean (point z-scores quiet) but CUSUM's range grows with
+    the shifted span — shift_detected. A stationary noisy series of the
+    same variance stays quiet."""
+    from dataprofiler_spark.operators.growth import (
+        cusum_level_shift,
+        metric_history_anomalies,
+    )
+
+    shifted = [("a", i, 100.0 + (i % 3)) for i in range(30)] + \
+              [("a", 30 + i, 50.0 + (i % 3)) for i in range(30)]
+    # stationary control with the SAME overall variance scale: alternate
+    # around the mean
+    flat = [("b", i, (100.0 if i % 2 == 0 else 50.0)) for i in range(60)]
+    df = spark.createDataFrame(shifted + flat, "g string, t long, m double")
+
+    out = {r.g: r for r in cusum_level_shift(df, ["g"], "m", "t").collect()}
+    assert out["a"].shift_detected is True
+    assert out["b"].shift_detected is False
+    assert out["a"].cusum_range_sigmas > out["b"].cusum_range_sigmas
+
+    # the motivating blindness: point z never fires on the shifted feed
+    z = metric_history_anomalies(df.filter(F.col("g") == "a"), ["g"], "m",
+                                 z_threshold=2.5).collect()
+    assert all(not r.is_anomaly for r in z)
+
+    # degenerate groups: constant series and single point -> no claim
+    deg = spark.createDataFrame(
+        [("c", 0, 5.0), ("c", 1, 5.0), ("d", 0, 9.0)], "g string, t long, m double"
+    )
+    degs = {r.g: r for r in cusum_level_shift(deg, ["g"], "m", "t").collect()}
+    assert degs["c"].shift_detected is False and degs["c"].cusum_range_sigmas is None
+    assert degs["d"].shift_detected is False
+
+
+def test_seasonal_anomalies_respect_weekday_pattern(spark):
+    """A weekly pattern (low weekends) false-positives under the flat
+    daily z but is quiet under day-of-week scoring; a genuinely bad
+    Monday fires in both."""
+    import datetime
+
+    from dataprofiler_spark.operators.growth import (
+        daily_count_anomalies,
+        daily_count_anomalies_seasonal,
+    )
+
+    rows = []
+    start = datetime.date(2024, 1, 1)  # a Monday
+    for week in range(6):
+        for dow in range(7):
+            d = start + datetime.timedelta(days=week * 7 + dow)
+            n = 20 if dow < 5 else 4  # strong weekend dip
+            if week == 5 and dow == 0:
+                n = 100  # the planted bad Monday
+            rows += [(f"{d} 12:00:00", "a")] * n
+    df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+    )
+    # NOTE the threshold: a single outlier among n points cannot exceed
+    # z = sqrt(n-1) (it drags its own group's sigma); with 6 Mondays the
+    # ceiling is ~2.24, so 2.0 is the honest detectable threshold here
+    seasonal = daily_count_anomalies_seasonal(df, "event_type", z_threshold=2.0)
+    flagged = {str(r.day) for r in seasonal.collect() if r.is_anomaly}
+    assert flagged == {"2024-02-05"}  # ONLY the planted Monday
+    # flat daily z at the same threshold would flag the spike too but is
+    # noisier on the weekend pattern: seasonal never flags a normal weekend
+    weekend_flags = [r for r in seasonal.collect()
+                     if r.dow in (1, 7) and r.is_anomaly]
+    assert weekend_flags == []
