@@ -275,3 +275,65 @@ def tfidf_keywords(
         .filter(F.col("rank") <= top_k)
         .select(key_col, "rank", F.col("w").alias("keyword"), "tfidf")
     )
+
+
+SCRIPTS = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("hiragana", r"\p{IsHiragana}", r"\p{Hiragana}"),
+    ("katakana", r"\p{IsKatakana}", r"\p{Katakana}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("hebrew", r"\p{IsHebrew}", r"\p{Hebrew}"),
+    ("thai", r"\p{IsThai}", r"\p{Thai}"),
+]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", key_cols: list[str] | None = None
+) -> DataFrame:
+    """Unicode-script composition per document: one `<script>_chars`
+    count per major script (Unicode Script property — identical
+    semantics in Java regex `\\p{IsX}` and RE2 `\\p{X}`, which is what
+    makes the oracle possible), plus `dominant_script` (max count, ties
+    to the lexicographically larger name — array_max over (count, name)
+    structs, mirrored by DuckDB's list_max) and `nonlatin_frac` over the
+    script-classified characters. The script gate a multilingual corpus
+    router runs BEFORE n-gram language-ID (lang_id): scripts partition
+    cheaply and exactly; n-grams then discriminate within a script.
+    Map-side regex expressions only."""
+    keys = key_cols if key_cols is not None else [c for c in df.columns if c != text_col]
+    c = F.col(text_col)
+    counts = [
+        F.coalesce(F.regexp_count(c, F.lit(java_pat)), F.lit(0)).alias(f"{name}_chars")
+        for name, java_pat, _ in SCRIPTS
+    ]
+    out = df.select(*keys, *counts)
+    total = None
+    for name, _, _ in SCRIPTS:
+        col = F.col(f"{name}_chars")
+        total = col if total is None else (total + col)
+    dominant = F.when(
+        total > 0,
+        F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"{name}_chars").alias("c"), F.lit(name).alias("s")
+                    )
+                    for name, _, _ in SCRIPTS
+                ]
+            )
+        )["s"],
+    )
+    return out.select(
+        *keys,
+        *[f"{name}_chars" for name, _, _ in SCRIPTS],
+        dominant.alias("dominant_script"),
+        F.round(
+            F.when(total > 0, (total - F.col("latin_chars")) / total), 6
+        ).alias("nonlatin_frac"),
+    )

@@ -2475,3 +2475,77 @@ def seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("day").cast("string").alias("day"), "dow", "cnt", "z", "is_anomaly"
     )
+
+
+_SCRIPT_PLANT_SQL = """COALESCE(text, '') || CASE
+  WHEN doc_id % 5 = 0 THEN ' 日本語テキスト'
+  WHEN doc_id % 5 = 1 THEN ' привет мир'
+  WHEN doc_id % 5 = 2 THEN ' مرحبا بالعالم'
+  WHEN doc_id % 5 = 3 THEN ' ひらがなのぶん'
+  ELSE '' END"""
+
+
+@register(
+    "script_profile_documents",
+    """WITH planted AS (
+  SELECT doc_id, {plant} AS t FROM documents
+), scanned AS (
+  SELECT doc_id,
+    length(regexp_extract_all(t, '\\p{{Latin}}')) AS latin,
+    length(regexp_extract_all(t, '\\p{{Han}}')) AS han,
+    length(regexp_extract_all(t, '\\p{{Hiragana}}')) AS hiragana,
+    length(regexp_extract_all(t, '\\p{{Katakana}}')) AS katakana,
+    length(regexp_extract_all(t, '\\p{{Cyrillic}}')) AS cyrillic,
+    length(regexp_extract_all(t, '\\p{{Arabic}}')) AS arabic
+  FROM planted
+), dom AS (
+  SELECT doc_id, latin, han, hiragana, katakana, cyrillic, arabic,
+    latin + han + hiragana + katakana + cyrillic + arabic AS tot,
+    list_max([
+      struct_pack(c := latin, s := 'latin'),
+      struct_pack(c := han, s := 'han'),
+      struct_pack(c := hiragana, s := 'hiragana'),
+      struct_pack(c := katakana, s := 'katakana'),
+      struct_pack(c := cyrillic, s := 'cyrillic'),
+      struct_pack(c := arabic, s := 'arabic')]).s AS d
+  FROM scanned
+)
+SELECT CASE WHEN tot > 0 THEN d END AS dominant_script,
+  COUNT(*) AS n_docs,
+  CAST(SUM(han) AS BIGINT) AS total_han,
+  CAST(SUM(cyrillic) AS BIGINT) AS total_cyrillic,
+  CAST(SUM(arabic) AS BIGINT) AS total_arabic,
+  CAST(SUM(hiragana) AS BIGINT) AS total_hiragana,
+  ROUND(AVG((tot - latin) * 1.0 / CASE WHEN tot > 0 THEN tot END), 6)
+    AS avg_nonlatin_frac
+FROM dom GROUP BY 1""".format(plant=_SCRIPT_PLANT_SQL),
+)
+def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition over deterministically planted
+    multilingual suffixes (the corpus is ASCII word-salad; both engines
+    replay the same doc_id→script plant): per-dominant-script doc counts
+    + script char totals + mean non-latin fraction. Java \\p{IsX} and
+    RE2 \\p{X} implement the same Unicode Script property — the
+    portability that makes this oracle possible."""
+    from dataprofiler_spark.operators.textstats import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 日本語テキスト"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" ひらがなのぶん"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text")
+    )
+    prof = script_profile(planted, "text", key_cols=["doc_id"])
+    return prof.groupBy("dominant_script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("han_chars").alias("total_han"),
+        F.sum("cyrillic_chars").alias("total_cyrillic"),
+        F.sum("arabic_chars").alias("total_arabic"),
+        F.sum("hiragana_chars").alias("total_hiragana"),
+        F.round(F.avg("nonlatin_frac"), 6).alias("avg_nonlatin_frac"),
+    )

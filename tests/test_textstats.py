@@ -169,3 +169,31 @@ def test_tfidf_keywords(spark):
     pruned = tfidf_keywords(corpus, top_k=5, min_doc_freq=2)
     kws = {r.keyword for r in pruned.collect()}
     assert kws == {"common"}  # every df=1 term (rare/unique/other) pruned
+
+
+def test_script_profile(spark):
+    """Unicode-script composition: counts per script, dominant pick with
+    deterministic tie-break, nonlatin fraction; pure-ascii and empty
+    inputs behave."""
+    from dataprofiler_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "日本語のテキスト"),            # han + hiragana + katakana
+        (3, "привет мир"),
+        (4, "مرحبا"),
+        (5, "mixed 日本 text"),
+        (6, "12345 !!!"),                  # no script chars at all
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].nonlatin_frac == 0.0
+    assert out[2].han_chars == 3 and out[2].hiragana_chars == 1
+    assert out[2].katakana_chars == 4 and out[2].nonlatin_frac == 1.0
+    assert out[3].dominant_script == "cyrillic"
+    assert out[4].dominant_script == "arabic"
+    assert out[5].dominant_script == "latin" and 0 < out[5].nonlatin_frac < 1
+    assert out[6].dominant_script is None and out[6].nonlatin_frac is None
+    assert out[7].dominant_script is None  # NULL text -> zero counts
+    assert out[7].latin_chars == 0
