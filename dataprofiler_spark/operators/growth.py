@@ -356,10 +356,13 @@ def cusum_level_shift(
     group-sized aggregate; returns (group…, n_points, cusum_range_sigmas,
     shift_detected). Zero-variance or <2-point groups make no claim."""
     w_all = Window.partitionBy(*group_cols)
+    # RANGE frame, not ROWS: rows tied on order_col accumulate
+    # atomically (all peers included), so range(S) is deterministic even
+    # when the history has duplicate timestamps
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = history.select(
         *group_cols,
@@ -367,7 +370,9 @@ def cusum_level_shift(
         F.col(metric_col).alias("__x"),
         F.avg(metric_col).over(w_all).alias("__mean"),
         F.stddev_pop(metric_col).over(w_all).alias("__std"),
-        F.count(F.lit(1)).over(w_all).alias("__n"),
+        # observations, not rows: NULL metrics carry no mass in
+        # mean/stddev/cumsum and must not inflate the sqrt(n) denominator
+        F.count(metric_col).over(w_all).alias("__n"),
     ).withColumn(
         "__s", F.sum(F.col("__x") - F.col("__mean")).over(w_cum)
     )
@@ -408,7 +413,11 @@ def daily_count_anomalies_seasonal(
         .withColumnRenamed(group_col, "__g")
         .withColumnRenamed("dow", "__d")
     )
-    cond = F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("dow") == F.col("__d"))
+    # dow null-safe too: a NULL-timestamp bucket (dow NULL) must keep
+    # its history like every other misbehaving feed, not vanish
+    cond = F.col(group_col).eqNullSafe(F.col("__g")) & F.col("dow").eqNullSafe(
+        F.col("__d")
+    )
     z = F.when(
         F.col("__std") > 0, (F.col("cnt") - F.col("__mean")) / F.col("__std")
     )

@@ -2540,12 +2540,23 @@ def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.select(
         "doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text")
     )
+    from dataprofiler_spark.operators.textstats import SCRIPTS
+
     prof = script_profile(planted, "text", key_cols=["doc_id"])
-    return prof.groupBy("dominant_script").agg(
+    # average the EXACT per-doc fraction recomputed from char counts —
+    # averaging the operator's 6dp-rounded nonlatin_frac double-rounds
+    # and can disagree with the oracle's round(avg(exact)) in the 6th
+    # decimal near a rounding boundary
+    tot = None
+    for name, _, _ in SCRIPTS:
+        col = F.col(f"{name}_chars")
+        tot = col if tot is None else (tot + col)
+    exact = F.when(tot > 0, (tot - F.col("latin_chars")) / tot)
+    return prof.withColumn("__frac", exact).groupBy("dominant_script").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("han_chars").alias("total_han"),
         F.sum("cyrillic_chars").alias("total_cyrillic"),
         F.sum("arabic_chars").alias("total_arabic"),
         F.sum("hiragana_chars").alias("total_hiragana"),
-        F.round(F.avg("nonlatin_frac"), 6).alias("avg_nonlatin_frac"),
+        F.round(F.avg("__frac"), 6).alias("avg_nonlatin_frac"),
     )

@@ -256,11 +256,29 @@ def test_seasonal_anomalies_respect_weekday_pattern(spark):
     # NOTE the threshold: a single outlier among n points cannot exceed
     # z = sqrt(n-1) (it drags its own group's sigma); with 6 Mondays the
     # ceiling is ~2.24, so 2.0 is the honest detectable threshold here
-    seasonal = daily_count_anomalies_seasonal(df, "event_type", z_threshold=2.0)
-    flagged = {str(r.day) for r in seasonal.collect() if r.is_anomaly}
+    rows_out = daily_count_anomalies_seasonal(
+        df, "event_type", z_threshold=2.0
+    ).collect()
+    flagged = {str(r.day) for r in rows_out if r.is_anomaly}
     assert flagged == {"2024-02-05"}  # ONLY the planted Monday
-    # flat daily z at the same threshold would flag the spike too but is
-    # noisier on the weekend pattern: seasonal never flags a normal weekend
-    weekend_flags = [r for r in seasonal.collect()
-                     if r.dow in (1, 7) and r.is_anomaly]
-    assert weekend_flags == []
+    assert not [r for r in rows_out if r.dow in (1, 7) and r.is_anomaly]
+
+    # the motivating contrast, asserted on z magnitudes: the flat daily
+    # score reads every ordinary weekend as a strong deviation (|z| > 1,
+    # constant false-positive pressure), while the seasonal score gives
+    # those same days |z| ~ 0 (each weekend judged against weekends)
+    flat = daily_count_anomalies(df, "event_type", z_threshold=2.0).collect()
+    import datetime as _dt
+
+    def _is_weekend(day):
+        return day.weekday() >= 5  # Sat/Sun
+
+    flat_weekend = [abs(r.z) for r in flat
+                    if _is_weekend(r.day) and r.z is not None]
+    # ~0.9 sigma of standing deviation on EVERY weekend (the planted
+    # spike inflates the flat sigma, or it would read ~1.6): constant
+    # false-positive pressure the seasonal score removes entirely
+    assert flat_weekend and min(flat_weekend) > 0.8
+    seasonal_weekend = [abs(r.z) for r in rows_out
+                        if r.dow in (1, 7) and r.z is not None]
+    assert all(z < 0.5 for z in seasonal_weekend)
