@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--text-col", default="text")
     p.add_argument(
+        "--curate",
+        action="store_true",
+        help="end-to-end corpus curation: quality gate -> exact-dedup "
+        "survivors -> PII redaction -> split assignment; prints the "
+        "one-row funnel, and with --output-dir writes the curated corpus",
+    )
+    p.add_argument(
         "--layout-report",
         action="store_true",
         help="storage-layout verdict for --input from a metadata-only file "
@@ -126,11 +133,12 @@ def validate_args(args) -> str | None:
         or args.write_baseline
         or args.pii_scan
         or args.layout_report
+        or args.curate
     ):
         return (
             "at least one stage flag required "
             "(--data-profile/--validate/--drift/--growth/--write-baseline/"
-            "--pii-scan/--layout-report)"
+            "--pii-scan/--layout-report/--curate)"
         )
     if not args.input and not args.synthetic_rows and not args.config:
         return "--input, --synthetic-rows, or --config required"
@@ -317,6 +325,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.output_dir}/redacted"
             )
             print(json.dumps({"redacted_written": f"{args.output_dir}/redacted"}))
+
+    if args.curate:
+        from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+        res = curate_corpus(
+            spark, df, CurationConfig(text_col=args.text_col)
+        )
+        print(json.dumps(res.funnel.collect()[0].asDict()))
+        if args.output_dir:
+            res.curated.write.mode("overwrite").partitionBy("split").parquet(
+                f"{args.output_dir}/curated"
+            )
+            print(json.dumps({"curated_written": f"{args.output_dir}/curated"}))
 
     if args.layout_report:
         from dataprofiler_spark.plans.layout import file_layout_report

@@ -230,3 +230,90 @@ def run_validation(
         "run_at": time.time(),
     }
     return ValidationResult(profiles, verdict_rows, violations, drift, skipped, summary)
+
+
+@dataclass
+class CurationConfig:
+    """Corpus-curation pipeline knobs (quality → exact dedup → PII
+    redaction → split assignment)."""
+
+    min_words: int = 10
+    min_distinct_ratio: float = 0.3
+    redact_pii: bool = True
+    splits: dict | None = None  # name -> fraction; default 90/5/5
+    text_col: str = "text"
+    key_col: str = "doc_id"
+
+
+@dataclass
+class CurationResult:
+    curated: DataFrame  # survivors: key, redacted text, passthrough, split
+    funnel: DataFrame   # ONE row: counts at every stage
+
+
+def curate_corpus(
+    spark: SparkSession, docs: DataFrame, cfg: CurationConfig | None = None
+) -> CurationResult:
+    """The materializing end-to-end curation run (the productized form of
+    the corpus_curation_summary analytics): gate on quality features,
+    keep the min-key survivor per content fingerprint AMONG quality
+    passes, redact PII, assign deterministic splits — and account for
+    every document in a one-row funnel.
+
+    Scale shape: quality features, fingerprint, PII regex, and split
+    assignment are all map-side expressions over ONE scan; exact-dedup
+    survivorship is ONE window shuffle on the fingerprint (ordered
+    quality-first then key, so a survivor is always a quality pass when
+    any exists). The funnel is one aggregate over the same flagged frame
+    — stages never re-scan the corpus."""
+    from dataprofiler_spark.operators.pii import redact
+    from dataprofiler_spark.operators.sampling import hash_split
+    from dataprofiler_spark.operators.textstats import fingerprint, quality_features
+    from pyspark.sql import Window
+
+    cfg = cfg or CurationConfig()
+    splits = cfg.splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+
+    staged = quality_features(docs, cfg.text_col)
+    q_pass = (F.col("n_words") >= cfg.min_words) & (
+        F.col("distinct_word_ratio") >= cfg.min_distinct_ratio
+    )
+    staged = fingerprint(staged, cfg.text_col).withColumn("__q", q_pass)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("__q").desc(), F.col(cfg.key_col)
+    )
+    staged = staged.withColumn(
+        "__keep", F.col("__q") & (F.row_number().over(w) == 1)
+    )
+    # has_pii flag without a second scan: sum the count expressions inline
+    from dataprofiler_spark.operators.pii import PII_PATTERNS
+
+    total_expr = None
+    for name, (pat, _) in PII_PATTERNS.items():
+        e = F.coalesce(F.regexp_count(F.col(cfg.text_col), F.lit(pat)), F.lit(0))
+        total_expr = e if total_expr is None else (total_expr + e)
+    staged = staged.withColumn("__has_pii", total_expr > 0)
+    staged = hash_split(staged, cfg.key_col, splits)
+
+    funnel_aggs = [
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("__q").cast("long")).alias("n_quality"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.sum((F.col("__keep") & F.col("__has_pii")).cast("long")).alias(
+            "n_kept_redacted"
+        ),
+    ]
+    for name in splits:
+        funnel_aggs.append(
+            F.sum((F.col("__keep") & (F.col("split") == name)).cast("long")).alias(
+                f"n_{name}"
+            )
+        )
+    funnel = staged.agg(*funnel_aggs)
+
+    kept = staged.filter(F.col("__keep")).drop("__q", "__keep", "__has_pii")
+    if cfg.redact_pii:
+        kept = redact(kept, cfg.text_col, output_col="__red").withColumn(
+            cfg.text_col, F.col("__red")
+        ).drop("__red")
+    return CurationResult(curated=kept, funnel=funnel)

@@ -201,3 +201,37 @@ def test_pipeline_token_frequency_drift(spark):
         ).count()
         == 0
     )
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The materializing curation run: quality gate, exact-dedup survivor,
+    PII redaction in the OUTPUT, split assignment, and a funnel that
+    accounts for every document. One scan + one fingerprint window."""
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today", "a"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today", "a"),
+        (3, "short text", "a"),
+        (4, "call me at 555-123-4567 about the offer we discussed yesterday regarding payment", "b"),
+        (5, "a a a a a a a a a a a a", "b"),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(path)
+    docs = spark.read.parquet(path)
+    res = curate_corpus(spark, docs, CurationConfig(min_words=10))
+    # capture BEFORE executing: a finalized AQE plan prints initial+final
+    # sections and doubles every node string
+    plan = res.funnel._jdf.queryExecution().executedPlan().toString()
+    f = res.funnel.collect()[0]
+    assert f.n_input == 5 and f.n_quality == 3 and f.n_kept == 2
+    assert f.n_kept_redacted == 1
+    assert f.n_train + f.n_val + f.n_test == f.n_kept
+    curated = {r.doc_id: r for r in res.curated.collect()}
+    assert set(curated) == {1, 4}
+    assert "[PHONE]" in curated[4].text and "555" not in curated[4].text
+    assert curated[1].split in ("train", "val", "test")
+
+    # plan shape: the funnel reads the corpus ONCE (flags ride one frame)
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan
