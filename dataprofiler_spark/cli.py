@@ -53,6 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--output-dir also writes the redacted copy",
     )
     p.add_argument("--text-col", default="text")
+    p.add_argument("--key-col", default="doc_id",
+                   help="unique document key column (--curate)")
     p.add_argument(
         "--curate",
         action="store_true",
@@ -329,8 +331,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.curate:
         from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
 
+        missing = [c for c in (args.text_col, args.key_col) if c not in df.columns]
+        if missing:
+            print(f"error: --curate: no column(s) {missing}", file=sys.stderr)
+            return 2
         res = curate_corpus(
-            spark, df, CurationConfig(text_col=args.text_col)
+            spark,
+            df,
+            CurationConfig(text_col=args.text_col, key_col=args.key_col),
+            # two actions (funnel + write) share the staged frame
+            persist=bool(args.output_dir),
         )
         print(json.dumps(res.funnel.collect()[0].asDict()))
         if args.output_dir:

@@ -251,8 +251,17 @@ class CurationResult:
     funnel: DataFrame   # ONE row: counts at every stage
 
 
+RESERVED_CURATION_COLS = (
+    "n_chars_calc", "n_words", "mean_word_len", "distinct_word_ratio",
+    "stopword_ratio", "fingerprint", "split",
+)
+
+
 def curate_corpus(
-    spark: SparkSession, docs: DataFrame, cfg: CurationConfig | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: CurationConfig | None = None,
+    persist: bool = False,
 ) -> CurationResult:
     """The materializing end-to-end curation run (the productized form of
     the corpus_curation_summary analytics): gate on quality features,
@@ -273,6 +282,21 @@ def curate_corpus(
 
     cfg = cfg or CurationConfig()
     splits = cfg.splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    for c in (cfg.text_col, cfg.key_col):
+        if c not in docs.columns:
+            raise ValueError(f"curate_corpus: input has no column '{c}'")
+    clash = [c for c in RESERVED_CURATION_COLS if c in docs.columns]
+    if clash:
+        raise ValueError(
+            f"curate_corpus: input columns {clash} collide with curation "
+            "staging columns — rename them first (they would be clobbered)"
+        )
+    # fractions summing below 1 leave a 'rest' bucket (hash_split
+    # semantics) — the funnel must account for it too
+    split_names = list(splits)
+    if sum(splits.values()) < 1.0 - 1e-9:
+        split_names.append("rest")
+    passthrough = list(docs.columns)
 
     staged = quality_features(docs, cfg.text_col)
     q_pass = (F.col("n_words") >= cfg.min_words) & (
@@ -285,25 +309,28 @@ def curate_corpus(
     staged = staged.withColumn(
         "__keep", F.col("__q") & (F.row_number().over(w) == 1)
     )
-    # has_pii flag without a second scan: sum the count expressions inline
-    from dataprofiler_spark.operators.pii import PII_PATTERNS
+    # has_pii flag without a second scan — the SAME expression pii_scan
+    # uses (operators/pii.pii_total_count), never a reimplementation
+    from dataprofiler_spark.operators.pii import pii_total_count
 
-    total_expr = None
-    for name, (pat, _) in PII_PATTERNS.items():
-        e = F.coalesce(F.regexp_count(F.col(cfg.text_col), F.lit(pat)), F.lit(0))
-        total_expr = e if total_expr is None else (total_expr + e)
-    staged = staged.withColumn("__has_pii", total_expr > 0)
+    staged = staged.withColumn("__has_pii", pii_total_count(cfg.text_col) > 0)
     staged = hash_split(staged, cfg.key_col, splits)
+    if persist:
+        # two downstream actions (funnel + curated write) would otherwise
+        # re-run the scan + fingerprint window each (gotcha 16)
+        staged = staged.persist()
 
     funnel_aggs = [
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("__q").cast("long")).alias("n_quality"),
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        # honest name: PRESENCE of PII among kept docs — whether it was
+        # then redacted is cfg.redact_pii's job, not this counter's claim
         F.sum((F.col("__keep") & F.col("__has_pii")).cast("long")).alias(
-            "n_kept_redacted"
+            "n_kept_with_pii"
         ),
     ]
-    for name in splits:
+    for name in split_names:
         funnel_aggs.append(
             F.sum((F.col("__keep") & (F.col("split") == name)).cast("long")).alias(
                 f"n_{name}"
@@ -311,9 +338,12 @@ def curate_corpus(
         )
     funnel = staged.agg(*funnel_aggs)
 
-    kept = staged.filter(F.col("__keep")).drop("__q", "__keep", "__has_pii")
+    # output contract: the ORIGINAL columns (text possibly redacted) +
+    # split — engineered staging columns never leak into the corpus
+    kept = staged.filter(F.col("__keep"))
     if cfg.redact_pii:
         kept = redact(kept, cfg.text_col, output_col="__red").withColumn(
             cfg.text_col, F.col("__red")
-        ).drop("__red")
+        )
+    kept = kept.select(*passthrough, "split")
     return CurationResult(curated=kept, funnel=funnel)

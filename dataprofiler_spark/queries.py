@@ -2571,11 +2571,11 @@ def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
           / len(string_split(text, ' ')), 6) AS dr,
     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket,
-    (length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) > 0
-     OR length(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) > 0
-     OR length(regexp_extract_all(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) > 0
-     OR length(regexp_extract_all(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) > 0
-     OR length(regexp_extract_all(text, '\\b\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}[- ]\\d{{4}}\\b')) > 0
+    (length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+     OR length(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0
+     OR length(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) > 0
+     OR length(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
+     OR length(regexp_extract_all(text, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) > 0
     ) AS haspii
   FROM documents
 ), f AS (
@@ -2586,11 +2586,11 @@ def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(*) AS n_input,
   CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
   CAST(SUM(CASE WHEN q AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-  CAST(SUM(CASE WHEN q AND rn = 1 AND haspii THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_redacted,
+  CAST(SUM(CASE WHEN q AND rn = 1 AND haspii THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_with_pii,
   CAST(SUM(CASE WHEN q AND rn = 1 AND bucket < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
   CAST(SUM(CASE WHEN q AND rn = 1 AND bucket >= 9000 AND bucket < 9500 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
   CAST(SUM(CASE WHEN q AND rn = 1 AND bucket >= 9500 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
-FROM r""".format(),
+FROM r""",
 )
 def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materializing curation pipeline's funnel over the documents

@@ -225,7 +225,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     plan = res.funnel._jdf.queryExecution().executedPlan().toString()
     f = res.funnel.collect()[0]
     assert f.n_input == 5 and f.n_quality == 3 and f.n_kept == 2
-    assert f.n_kept_redacted == 1
+    assert f.n_kept_with_pii == 1
     assert f.n_train + f.n_val + f.n_test == f.n_kept
     curated = {r.doc_id: r for r in res.curated.collect()}
     assert set(curated) == {1, 4}
@@ -235,3 +235,28 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     # plan shape: the funnel reads the corpus ONCE (flags ride one frame)
     assert plan.count("Scan parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_curate_guards_and_rest_split(spark):
+    """Reserved-column collision raises clearly; sub-1.0 split fractions
+    produce an accounted 'rest' bucket; missing key/text raise."""
+    import pytest as _pytest
+
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    base = [(i, f"unique words number {i} pad pad2 pad3 pad4 pad5 pad6 pad7", "s")
+            for i in range(40)]
+    docs = spark.createDataFrame(base, "doc_id long, text string, source string")
+
+    with _pytest.raises(ValueError, match="collide"):
+        curate_corpus(spark, docs.withColumn("split", F.lit("x")), CurationConfig())
+    with _pytest.raises(ValueError, match="no column"):
+        curate_corpus(spark, docs, CurationConfig(key_col="nope"))
+
+    res = curate_corpus(
+        spark, docs, CurationConfig(splits={"train": 0.5, "val": 0.2})
+    )
+    f = res.funnel.collect()[0]
+    assert f.n_train + f.n_val + f.n_rest == f.n_kept  # rest accounted
+    # output contract: original columns + split, nothing engineered
+    assert res.curated.columns == ["doc_id", "text", "source", "split"]
