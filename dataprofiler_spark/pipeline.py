@@ -320,22 +320,20 @@ def curate_corpus(
         # re-run the scan + fingerprint window each (gotcha 16)
         staged = staged.persist()
 
+    def _n(expr, alias):
+        # empty corpus: zeros, not NULL sums
+        return F.coalesce(F.sum(expr.cast("long")), F.lit(0)).alias(alias)
+
     funnel_aggs = [
         F.count(F.lit(1)).alias("n_input"),
-        F.sum(F.col("__q").cast("long")).alias("n_quality"),
-        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        _n(F.col("__q"), "n_quality"),
+        _n(F.col("__keep"), "n_kept"),
         # honest name: PRESENCE of PII among kept docs — whether it was
         # then redacted is cfg.redact_pii's job, not this counter's claim
-        F.sum((F.col("__keep") & F.col("__has_pii")).cast("long")).alias(
-            "n_kept_with_pii"
-        ),
+        _n(F.col("__keep") & F.col("__has_pii"), "n_kept_with_pii"),
     ]
     for name in split_names:
-        funnel_aggs.append(
-            F.sum((F.col("__keep") & (F.col("split") == name)).cast("long")).alias(
-                f"n_{name}"
-            )
-        )
+        funnel_aggs.append(_n(F.col("__keep") & (F.col("split") == name), f"n_{name}"))
     funnel = staged.agg(*funnel_aggs)
 
     # output contract: the ORIGINAL columns (text possibly redacted) +
