@@ -54,7 +54,12 @@ from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
 from dataprofiler_spark.operators.textstats import token_count, unigram_logprob  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
 from dataprofiler_spark.operators.similarity import batch_topk, brute_force_topk  # noqa: E402
-from dataprofiler_spark.pipeline import ValidationConfig, run_validation  # noqa: E402
+from dataprofiler_spark.pipeline import (  # noqa: E402
+    CurationConfig,
+    ValidationConfig,
+    curate_corpus,
+    run_validation,
+)
 from dataprofiler_spark.sources.synthetic import gen_sequences, gen_sources_ref  # noqa: E402
 from dataprofiler_spark.sources.tables import load_table  # noqa: E402
 
@@ -179,6 +184,11 @@ def main() -> None:
             "snapshot_diff": lambda: _snapshot_diff(dc),
             "unigram_logprob": lambda: unigram_logprob(dc)
             .agg(F.avg("mean_logprob"), F.count("*")).collect(),
+            # the materializing curation funnel: quality + fingerprint
+            # window + 5-regex PII flag + split over the doc corpus
+            "curation_funnel": lambda: curate_corpus(
+                spark, dc.select("doc_id", "text"), CurationConfig()
+            ).funnel.collect(),
         }
 
     def _snapshot_diff(dc):

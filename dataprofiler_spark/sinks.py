@@ -196,3 +196,40 @@ class MetricsStore:
                 F.col("b.table_name").isNotNull().alias("in_env2"),
             )
         )
+
+
+def expire_snapshots(store: "MetricsStore", keep_months: int, now: float | None = None) -> dict[str, int]:
+    """Retention for the month-partitioned metric sinks: delete every
+    `scan_month=yyyyMM` partition older than `keep_months` across all
+    tables (the ClickHouse-TTL analog of the reference's backend — its
+    PARTITION BY toYYYYMM layout exists exactly so expiry is a partition
+    drop, not a rewrite). Returns {table: partitions_deleted}.
+
+    Directory-level deletes only — no data is read or rewritten, and the
+    append-only contract is preserved for everything retained. `now` is
+    injectable for tests."""
+    import shutil
+    from datetime import datetime, timezone
+
+    ts = datetime.fromtimestamp(now or time.time(), tz=timezone.utc)
+    y, m = ts.year, ts.month - (keep_months - 1)
+    while m <= 0:
+        y, m = y - 1, m + 12
+    cutoff = f"{y:04d}{m:02d}"
+
+    deleted: dict[str, int] = {}
+    for t in TABLES:
+        tdir = os.path.join(store.root, t)
+        if not os.path.isdir(tdir):
+            continue
+        n = 0
+        for entry in sorted(os.listdir(tdir)):
+            if not entry.startswith("scan_month="):
+                continue
+            month = entry.split("=", 1)[1]
+            if month < cutoff:
+                shutil.rmtree(os.path.join(tdir, entry))
+                n += 1
+        if n:
+            deleted[t] = n
+    return deleted

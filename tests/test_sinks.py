@@ -135,3 +135,28 @@ def test_metric_history_anomaly_detection(spark, tmp_path):
     # stable series: z defined but small, never flagged
     stable = [r for r in out.collect() if r.column_name == "n_chars"]
     assert all(not r.is_anomaly for r in stable)
+
+
+def test_expire_snapshots_drops_old_months_only(spark, tmp_path):
+    """Retention = partition drop: months older than the window vanish,
+    retained months stay byte-identical readable, and re-running is a
+    no-op."""
+    import datetime
+
+    from dataprofiler_spark.sinks import MetricsStore, expire_snapshots
+
+    store = MetricsStore(spark, str(tmp_path / "m"), application="t", environment="e")
+    store.init()
+    rows = spark.createDataFrame([("docs", "c", "bigint")],
+                                 "table_name string, column_name string, data_type string")
+    # three monthly snapshots: Jan/Mar/Jun 2024
+    for mth in (1, 3, 6):
+        ts = datetime.datetime(2024, mth, 15, tzinfo=datetime.timezone.utc).timestamp()
+        store.append("data_profiles", rows, scan_time=ts)
+    now = datetime.datetime(2024, 6, 20, tzinfo=datetime.timezone.utc).timestamp()
+
+    deleted = expire_snapshots(store, keep_months=4, now=now)  # cutoff 202403
+    assert deleted == {"data_profiles": 1}  # only 202401 dropped
+    kept = {str(r.scan_month) for r in store.read("data_profiles").collect()}
+    assert kept == {"202403", "202406"}  # partition values read back as ints
+    assert expire_snapshots(store, keep_months=4, now=now) == {}  # idempotent
