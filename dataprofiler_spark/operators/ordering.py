@@ -40,16 +40,43 @@ def assign_sequential_ids(
 ) -> DataFrame:
     """Add `id_col` = the 0-based global rank of `key_col` — exactly
     ROW_NUMBER() OVER (ORDER BY key) − 1 — without a single-partition
-    sort. Requires a NUMERIC, NON-NULL key; ids are deterministic iff the
+    sort. NON-NULL keys only; ids are deterministic iff the
     key is unique (duplicate keys straddling a cut point get an arbitrary
     relative order, like any engine's underspecified ROW_NUMBER tie).
 
-    Cost: two column-pruned metadata passes (quantile sketch + bucket
-    counts) + the main pass. At 100 TB the metadata passes read one
-    column and the window sorts 1/num_buckets of the data per task."""
+    Numeric keys get their cut points from an approxQuantile sketch;
+    STRING keys (a doc_id like "doc-000123") from a seeded deterministic
+    sample — either way the cuts only shape bucket SIZES, never
+    correctness, so a bad sample costs balance, not ids.
+
+    Cost: two column-pruned metadata passes (quantile sketch / sample +
+    bucket counts) + the main pass. At 100 TB the metadata passes read
+    one column and the window sorts ~1/num_buckets of the data per task."""
     key = F.col(key_col)
-    probs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts = df.stat.approxQuantile(key_col, probs, sample_error)
+    dtype = dict(df.dtypes)[key_col]
+    if dtype == "string":
+        # deterministic hash-selected subset (engine's md5 bucketing —
+        # uncorrelated with key ORDER, so even its first N rows are an
+        # unbiased order-sample; a bare .limit() would take the first N
+        # storage rows and collapse every cut into one key prefix), then
+        # sorted -> evenly spaced cut strings. limit caps the driver
+        # transfer regardless of table size.
+        from dataprofiler_spark.operators.sampling import hash_bucket
+
+        sample = [
+            r[0]
+            for r in df.select(key_col)
+            .filter(key.isNotNull())
+            .filter(hash_bucket(key, salt="seq-id-cuts") < 100)  # ~1%
+            .limit(num_buckets * 200)
+            .collect()
+        ]
+        sample.sort()
+        step = max(len(sample) // num_buckets, 1)
+        cuts = [sample[i] for i in range(step, len(sample), step)][: num_buckets - 1]
+    else:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        cuts = df.stat.approxQuantile(key_col, probs, sample_error)
     # dedupe (heavy skew can collapse adjacent quantiles) and keep order
     interior = sorted(set(cuts))
     if interior:

@@ -51,3 +51,21 @@ def test_null_keys_raise_clearly(spark):
     const_with_null = spark.createDataFrame([(7,), (7,), (None,)], "k int")
     with pytest.raises(ValueError, match="NULL"):
         assign_sequential_ids(const_with_null, "k")
+
+
+def test_string_keys_exact_rank(spark):
+    """String keys (sampled cut strings instead of approxQuantile): ids
+    still equal the global ROW_NUMBER, no SinglePartition stage, and the
+    work spreads over multiple buckets."""
+    df = spark.range(0, 30000).select(
+        F.concat(F.lit("doc-"), F.lpad((F.col("id") * 37 % 99991).cast("string"), 6, "0")).alias("k")
+    ).distinct()
+    out = assign_sequential_ids(df, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = out.orderBy("k").collect()
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    # tiny string table: few/no cuts, still exact
+    small = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
+    got = {r.k: r.seq_id for r in assign_sequential_ids(small, "k").collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
