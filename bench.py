@@ -179,6 +179,11 @@ def main() -> None:
             "sequential_ids": lambda: assign_sequential_ids(
                 dc.select("doc_id"), "doc_id"
             ).agg(F.max("seq_id")).collect(),
+            # string-key path: sampled cut strings over the 400k
+            # "doc-NNN" ids of the sequence table
+            "sequential_ids_string": lambda: assign_sequential_ids(
+                bad.select("doc_id").distinct(), "doc_id"
+            ).agg(F.max("seq_id")).collect(),
             # digest-only snapshot diff of the doc table vs a 1/7-perturbed
             # copy; unigram LM scoring (explode + broadcast vocab join)
             "snapshot_diff": lambda: _snapshot_diff(dc),

@@ -191,3 +191,60 @@ def test_uniqueness_and_ri_verdicts_match_sql(tmp_path_factory, rows, parent_key
     )
     assert got_r == {k: int(v) for k, v in want_r.items()}, (got_r, want_r)
     con.close()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 8),         # bucket
+            st.integers(1, 50),        # baseline cnt
+            st.integers(0, 50),        # current cnt (0 = absent)
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_psi_jsd_match_sql_on_random_histograms(rows):
+    """drift_by_group PSI and jsd_by_group vs direct SQL formulas on
+    random grouped histograms, including one-sided buckets."""
+    import math
+
+    from dataprofiler_spark import get_spark
+    from dataprofiler_spark.operators.drift import drift_by_group, jsd_by_group
+
+    spark = get_spark(master="local[2]", shuffle_partitions=2)
+    b = spark.createDataFrame(
+        [(g, float(bk), c) for g, bk, c, _ in rows], "g string, bucket double, cnt long"
+    )
+    c = spark.createDataFrame(
+        [(g, float(bk), cc) for g, bk, _, cc in rows if cc > 0],
+        "g string, bucket double, cnt long",
+    )
+    got_psi = {r.g: r.psi for r in drift_by_group(b, c, "g").collect()}
+    got_jsd = {r.g: r.jsd for r in jsd_by_group(b, c, "g").collect()}
+
+    # reference computation in plain python
+    from collections import defaultdict
+
+    bt, ct = defaultdict(int), defaultdict(int)
+    for g, bk, cb, cc in rows:
+        bt[g] += cb
+        ct[g] += cc
+    eps = 1e-6
+    want_psi, want_jsd = defaultdict(float), defaultdict(float)
+    for g, bk, cb, cc in rows:
+        p = max(cb / max(bt[g], 1), eps)
+        q = max(cc / max(ct[g], 1), eps)
+        want_psi[g] += (q - p) * math.log(q / p)
+        pe, qe = cb / max(bt[g], 1), cc / max(ct[g], 1)
+        m = (pe + qe) / 2
+        if cb > 0:
+            want_jsd[g] += pe * math.log(pe / m) / 2
+        if cc > 0:
+            want_jsd[g] += qe * math.log(qe / m) / 2
+    for g in got_psi:
+        assert abs(got_psi[g] - round(want_psi[g], 6)) < 2e-6, (g, got_psi[g], want_psi[g])
+        assert abs(got_jsd[g] - round(want_jsd[g], 6)) < 2e-6, (g, got_jsd[g], want_jsd[g])
