@@ -182,7 +182,10 @@ def main() -> None:
             # string-key path: sampled cut strings over the 400k
             # "doc-NNN" ids of the sequence table
             "sequential_ids_string": lambda: assign_sequential_ids(
-                bad.select("doc_id").distinct(), "doc_id"
+                # the violations fixture plants NULL doc_ids; a NULL has
+                # no rank (operator raises by contract) — filter first
+                bad.select("doc_id").filter(F.col("doc_id").isNotNull()).distinct(),
+                "doc_id",
             ).agg(F.max("seq_id")).collect(),
             # digest-only snapshot diff of the doc table vs a 1/7-perturbed
             # copy; unigram LM scoring (explode + broadcast vocab join)
