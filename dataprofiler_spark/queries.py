@@ -1559,7 +1559,8 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repetition_quality_documents",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
 b AS (SELECT doc_id, ws,
         CASE WHEN len(ws) >= 2 THEN list_transform(
           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
@@ -1715,7 +1716,8 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_stats_by_source",
-    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    """WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+w AS (SELECT * FROM w0 WHERE w <> '')
 SELECT source, COUNT(*) AS total_words, COUNT(DISTINCT w) AS vocab_size,
   ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 6) AS type_token_ratio
 FROM w GROUP BY source""",

@@ -131,3 +131,22 @@ def test_heap_learner_equals_naive_reference():
         assert learn_merges(counts, k) == naive_merges(counts, k)
 
     check()
+
+
+def test_train_bpe_vocab_cap(spark):
+    """The vocabulary collect is bounded: a non-binding max_vocab/min_count
+    leaves the merge sequence bit-identical; a binding max_vocab keeps the
+    top words by (count desc, word) and still learns their merges."""
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa cc dd ee ff gg") for i in range(6)]
+        + [(100, "zz yy xx ww vv uu tt ss rr qq")],
+        "doc_id long, text string",
+    )
+    unbounded = train_bpe(docs, 12)  # defaults: min_count=1, cap 10^6
+    assert train_bpe(docs, 12, max_vocab=10_000, min_count=1) == unbounded
+
+    # binding cap: only the 3 most frequent words survive the collect —
+    # merges can only involve their characters
+    capped = train_bpe(docs, 12, max_vocab=3)
+    syms = {s for pair in capped for s in pair}
+    assert syms and all(set(s.replace(END, "")) <= set("abcd") for s in syms), capped

@@ -247,3 +247,41 @@ def test_connected_components_star_matches_label_and_handles_long_chains(spark):
         connected_components(chain, max_iterations=15)
     comp = {r.node: r.component for r in connected_components_star(chain, max_iterations=15).collect()}
     assert len(comp) == 301 and set(comp.values()) == {0}
+
+
+def test_connected_components_string_keys(spark):
+    """BASELINE.json's input schema is doc_id:string — both CC variants
+    must converge on string node keys (the old Σcomp convergence scalar
+    was numeric-only; the fingerprint test is type-agnostic). Component
+    label = lexicographic min id."""
+    from dataprofiler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain d1-d2-d3-d4 (diameter 3), pair {x1,x2}
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4"), ("x1", "x2")],
+        "key1 string, key2 string",
+    )
+    for fn in (connected_components, connected_components_star):
+        comp = {r.node: r.component for r in fn(pairs).collect()}
+        assert {comp[k] for k in ("d1", "d2", "d3", "d4")} == {"d1"}, fn.__name__
+        assert {comp[k] for k in ("x1", "x2")} == {"x1"}, fn.__name__
+
+
+def test_dedup_clusters_string_doc_ids(spark, docs):
+    """End-to-end near-dup clustering on a STRING doc_id (the declared
+    input schema) — exercises the string-keyed convergence fingerprint on
+    the real LSH → CC path."""
+    from dataprofiler_spark.operators.dedup import dedup_clusters
+
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 4, "0")).alias("doc_id"),
+        "text",
+    )
+    out = {r.node: (r.component, r.is_survivor)
+           for r in dedup_clusters(sdocs, "doc_id", num_hashes=16, bands=8).collect()}
+    assert {"doc-0001", "doc-0002", "doc-0003"} <= set(out)
+    assert {out[k][0] for k in ("doc-0001", "doc-0002", "doc-0003")} == {"doc-0001"}
+    assert [k for k in sorted(out) if out[k][1]] == ["doc-0001"]

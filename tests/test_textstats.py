@@ -197,3 +197,26 @@ def test_script_profile(spark):
     assert out[6].dominant_script is None and out[6].nonlatin_frac is None
     assert out[7].dominant_script is None  # NULL text -> zero counts
     assert out[7].latin_chars == 0
+
+
+def test_word_ops_ignore_empty_pseudo_tokens(spark):
+    """Gotcha 25: consecutive/leading/trailing spaces must not create ''
+    'words' — repetition fractions and vocabulary stats are invariant to
+    whitespace formatting."""
+    from dataprofiler_spark.operators.textstats import (
+        repetition_stats,
+        vocabulary_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "  a  b   a ")], "doc_id long, text string"
+    )
+    reps = {r.doc_id: (r.dup_word_frac, r.dup_bigram_frac)
+            for r in repetition_stats(df).collect()}
+    assert reps[1] == reps[2]
+
+    df2 = spark.createDataFrame(
+        [("g", "x y"), ("g", "  x   y  ")], "g string, text string"
+    )
+    row = vocabulary_stats(df2, group_by=["g"]).collect()[0]
+    assert (row.total_words, row.vocab_size) == (4, 2)
