@@ -191,10 +191,26 @@ def uniqueness_check(
     a second full scan per action. The window counts only NON-NULL keys
     (conditional count), so the NULL-key window group can never read as a
     duplicate. Column pruning keeps the window exchange narrow (key +
-    partition only — payload columns never ride this shuffle)."""
-    w = Window.partitionBy(key_col)
+    partition only — payload columns never ride this shuffle).
+
+    Skew safety: NULL keys are SPREAD across window groups (per-row salted
+    sentinel) instead of funneling into one group — on a high-null key at
+    the 10¹²-row design point a single NULL window partition is a
+    single-reducer stall. Correctness is unaffected: a NULL row's group
+    count only ever counts NON-null keys sharing its sentinel (none, and
+    even a pathological real-key collision with the sentinel leaves both
+    sides' conditional counts exactly as if grouped alone)."""
+    key = F.col(key_col)
+    w = Window.partitionBy(
+        F.when(key.isNotNull(), key.cast("string")).otherwise(
+            F.concat(
+                F.lit("\x00null\x00"),
+                F.monotonically_increasing_id().cast("string"),
+            )
+        )
+    )
     counted = df.withColumn(
-        "__cnt", F.count(F.when(F.col(key_col).isNotNull(), 1)).over(w)
+        "__cnt", F.count(F.when(key.isNotNull(), 1)).over(w)
     )
     dups = counted.filter(F.col(key_col).isNotNull() & (F.col("__cnt") > 1))
     verdicts = (

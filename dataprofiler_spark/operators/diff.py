@@ -134,6 +134,7 @@ def apply_changes(
     changes: DataFrame,
     key_cols: list[str] | str,
     op_col: str = "op",
+    validate: bool = True,
 ) -> DataFrame:
     """CDC apply (the MERGE INTO / SCD-1 upsert semantics a snapshot store
     needs without a table format's transaction layer): `changes` carries
@@ -147,8 +148,31 @@ def apply_changes(
     payloads ride only their own side, and with base and changes bucketed
     by key the anti join is exchange-free (test_bucketing.py pattern).
     Equivalent SQL (the oracle): base rows WHERE key NOT IN changes,
-    UNION ALL changes WHERE op <> 'D'."""
+    UNION ALL changes WHERE op <> 'D'.
+
+    Malformed change rows (NULL op, or NULL in any key column) are a
+    data-quality bug this engine should SURFACE, not swallow: a NULL op
+    would silently vanish through `op != 'D'` (NULL → filtered) and a
+    NULL key never matches the anti join. `validate=True` (default) runs
+    one cheap aggregate over the batch-sized changes frame and raises;
+    pass validate=False only when upstream already enforces the contract."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if validate:
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        bad = changes.agg(
+            F.sum(F.col(op_col).isNull().cast("long")).alias("null_op"),
+            F.sum(null_key.cast("long")).alias("null_key"),
+        ).collect()[0]
+        if (bad["null_op"] or 0) > 0 or (bad["null_key"] or 0) > 0:
+            raise ValueError(
+                f"apply_changes: malformed change rows — {bad['null_op']} with "
+                f"NULL {op_col}, {bad['null_key']} with NULL key {keys}. A NULL "
+                "op/key row cannot be applied deterministically; fix the CDC "
+                "feed or pre-filter explicitly."
+            )
     payload = [c for c in base.columns]
     untouched = base.join(changes.select(*keys), keys, "left_anti")
     applied = changes.filter(F.col(op_col) != "D").select(*payload)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from dataprofiler_spark.operators.checks import SuiteResult, run_sequence_suite
 from dataprofiler_spark.operators.drift import drift_by_group, histogram
 from dataprofiler_spark.operators.profile import ProfileConfig, profile
-from dataprofiler_spark.plans.manifest import Manifest, PartitionRecord
+from dataprofiler_spark.plans.manifest import Manifest, PartitionRecord, Snapshot
 
 
 @dataclass
@@ -46,6 +46,10 @@ class ValidationConfig:
     output_dir: str | None = None
     manifest_dir: str | None = None
     lineage: str = ""
+    # per-partition resume against a table snapshot (plans/manifest.py
+    # Snapshot): overrides the global `lineage` token when set — an
+    # append to one partition only re-validates THAT partition
+    snapshot: "Snapshot | None" = None
 
 
 @dataclass
@@ -78,7 +82,9 @@ def run_validation(
     manifest = Manifest(cfg.manifest_dir) if cfg.manifest_dir else None
 
     skipped: set[str] = set()
-    if manifest is not None and cfg.lineage:
+    if manifest is not None and cfg.snapshot is not None:
+        skipped = manifest.validated_partitions_for(cfg.snapshot)
+    elif manifest is not None and cfg.lineage:
         skipped = manifest.validated_partitions(cfg.lineage)
         if skipped:
             df = df.filter(~F.col(cfg.part_col).isin(list(skipped)))
@@ -204,14 +210,21 @@ def run_validation(
             # a partition with ANY failed check must not be recorded as
             # 'validated' — a resumed run would silently skip known-bad
             # partitions and report a clean summary
+            snap = cfg.snapshot
             manifest.record(
                 PartitionRecord(
                     partition_value=part,
                     status="validated" if all(d["checks"].values()) else "failed",
-                    lineage=cfg.lineage,
+                    # snapshot mode records the partition's OWN data-file
+                    # token (so a later snapshot skips it iff its files
+                    # are untouched) + the snapshot id for provenance
+                    lineage=snap.partition_lineage.get(part, "")
+                    if snap is not None
+                    else cfg.lineage,
                     row_count=d["row_count"],
                     metrics=d["metrics"],
                     checks=d["checks"],
+                    snapshot_id=snap.snapshot_id if snap is not None else "",
                 )
             )
 

@@ -31,11 +31,12 @@ from dataclasses import asdict, dataclass, field
 class PartitionRecord:
     partition_value: str
     status: str  # "validated" | "failed"
-    lineage: str  # input fingerprint / snapshot id
+    lineage: str  # per-partition lineage token (data-file fingerprint)
     row_count: int
     metrics: dict = field(default_factory=dict)  # metric snapshot
     checks: dict = field(default_factory=dict)  # check_name -> passed
     recorded_at: float = 0.0
+    snapshot_id: str = ""  # table snapshot the validation ran against
 
 
 def _safe(name: str) -> str:
@@ -80,6 +81,71 @@ class Manifest:
             for p, rec in self.load().items()
             if rec.status == "validated" and rec.lineage == lineage
         }
+
+    def validated_partitions_for(self, snapshot: "Snapshot") -> set[str]:
+        """Per-partition resume against a table SNAPSHOT: a partition is
+        skippable iff it validated against the exact lineage token its
+        data files have in this snapshot. An append to partition X flips
+        X's token (and the snapshot_id) but leaves other partitions'
+        tokens — so only X re-validates. Stale-manifest partitions
+        (recorded under a token the snapshot no longer carries) are
+        excluded by construction."""
+        return {
+            p
+            for p, rec in self.load().items()
+            if rec.status == "validated"
+            and snapshot.partition_lineage.get(p) == rec.lineage
+        }
+
+
+@dataclass
+class Snapshot:
+    """Iceberg-snapshot-semantics model for path inputs (SURVEY §7.4):
+    a table state = (snapshot_id, per-partition data-file lineage). The
+    id is content-addressed over the per-partition tokens, so ANY append/
+    rewrite produces a new snapshot_id — and resume-after-append is
+    provably sound per partition: a partition is skippable iff ITS data
+    files are unchanged, regardless of appends elsewhere. (The global
+    `input_fingerprint` token invalidates every partition on any append —
+    sound but maximally wasteful; this is the per-partition refinement.)
+    In production the id and per-partition file lists come from the
+    Iceberg snapshot metadata instead of a directory walk."""
+
+    snapshot_id: str
+    partition_lineage: dict[str, str]  # partition_value -> lineage token
+
+
+def snapshot_from_path(path: str, part_prefix: str | None = None) -> Snapshot:
+    """Build a Snapshot from a hive-layout directory: each
+    `<col>=<value>` subdirectory is a partition whose lineage token
+    fingerprints ITS files only. `part_prefix` (e.g. "source") restricts
+    to that partition column's dirs; files outside any partition dir
+    fingerprint under the "" partition."""
+    part_lineage: dict[str, str] = {}
+    loose: list[str] = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            full = os.path.join(path, name)
+            if os.path.isdir(full) and "=" in name:
+                col, _, val = name.partition("=")
+                if part_prefix is None or col == part_prefix:
+                    part_lineage[val] = input_fingerprint(full)
+                    continue
+            loose.append(name)
+    if loose:
+        parts = []
+        for name in loose:
+            full = os.path.join(path, name)
+            parts.append(f"{name}:{input_fingerprint(full)}")
+        import hashlib
+
+        part_lineage[""] = hashlib.md5("|".join(parts).encode()).hexdigest()
+    import hashlib
+
+    sid = hashlib.md5(
+        "|".join(f"{p}={t}" for p, t in sorted(part_lineage.items())).encode()
+    ).hexdigest()
+    return Snapshot(snapshot_id=sid, partition_lineage=part_lineage)
 
 
 def input_fingerprint(path: str) -> str:

@@ -239,7 +239,14 @@ def drift_stream(
     The baseline frame is histogram-sized (groups × buckets), so each
     batch adds one broadcast-sized join, no streaming state at all:
     a restarted query resumes from the checkpoint with nothing to
-    rebuild."""
+    rebuild.
+
+    At-least-once caveat: a batch whose parquet append succeeded but
+    whose checkpoint commit did not is REPLAYED with the same batch_id,
+    appending duplicate verdict rows. The rows are deterministic, so
+    consumers must read through `current_drift` (dedups on
+    (batch_id, group)) — mirroring `current_profile` — or alert counts
+    can double after a crash-replay."""
     from dataprofiler_spark.operators.drift import drift_by_group, histogram
 
     reader = spark.readStream.schema(sequence_schema())
@@ -264,6 +271,20 @@ def drift_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def current_drift(
+    spark: SparkSession, output_dir: str, group_col: str = "source"
+) -> DataFrame:
+    """Read the drift verdict store idempotently: foreachBatch is
+    at-least-once, so a crash between the parquet append and the
+    checkpoint commit replays a batch with the SAME batch_id and writes
+    identical rows — dedup on (batch_id, group) makes the replay
+    read-neutral instead of double-counting alerts (the profile-side
+    twin of current_profile's partials dedup)."""
+    return spark.read.parquet(f"{output_dir}/drift").dropDuplicates(
+        ["batch_id", group_col]
+    )
 
 
 def profile_stream(

@@ -189,3 +189,18 @@ def test_violation_caps_are_per_partition_everywhere(spark):
     for r in rv.collect():
         counts[r.partition_value] = counts.get(r.partition_value, 0) + 1
     assert all(c == 3 for c in counts.values()) and len(counts) == 2
+
+
+def test_uniqueness_null_keys_spread_not_funneled(spark):
+    """High-null keys must not funnel into a single window group (the
+    10^12-row single-reducer hazard): NULL-keyed rows ride per-row salted
+    sentinels. Correctness is unchanged — NULLs are never duplicates, but
+    still count toward row_count."""
+    from dataprofiler_spark.operators.checks import uniqueness_check
+
+    rows = [(None, "s") for _ in range(50)] + [("a", "s"), ("a", "s"), ("b", "s")]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    verdicts, violations = uniqueness_check(df, "t")
+    v = verdicts.collect()[0]
+    assert (v.row_count, v.violation_count, v.passed) == (53, 2, False)
+    assert sorted(r.key for r in violations.collect()) == ["a", "a"]

@@ -1,5 +1,6 @@
 """Row-level snapshot reconciliation (operators/diff.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataprofiler_spark.operators.diff import diff_summary, snapshot_diff
@@ -122,3 +123,28 @@ def test_null_key_rows_match_null_safely(spark):
     s = diff_summary(old, new, "id").collect()[0]
     assert s.added == 0 and s.removed == 0
     assert s.changed == 1 and s.unchanged == 1  # only id=1 changed
+
+
+def test_apply_changes_rejects_malformed_rows(spark):
+    """A NULL op or NULL key in the change feed is a data-quality bug the
+    engine must SURFACE (a NULL op would vanish through op != 'D'; a NULL
+    key never matches the anti join) — validate=True raises, and
+    validate=False keeps the documented permissive behavior."""
+    from dataprofiler_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame(OLD, SCHEMA)
+    bad_op = spark.createDataFrame([(2, "b", 2, None)], SCHEMA + ", op string")
+    with pytest.raises(ValueError, match="NULL op"):
+        apply_changes(base, bad_op, "id").collect()
+
+    bad_key = spark.createDataFrame([(None, "b", 2, "U")], SCHEMA + ", op string")
+    with pytest.raises(ValueError, match="NULL key"):
+        apply_changes(base, bad_key, "id").collect()
+
+    # explicit opt-out preserves the old silent-drop semantics: the NULL-op
+    # row removes base key 2 via the anti join, then vanishes through
+    # op != 'D' — the row disappears, which is exactly the bug validate
+    # exists to surface
+    out = apply_changes(base, bad_op, "id", validate=False)
+    assert out.count() == len(OLD) - 1
+    assert out.filter("id = 2").count() == 0

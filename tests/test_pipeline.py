@@ -260,3 +260,51 @@ def test_curate_guards_and_rest_split(spark):
     assert f.n_train + f.n_val + f.n_rest == f.n_kept  # rest accounted
     # output contract: original columns + split, nothing engineered
     assert res.curated.columns == ["doc_id", "text", "source", "split"]
+
+
+def test_snapshot_resume_reinvalidates_only_appended_partition(spark, tmp_path):
+    """Snapshot-id lineage model (SURVEY §7.4 / VERDICT r3 action 6):
+    validate a hive-partitioned input against its Snapshot; append data to
+    ONE partition → the new snapshot has a new snapshot_id, the stale
+    partition's skip is invalidated, every untouched partition still
+    skips. The global-fingerprint mode would re-validate everything."""
+    from dataprofiler_spark.plans.manifest import snapshot_from_path
+
+    inp = str(tmp_path / "table")
+    clean = gen_sequences(spark, N)
+    clean.write.partitionBy("source").parquet(inp)
+
+    snap1 = snapshot_from_path(inp, part_prefix="source")
+    cfg = ValidationConfig(
+        manifest_dir=str(tmp_path / "manifest"), snapshot=snap1
+    )
+    stored = spark.read.parquet(inp)
+    r1 = run_validation(spark, stored, gen_sources_ref(spark), cfg=cfg)
+    assert r1.summary["partitions_skipped"] == 0
+    recs = Manifest(cfg.manifest_dir).load()
+    some_part = next(p for p, rec in recs.items() if rec.status == "validated")
+    assert recs[some_part].snapshot_id == snap1.snapshot_id
+    assert recs[some_part].lineage == snap1.partition_lineage[some_part]
+
+    # append rows to ONE partition
+    extra = clean.filter(F.col("source") == some_part).limit(50)
+    extra.write.mode("append").partitionBy("source").parquet(inp)
+    snap2 = snapshot_from_path(inp, part_prefix="source")
+    assert snap2.snapshot_id != snap1.snapshot_id
+    assert snap2.partition_lineage[some_part] != snap1.partition_lineage[some_part]
+    untouched = [
+        p for p in snap1.partition_lineage
+        if p != some_part and snap2.partition_lineage[p] == snap1.partition_lineage[p]
+    ]
+    assert untouched
+
+    cfg2 = ValidationConfig(manifest_dir=cfg.manifest_dir, snapshot=snap2)
+    r2 = run_validation(
+        spark, spark.read.parquet(inp), gen_sources_ref(spark), cfg=cfg2
+    )
+    # the appended partition re-validates; untouched VALIDATED partitions skip
+    assert some_part not in r2.skipped_partitions
+    validated_untouched = {
+        p for p in untouched if recs[p].status == "validated"
+    }
+    assert validated_untouched <= r2.skipped_partitions

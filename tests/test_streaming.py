@@ -341,3 +341,29 @@ def test_profile_stream_replayed_batch_is_idempotent(spark, tmp_path):
 
     got = current_profile(spark, parts).collect()[0]
     assert got.row_count == 1500  # not 3000
+
+
+def test_current_drift_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash-replay by
+    re-appending one batch's (deterministic) drift rows with the same
+    batch_id — current_drift reads through the duplicates; the raw store
+    double-counts."""
+    from dataprofiler_spark.operators.drift import histogram
+    from dataprofiler_spark.streaming.validate import current_drift, drift_stream
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    base = gen_sequences(spark, N, violations=False)
+    baseline_hist = histogram(base, "n_tok", 50.0, ["source"]).cache()
+    gen_sequences(spark, N, violations=False).coalesce(1).write.parquet(f"{inp}/f1")
+    drift_stream(spark, f"{inp}/*", baseline_hist, ckpt, out).awaitTermination(120)
+
+    store = f"{out}/drift"
+    once = spark.read.parquet(store)
+    n_rows, n_alerts = once.count(), once.filter("psi_alert").count()
+    once.write.mode("append").parquet(store)  # the replayed append
+
+    assert spark.read.parquet(store).count() == 2 * n_rows
+    cur = current_drift(spark, out)
+    assert cur.count() == n_rows
+    assert cur.filter("psi_alert").count() == n_alerts
+    baseline_hist.unpersist()
