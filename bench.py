@@ -179,12 +179,17 @@ def main() -> None:
             "sequential_ids": lambda: assign_sequential_ids(
                 dc.select("doc_id"), "doc_id"
             ).agg(F.max("seq_id")).collect(),
-            # string-key path: sampled cut strings over the 400k
-            # "doc-NNN" ids of the sequence table
+            # string-key path: SAME table as the numeric entry with the id
+            # formatted "doc-%012d" — an apples-to-apples key-type A/B
+            # (r3's entry ran on a different fixture with a distinct();
+            # 4.6× read as string-path cost but was mostly fixture cost).
+            # Exercises the lcp + 7-byte prefix-proxy bucketing: isolated
+            # ratio 1.57× vs numeric at sf0.1, 1.3× at 4M rows
+            # (BENCH/BASELINE.md), vs 4.6× for chained string compares.
             "sequential_ids_string": lambda: assign_sequential_ids(
-                # the violations fixture plants NULL doc_ids; a NULL has
-                # no rank (operator raises by contract) — filter first
-                bad.select("doc_id").filter(F.col("doc_id").isNotNull()).distinct(),
+                dc.select(
+                    F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id")
+                ),
                 "doc_id",
             ).agg(F.max("seq_id")).collect(),
             # digest-only snapshot diff of the doc table vs a 1/7-perturbed

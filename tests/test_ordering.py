@@ -69,3 +69,21 @@ def test_string_keys_exact_rank(spark):
     small = spark.createDataFrame([("b",), ("a",), ("c",)], "k string")
     got = {r.k: r.seq_id for r in assign_sequential_ids(small, "k").collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_string_keys_prefix_proxy_edge_cases(spark):
+    """The numeric prefix-proxy bucketing (7 suffix bytes after the
+    sample's common prefix) must stay exact under: outlier keys that sort
+    before/after every common-prefixed key (not in the sample's LCP),
+    keys equal through lcp+7 bytes (proxy ties), multi-byte UTF-8, and
+    keys shorter than the proxy window."""
+    base = [f"doc-{i*37 % 99991:06d}x{'pad'*4}{j}" for i in range(4000) for j in (0,)]
+    outliers = ["", "a", "Zzz", "ééé", "zzz~", "doc", "doc-"]
+    ties = [f"doc-000001{'same7bytes'}{i:03d}" for i in range(50)]
+    keys = sorted(set(base + outliers + ties))
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    out = assign_sequential_ids(df, "k", num_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = {r.k: r.seq_id for r in out.collect()}
+    assert got == {k: i for i, k in enumerate(keys)}
