@@ -1,0 +1,44 @@
+"""Registry/harvest-budget invariants (VERDICT r3 action 8).
+
+The driver adjudicates registry entries in REGISTRATION ORDER under a run
+budget (measured: exactly 50 entries in rounds 2 and 3). These guards make
+the budget impossible to exceed silently: a new entry must either take a
+slot in the explicit harvest window or consciously join the local-only
+tail, and every entry must carry a DuckDB oracle unless it is explicitly
+declared rows-only.
+"""
+
+import dataprofiler_spark.queries as q
+
+# non-SQL-expressible operators allowed to skip the oracle (driver records
+# a weaker rows-only check) — currently none: every entry has an oracle
+ROWS_ONLY_ALLOWED: set[str] = set()
+
+
+def test_every_entry_has_callable_and_oracle():
+    queries = q.queries()
+    oracles = q.oracle_sql()
+    assert queries, "registry is empty"
+    for name, fn in queries.items():
+        assert callable(fn), name
+        if name not in ROWS_ONLY_ALLOWED:
+            sql = oracles.get(name)
+            assert isinstance(sql, str) and sql.strip(), (
+                f"{name} has no oracle SQL and is not declared rows-only"
+            )
+
+
+def test_harvest_window_is_pinned():
+    """The first HARVEST_BUDGET registered entries are exactly the
+    documented window — adding an entry without updating the window (a
+    conscious trade of a slot) fails here instead of silently pushing a
+    never-harvested entry past the driver budget."""
+    names = list(q.queries())
+    assert len(q._HARVEST_FIRST) == q.HARVEST_BUDGET
+    assert names[: q.HARVEST_BUDGET] == q._HARVEST_FIRST
+    # the round-3 never-harvested backlog leads the window
+    assert names[: len(q._NEVER_HARVESTED_R3)] == q._NEVER_HARVESTED_R3
+
+
+def test_no_duplicate_window_names():
+    assert len(set(q._HARVEST_FIRST)) == len(q._HARVEST_FIRST)
