@@ -229,21 +229,55 @@ def main() -> None:
     # wall-clock estimator
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
+    run_log: dict[str, list[float]] = {}
 
     def _time(queries: dict, n_runs: int) -> None:
         for name, fn in queries.items():
-            best = float("inf")
+            runs = []
             for _ in range(n_runs):
                 t0 = time.time()
                 fn()
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+                runs.append(round(time.time() - t0, 3))
+            run_log[name] = runs
+            timings[name] = min(runs)
 
-    # headline first: its own warmup, a GC to clear setup garbage, then a
-    # higher repeat (the derived sequences/sec metric hangs off this one)
+    # machine calibration kernel: an embarrassingly parallel JVM kernel
+    # (md5 over range), fresh plan per run to defeat exchange reuse. Its
+    # wall-clock at this core count is the ceiling any workload can scale
+    # to on this host. Measured TWICE — immediately before the headline
+    # (same host window as the number that matters) and again after the
+    # panel — because the shared-host speed drifts between windows:
+    # driver rounds measured 0.931 / 1.09 / 1.239 s for the identical
+    # kernel, and the headline tracked it. The *_normalized fields divide
+    # that drift out against the r1 anchor so rounds compare mechanically.
+    def _kernel(offset: int) -> None:
+        spark.range(offset, offset + 40_000_000, 1, CPUS * 4).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        ).agg(F.max("h"), F.count("h")).collect()
+
+    def _kernel_min(n: int, base: int) -> float:
+        best = float("inf")
+        for i in range(n):
+            t0 = time.time()
+            _kernel(base + i)
+            best = min(best, time.time() - t0)
+        return best
+
+    _kernel(999)  # codegen warm
+
+    # headline first: slice warmup (codegen classes), then ONE untimed
+    # full-data pass per headline entry — the 20k slice does not trigger
+    # the JIT/GC ramp the full 400k-row suite does, and without the
+    # full-size warm the timed mins converge downward across repeats
+    # (measured 7.2 → 5.1 → 5.0 → ~3.5 s) instead of measuring steady
+    # state. Then a GC to clear the warmup garbage and a higher repeat
+    # (the derived sequences/sec metric hangs off this one).
     for fn in headline_queries(warm_bad, warm_ref).values():
         fn()
+    for fn in headline_queries(seqs, ref).values():
+        fn()
     spark.sparkContext._jvm.System.gc()
+    cal_pre = _kernel_min(3, 10_000)
     _time(headline_queries(seqs, ref), max(repeat, 3))
 
     # BENCH_HEADLINE_ONLY=1: skip the operator-query panel (scaling reruns
@@ -254,26 +288,19 @@ def main() -> None:
             fn()  # untimed plan/codegen warmup
         _time(bench_queries(seqs, ref, lineitem, docs, emb), repeat)
 
-    # machine calibration: an embarrassingly parallel JVM kernel (md5 over
-    # range), fresh plan per run to defeat exchange reuse. Its wall-clock
-    # at this core count is the ceiling any workload can scale to on this
-    # host — divide workload speedup by kernel speedup for normalized
-    # efficiency (this sandbox's hypervisor caps effective CPU well below
-    # the visible 32 cores).
-    def _cal(offset: int) -> None:
-        spark.range(offset, offset + 40_000_000, 1, CPUS * 4).select(
-            F.md5(F.col("id").cast("string")).alias("h")
-        ).agg(F.max("h"), F.count("h")).collect()
+    cal_post = _kernel_min(3, 20_000)
+    cal = min(cal_pre, cal_post)
 
-    _cal(999)  # codegen warm
-    cal = float("inf")
-    for i in range(3):
-        t0 = time.time()
-        _cal(i)
-        cal = min(cal, time.time() - t0)
+    # Normalization anchor: the r1 driver run's kernel (0.931 s at 32c,
+    # BENCH/BASELINE.md "Machine calibration"). headline_normalized_sec is
+    # what the headline WOULD measure in an r1-speed host window — computed
+    # against cal_pre (the kernel sampled in the headline's own window).
+    KERNEL_REF = 0.931
+    headline = timings["validate_suite"]
+    headline_norm = round(headline * KERNEL_REF / cal_pre, 3)
 
     total = round(sum(timings.values()), 3)
-    thr = round(rows / timings["validate_suite"], 1)
+    thr = round(rows / headline, 1)
     print(
         json.dumps(
             {
@@ -285,7 +312,12 @@ def main() -> None:
                 "rows": rows,
                 "cpus": CPUS,
                 "sequences_per_sec": thr,
+                "sequences_per_sec_normalized": round(rows / headline_norm, 1),
+                "headline_normalized_sec": headline_norm,
                 "cpu_calibration_sec": round(cal, 3),
+                "cpu_calibration_pre_headline_sec": round(cal_pre, 3),
+                "cpu_calibration_post_panel_sec": round(cal_post, 3),
+                "headline_runs": run_log.get("validate_suite", []),
             }
         )
     )
