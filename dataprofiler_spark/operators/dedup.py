@@ -317,7 +317,12 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = (
+    # materialize the edge list ONCE: every propagation round joins
+    # against `edges`, and an unmaterialized frame re-executes its whole
+    # upstream plan (the full LSH pipeline over the corpus) per round —
+    # measured 3.5× the CC cost at sf0.1, and catastrophic at real scale
+    # (the star variant already did this; r4 fix brings label-prop in line)
+    edges = _checkpoint(
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
         .unionByName(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
         .distinct()
