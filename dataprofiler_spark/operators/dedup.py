@@ -413,17 +413,18 @@ def connected_components_star(
     def _checkpoint(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if checkpoint_dir is not None else df.localCheckpoint(eager=True)
 
-    all_nodes = (
-        pairs.select(F.col(key1).alias("node"))
-        .unionByName(pairs.select(F.col(key2).alias("node")))
-        .distinct()
-    )
-    edges = (
+    # all_nodes and edges both derive from pairs — materialize the narrow
+    # (key, key) projection once so the upstream (LSH) plan executes once,
+    # not once per consumer
+    narrow = _checkpoint(
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+    )
+    all_nodes = (
+        narrow.select(F.col("a").alias("node"))
+        .unionByName(narrow.select(F.col("b").alias("node")))
         .distinct()
     )
-    edges = _checkpoint(edges)
+    edges = _checkpoint(narrow.filter(F.col("a") != F.col("b")).distinct())
     prev = _edge_fingerprint(edges)
 
     def large_star(e: DataFrame) -> DataFrame:

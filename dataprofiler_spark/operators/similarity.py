@@ -147,13 +147,17 @@ def ivf_build(
             .agg(F.avg("val").alias("m"))
         )
         # rebuild the mean vectors in dimension order (struct sort is
-        # lexicographic: pos first) — empty clusters drop out naturally
+        # lexicographic: pos first) — empty clusters drop out naturally.
+        # localCheckpoint truncates the sweep-over-sweep plan chain: each
+        # sweep's centroids otherwise embed the previous sweep's whole
+        # assignment plan, re-executing it per downstream materialization
         centroids = (
             dim_means.groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid_vec")
             )
+            .localCheckpoint(eager=True)
         )
     assigned = _assign_to_centroids(df, centroids, vec_col, id_col)
     return assigned, centroids
