@@ -321,11 +321,18 @@ def connected_components(
     # against `edges`, and an unmaterialized frame re-executes its whole
     # upstream plan (the full LSH pipeline over the corpus) per round —
     # measured 3.5× the CC cost at sf0.1, and catastrophic at real scale
-    # (the star variant already did this; r4 fix brings label-prop in line)
-    edges = _checkpoint(
+    # (the star variant already did this; r4 fix brings label-prop in
+    # line). Two-step: the narrow (key, key) projection first (the union
+    # below references it twice — unmaterialized, the LSH plan would
+    # execute twice inside the one edges job), then the symmetrized
+    # distinct edge set the rounds actually join.
+    narrow = _checkpoint(
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
-        .unionByName(pairs.select(F.col(key2).alias("a"), F.col(key1).alias("b")))
-        .distinct()
+    )
+    edges = _checkpoint(
+        narrow.unionByName(
+            narrow.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
     )
     comps = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
