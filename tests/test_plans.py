@@ -423,3 +423,32 @@ def test_file_ledger_reads_legacy_format(tmp_path):
     assert led.validated_files() == {"old1.parquet", "old2.parquet"}
     led.record_files(["new.parquet"])
     assert led.validated_files() == {"old1.parquet", "old2.parquet", "new.parquet"}
+
+
+def test_connected_components_execute_pair_plan_once(spark):
+    """Regression gate for the r4 CC fix: the candidate-pair plan (the
+    full LSH pipeline in production) must execute EXACTLY once per
+    clustering call — before the fix every propagation round re-executed
+    it. Counted via an accumulator-ticking UDF planted in the pair plan
+    (UDFs evaluate once per row per plan execution)."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    for fn in (connected_components, connected_components_star):
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.udf("long")
+        def tick(x):
+            acc.add(1)
+            return x
+
+        base = spark.createDataFrame(edges, "key1 bigint, key2 bigint")
+        pairs = base.select(tick("key1").alias("key1"), "key2")
+        out = fn(pairs)
+        assert out.count() > 0
+        assert acc.value == len(edges), (fn.__name__, acc.value)
