@@ -180,46 +180,47 @@ def uniqueness_check(
     part_col: str = "source",
     violation_cap: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
-    """Exact uniqueness with violation rows: one shuffle on the key
-    (count window), reference verdict semantics at metrics.py:287.
-    NULL keys are excluded (COUNT DISTINCT semantics); they are the
-    null-rate check's job.
+    """Exact uniqueness with violation rows, reference verdict semantics
+    at metrics.py:287. Duplication is GLOBAL per key; violations and
+    counts are attributed to partitions. NULL keys are never duplicates
+    (COUNT DISTINCT semantics — the null-rate check's job) but do count
+    toward row_count.
 
-    Verdict path is ONE scan: the windowed frame feeds the per-partition
-    aggregate directly (row_count = all rows, violation_count = rows whose
-    non-null key repeats) — a separate df.groupBy for row counts would be
-    a second full scan per action. The window counts only NON-NULL keys
-    (conditional count), so the NULL-key window group can never read as a
-    duplicate. Column pruning keeps the window exchange narrow (key +
-    partition only — payload columns never ride this shuffle).
-
-    Skew safety: NULL keys are SPREAD across window groups (per-row salted
-    sentinel) instead of funneling into one group — on a high-null key at
-    the 10¹²-row design point a single NULL window partition is a
-    single-reducer stall. Correctness is unaffected: a NULL row's group
-    count only ever counts NON-null keys sharing its sentinel (none, and
-    even a pathological real-key collision with the sentinel leaves both
-    sides' conditional counts exactly as if grouped alone)."""
+    Plan (r4 rewrite): TWO-LEVEL AGGREGATE, not a count window. The
+    window plan shuffled every row on the key and funneled each hot
+    duplicate key (and every NULL) through one task — windows cannot
+    map-side combine. Here groupBy(key, partition) collapses duplicates
+    map-side (a key duplicated 10⁹× in one partition leaves each map task
+    as ONE narrow row), the global per-key count is a second narrow
+    aggregate, and the per-partition verdict rolls up from
+    distinct-(key, partition)-sized frames. One scan, shuffles carry
+    distinct pairs instead of rows, no skew funnel for ANY key
+    distribution. Violation rows (one per duplicate ROW, identical
+    content per key) are reconstructed from the pair counts with
+    explode(sequence(...)) — no second scan; the sequence length is
+    clamped to the violation cap so a 10⁹-duplicate key materializes cap
+    rows, not 10⁹ (same capped output: rows of one key are
+    interchangeable)."""
     key = F.col(key_col)
-    w = Window.partitionBy(
-        F.when(key.isNotNull(), key.cast("string")).otherwise(
-            F.concat(
-                F.lit("\x00null\x00"),
-                F.monotonically_increasing_id().cast("string"),
-            )
-        )
+    pk = df.groupBy(key.alias("__k"), F.col(part_col)).agg(
+        F.count(F.lit(1)).alias("__cnt_pk")
     )
-    counted = df.withColumn(
-        "__cnt", F.count(F.when(key.isNotNull(), 1)).over(w)
+    # global per-key count via a window over the PAIR frame (not a
+    # self-join — referencing pk twice re-executes its scan, gotcha 16).
+    # This window is safe where the old row-level one wasn't: a key's
+    # group holds at most #partitions pair rows regardless of how many
+    # duplicate ROWS it has, so there is no funnel to salt away.
+    joined = pk.withColumn(
+        "__cnt_k", F.sum("__cnt_pk").over(Window.partitionBy("__k"))
     )
-    dups = counted.filter(F.col(key_col).isNotNull() & (F.col("__cnt") > 1))
+    is_dup = F.col("__k").isNotNull() & (F.col("__cnt_k") > 1)
     verdicts = (
-        counted.groupBy(part_col)
+        joined.groupBy(part_col)
         .agg(
-            F.count(F.lit(1)).alias("row_count"),
-            F.sum(
-                F.when(F.col(key_col).isNotNull() & (F.col("__cnt") > 1), 1).otherwise(0)
-            ).alias("violation_count"),
+            F.sum("__cnt_pk").alias("row_count"),
+            F.sum(F.when(is_dup, F.col("__cnt_pk")).otherwise(0)).alias(
+                "violation_count"
+            ),
         )
         .select(
             F.lit(table_name).alias("table_name"),
@@ -231,12 +232,22 @@ def uniqueness_check(
         )
     )
     violations = _cap_per_partition(
-        dups.select(
+        joined.filter(is_dup)
+        .select(
             F.lit(f"unique_{key_col}").alias("check_name"),
             F.col(part_col).cast("string").alias("partition_value"),
-            F.col(key_col).cast("string").alias("key"),
-            F.concat(F.lit("duplicate_count="), F.col("__cnt").cast("string")).alias("detail"),
-        ),
+            F.col("__k").cast("string").alias("key"),
+            F.concat(
+                F.lit("duplicate_count="), F.col("__cnt_k").cast("string")
+            ).alias("detail"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.col("__cnt_pk"), F.lit(violation_cap).cast("long")),
+                )
+            ).alias("__i"),
+        )
+        .drop("__i"),
         violation_cap,
     )
     return verdicts, violations

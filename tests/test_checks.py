@@ -192,10 +192,11 @@ def test_violation_caps_are_per_partition_everywhere(spark):
 
 
 def test_uniqueness_null_keys_spread_not_funneled(spark):
-    """High-null keys must not funnel into a single window group (the
-    10^12-row single-reducer hazard): NULL-keyed rows ride per-row salted
-    sentinels. Correctness is unchanged — NULLs are never duplicates, but
-    still count toward row_count."""
+    """High-null (or hot-duplicate) keys must not funnel rows into a
+    single reducer (the 10^12-row hazard): the two-level aggregate
+    collapses every (key, partition) group map-side before any shuffle.
+    Correctness is unchanged — NULLs are never duplicates, but still
+    count toward row_count."""
     from dataprofiler_spark.operators.checks import uniqueness_check
 
     rows = [(None, "s") for _ in range(50)] + [("a", "s"), ("a", "s"), ("b", "s")]
