@@ -164,10 +164,25 @@ def _cap_per_partition(violations: DataFrame, cap: int) -> DataFrame:
     gives the documented cap × partitions bound. A global .limit() would
     both funnel rows through one task under mass failure AND starve later
     partitions of their violation budget (rows beyond the first cap's
-    worth read as 'partition clean')."""
+    worth read as 'partition clean').
+
+    Two-stage (top-k trick): first keep the cap smallest keys per
+    (partition, INPUT TASK) — group sizes bounded by the scan split, so
+    no funnel — then the final per-partition window sorts at most
+    cap × n_tasks survivors instead of every violation row. Under a
+    mass failure (a whole 10¹²-row partition violating) the single-stage
+    window was one task sorting the partition's entire violation set.
+    The global cap-smallest keys are contained in the union of per-task
+    cap-smallest keys, so the output is identical to the single window."""
+    w0 = Window.partitionBy("partition_value", F.spark_partition_id()).orderBy("key")
+    trimmed = (
+        violations.withColumn("__rn0", F.row_number().over(w0))
+        .filter(F.col("__rn0") <= cap)
+        .drop("__rn0")
+    )
     w = Window.partitionBy("partition_value").orderBy("key")
     return (
-        violations.withColumn("__rn", F.row_number().over(w))
+        trimmed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
