@@ -141,19 +141,22 @@ def run_row_checks(
     # Cap per (check, PARTITION): a window keyed on check_name alone is a
     # single-reducer funnel — under mass failure (wholly-corrupt input,
     # exactly when violations matter) every violating row of one check
-    # would shuffle to ONE task before the row_number cap.
-    w = Window.partitionBy("check_name", "partition_value").orderBy(F.col("key"))
-    violations = (
+    # would shuffle to ONE task before the row_number cap. top_rows_per_group
+    # additionally pre-trims map-side so even one partition's mass failure
+    # never sorts in a single task.
+    from dataprofiler_spark.plans.windows import top_rows_per_group
+
+    violations = top_rows_per_group(
         df.filter(any_fail)
         .select(
             F.col(part_col).cast("string").alias("partition_value"),
             F.col(key_col).cast("string").alias("key"),
             F.explode(fails).alias("f"),
         )
-        .select(F.col("f.check_name").alias("check_name"), "partition_value", "key", F.col("f.detail").alias("detail"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= violation_cap)
-        .drop("__rn")
+        .select(F.col("f.check_name").alias("check_name"), "partition_value", "key", F.col("f.detail").alias("detail")),
+        ["check_name", "partition_value"],
+        ["key"],
+        violation_cap,
     )
     return verdicts, violations
 
@@ -166,26 +169,13 @@ def _cap_per_partition(violations: DataFrame, cap: int) -> DataFrame:
     partitions of their violation budget (rows beyond the first cap's
     worth read as 'partition clean').
 
-    Two-stage (top-k trick): first keep the cap smallest keys per
-    (partition, INPUT TASK) — group sizes bounded by the scan split, so
-    no funnel — then the final per-partition window sorts at most
-    cap × n_tasks survivors instead of every violation row. Under a
-    mass failure (a whole 10¹²-row partition violating) the single-stage
-    window was one task sorting the partition's entire violation set.
-    The global cap-smallest keys are contained in the union of per-task
-    cap-smallest keys, so the output is identical to the single window."""
-    w0 = Window.partitionBy("partition_value", F.spark_partition_id()).orderBy("key")
-    trimmed = (
-        violations.withColumn("__rn0", F.row_number().over(w0))
-        .filter(F.col("__rn0") <= cap)
-        .drop("__rn0")
-    )
-    w = Window.partitionBy("partition_value").orderBy("key")
-    return (
-        trimmed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
-    )
+    Skew-safe via plans/windows.top_rows_per_group: under a mass failure
+    (a whole 10¹²-row partition violating — exactly when violations
+    matter) a single rank window would sort the partition's entire
+    violation set in one task."""
+    from dataprofiler_spark.plans.windows import top_rows_per_group
+
+    return top_rows_per_group(violations, ["partition_value"], ["key"], cap)
 
 
 def uniqueness_check(
@@ -440,16 +430,16 @@ def reference_equality_check(
         joined = left.join(right.hint("SHUFFLE_HASH"), key_col, "inner")
         eq = F.col("__h1") == F.col("__h2")
 
-        # fetch budget per PARTITION (window), not a global limit — under
-        # mass mismatch a global budget is spent entirely on the first
-        # partition and the rest report zero confirmed violations
-        mw = Window.partitionBy(part_col).orderBy(key_col)
-        mismatch_keys = (
-            joined.filter(~eq)
-            .select(key_col, part_col)
-            .withColumn("__rn", F.row_number().over(mw))
-            .filter(F.col("__rn") <= violation_cap * 2)
-            .drop("__rn")
+        # fetch budget per PARTITION (skew-safe rank), not a global limit —
+        # under mass mismatch a global budget is spent entirely on the
+        # first partition and the rest report zero confirmed violations
+        from dataprofiler_spark.plans.windows import top_rows_per_group
+
+        mismatch_keys = top_rows_per_group(
+            joined.filter(~eq).select(key_col, part_col),
+            [part_col],
+            [key_col],
+            violation_cap * 2,
         )
         arrs = df.join(F.broadcast(mismatch_keys.select(key_col)), key_col).select(
             key_col, part_col, array_col

@@ -47,11 +47,27 @@ def exact_duplicate_groups(
 
 
 def dedup_exact(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
-    """Keep the min-key row per content hash (deterministic survivor)."""
-    ranked = df.select("*", content_hash(*cols).alias("__h")).withColumn(
-        "__rn", F.row_number().over(Window.partitionBy("__h").orderBy(key_col))
+    """Keep the min-key row per content hash (deterministic survivor).
+
+    Survivor keys come from a hash AGGREGATE (map-side combine collapses
+    a hot duplicate's rows before the shuffle), then an equi-join on
+    (hash, key) fetches the surviving rows — full rows never ride a rank
+    window whose group is one content's entire duplicate set (a viral
+    boilerplate doc at corpus scale is a single-task sort in the window
+    plan; the aggregate has no such funnel)."""
+    hashed = df.select("*", content_hash(*cols).alias("__h"))
+    survivors = (
+        hashed.groupBy("__h")
+        .agg(F.min(key_col).alias("__sk"))
+        .select(F.col("__h").alias("__sh"), "__sk")
     )
-    return ranked.filter(F.col("__rn") == 1).drop("__h", "__rn")
+    return (
+        hashed.join(
+            survivors,
+            (F.col("__h") == F.col("__sh")) & (F.col(key_col) == F.col("__sk")),
+        )
+        .drop("__h", "__sh", "__sk")
+    )
 
 
 def word_shingles(text_col: str | Column, k: int = 3, pre_split: bool = False) -> Column:

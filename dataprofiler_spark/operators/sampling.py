@@ -80,16 +80,21 @@ def stratified_sample(
     (n=100 ⊂ n=1000), and the rank order is SQL-reproducible (oracle uses
     the same ROW_NUMBER over md5).
 
-    One shuffle on the strata column (rank window); at corpus scale the
-    window state per task is one counter — no sort spill risk beyond the
-    shuffle itself."""
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= n_per_stratum)
-        .drop("__rk")
+    Skew-safe rank (plans/windows.top_rows_per_group): a stratum can be
+    most of the corpus, and a single rank window would shuffle and sort
+    all of its rows in one task; the map-local pre-trim bounds every sort
+    group at the scan split. The hash rank has a key tie-break (total
+    order), so the two-stage result is bit-identical to the single
+    window — and still SQL-reproducible (the oracle's ROW_NUMBER over the
+    same md5 expression)."""
+    from dataprofiler_spark.plans.windows import top_rows_per_group
+
+    df = df.withColumn(
+        "__h", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     )
+    return top_rows_per_group(
+        df, [strata_col], [F.col("__h"), F.col(key_col)], n_per_stratum
+    ).drop("__h")
 
 
 def mix_plan(

@@ -237,20 +237,25 @@ def batch_topk(
 
     Scale shape: the broadcast bounds the query batch (~10^4 queries ×
     dim doubles); for larger batches, chunk the queries and union —
-    corpus scans stay O(batches), never O(queries)."""
-    from pyspark.sql import Window
+    corpus scans stay O(batches), never O(queries). The per-query group
+    is CORPUS-sized, so the rank uses the skew-safe two-stage window
+    (plans/windows.top_rows_per_group): each map task keeps its own top k
+    per query before the per-query ordering — no task ever sorts a
+    corpus-sized group."""
+    from dataprofiler_spark.plans.windows import top_rows_per_group
 
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(query_id_col, id_col, "cos_sim", F.col("__rn").alias("rank"))
-    )
+    return top_rows_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("cos_sim"), F.asc(id_col)],
+        k,
+        rank_col="rank",
+    ).select(query_id_col, id_col, "cos_sim", "rank")
 
 
 def quantize_int8(
