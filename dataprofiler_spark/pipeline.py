@@ -316,11 +316,36 @@ def curate_corpus(
         F.col("distinct_word_ratio") >= cfg.min_distinct_ratio
     )
     staged = fingerprint(staged, cfg.text_col).withColumn("__q", q_pass)
-    w = Window.partitionBy("fingerprint").orderBy(
-        F.col("__q").desc(), F.col(cfg.key_col)
+    # Survivor per fingerprint (quality-first, then min key) via a
+    # map-side-combining AGGREGATE + a (fingerprint, key)-keyed left
+    # join — NOT a rank window: a viral boilerplate content is one window
+    # group, i.e. a single task sorting its entire duplicate set at
+    # corpus scale. The aggregate collapses duplicates map-side, and the
+    # join hashes on BOTH fingerprint and key, so a hot fingerprint's
+    # rows stay spread across reducers. Semantics identical to
+    # row_number() over (partition by fingerprint order by __q desc, key)
+    # = 1 (min key among quality passes when any exist, else min key).
+    surv = (
+        staged.groupBy("fingerprint")
+        .agg(
+            F.max("__q").alias("__hq"),
+            F.min(F.when(F.col("__q"), F.col(cfg.key_col))).alias("__kq"),
+            F.min(cfg.key_col).alias("__ka"),
+        )
+        .select(
+            F.col("fingerprint").alias("__sfp"),
+            F.when(F.col("__hq"), F.col("__kq")).otherwise(F.col("__ka")).alias("__sk"),
+        )
     )
-    staged = staged.withColumn(
-        "__keep", F.col("__q") & (F.row_number().over(w) == 1)
+    staged = (
+        staged.join(
+            surv,
+            (F.col("fingerprint") == F.col("__sfp"))
+            & (F.col(cfg.key_col) == F.col("__sk")),
+            "left",
+        )
+        .withColumn("__keep", F.col("__q") & F.col("__sk").isNotNull())
+        .drop("__sfp", "__sk")
     )
     # has_pii flag without a second scan — the SAME expression pii_scan
     # uses (operators/pii.pii_total_count), never a reimplementation

@@ -232,8 +232,13 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert "[PHONE]" in curated[4].text and "555" not in curated[4].text
     assert curated[1].split in ("train", "val", "test")
 
-    # plan shape: the funnel reads the corpus ONCE (flags ride one frame)
-    assert plan.count("Scan parquet") == 1
+    # plan shape: exactly TWO corpus scans — the narrow survivor
+    # aggregate (map-side combine; skew-immune replacement for the
+    # fingerprint rank window, which sorted each content's entire
+    # duplicate set in one task) plus the flagged full-row frame. No
+    # rank window over fingerprint groups, no Python in the plan.
+    assert plan.count("Scan parquet") == 2
+    assert "Window" not in plan
     assert "EvalPython" not in plan
 
 
