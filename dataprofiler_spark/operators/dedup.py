@@ -33,17 +33,40 @@ def content_hash(*cols: str | Column) -> Column:
 
 
 def exact_duplicate_groups(
-    df: DataFrame, cols: list[str], key_col: str
+    df: DataFrame, cols: list[str], key_col: str, max_keys: int | None = None
 ) -> DataFrame:
     """Exact dedup via hash-groupBy: (text_hash, copies, keys) for groups
-    with >1 member. One shuffle on the hash; text never moves."""
+    with >1 member. One shuffle on the hash; text never moves.
+
+    `max_keys` is the corpus-scale setting: a viral boilerplate content
+    makes one group, and an uncapped collect_list holds ALL of its keys
+    in a single aggregation buffer (OOM at 10⁸ copies). With max_keys
+    set, the key list is the group's max_keys SMALLEST keys — gathered
+    through the skew-safe two-stage rank (plans/windows) so no task ever
+    buffers more than the cap — while `copies` stays exact (separate
+    count aggregate; both inputs are the same narrow projection).
+    Default None preserves the complete-list semantics (and the
+    SQL-oracle parity) for bounded-group use."""
     h = content_hash(*cols).alias("text_hash")
-    return (
-        df.select(h, F.col(key_col))
-        .groupBy("text_hash")
-        .agg(F.count(F.lit(1)).alias("copies"), F.sort_array(F.collect_list(key_col)).alias("keys"))
-        .filter(F.col("copies") > 1)
+    narrow = df.select(h, F.col(key_col))
+    if max_keys is None:
+        return (
+            narrow.groupBy("text_hash")
+            .agg(
+                F.count(F.lit(1)).alias("copies"),
+                F.sort_array(F.collect_list(key_col)).alias("keys"),
+            )
+            .filter(F.col("copies") > 1)
+        )
+    from dataprofiler_spark.plans.windows import top_rows_per_group
+
+    narrow = narrow.localCheckpoint(eager=False)  # two consumers, one scan
+    counts = narrow.groupBy("text_hash").agg(F.count(F.lit(1)).alias("copies"))
+    sampled = top_rows_per_group(narrow, ["text_hash"], [key_col], max_keys)
+    keys = sampled.groupBy("text_hash").agg(
+        F.sort_array(F.collect_list(key_col)).alias("keys")
     )
+    return counts.join(keys, "text_hash").filter(F.col("copies") > 1)
 
 
 def dedup_exact(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:

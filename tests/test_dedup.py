@@ -285,3 +285,19 @@ def test_dedup_clusters_string_doc_ids(spark, docs):
     assert {"doc-0001", "doc-0002", "doc-0003"} <= set(out)
     assert {out[k][0] for k in ("doc-0001", "doc-0002", "doc-0003")} == {"doc-0001"}
     assert [k for k in sorted(out) if out[k][1]] == ["doc-0001"]
+
+
+def test_exact_duplicate_groups_capped_keys(spark):
+    """max_keys bounds the per-group key sample (the viral-content OOM
+    guard) while `copies` stays exact; keys are the smallest of the
+    group; default stays complete."""
+    rows = [(i, "same text") for i in range(20)] + [(100, "other"), (101, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.text_hash: r for r in exact_duplicate_groups(df, ["text"], "doc_id", max_keys=3).collect()}
+    assert len(out) == 2
+    big = next(r for r in out.values() if r.copies == 20)
+    assert big.keys == [0, 1, 2]
+    small = next(r for r in out.values() if r.copies == 2)
+    assert small.keys == [100, 101]
+    full = {r.copies: r.keys for r in exact_duplicate_groups(df, ["text"], "doc_id").collect()}
+    assert full[20] == list(range(20))
