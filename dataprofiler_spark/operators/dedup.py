@@ -747,3 +747,86 @@ def simhash_near_dup_pairs(
         F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
     )
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global exact paragraph dedup (the C4/RefinedWeb line-dedup
+    pass): split every document on `sep`, keep only the FIRST occurrence
+    of each distinct paragraph — ordered by (document key, paragraph
+    index) — and reassemble the surviving paragraphs per document.
+
+    Returns one row per input document:
+    (key_col, n_paras, n_kept, n_removed, text_out) where n_paras counts
+    the document's non-empty paragraphs (empty pseudo-paragraphs from
+    consecutive separators are dropped outright, same policy as the
+    word-level operators) and text_out is the kept paragraphs re-joined
+    with `sep` in original order ('' when nothing survives).
+
+    Scale shape (10^12-row contract):
+    * explode -> first-occurrence via ONE hash aggregate
+      min(struct(key, idx)) per paragraph digest — map-side combine
+      collapses a viral boilerplate paragraph's copies before the
+      shuffle; there is NO rank window whose group is a paragraph's full
+      duplicate set.
+    * survivors come back via an equi-join on (digest, key, idx) — the
+      paragraph text rides exactly one shuffle into that join and one
+      into its document group; digests (xxhash64), not text, carry the
+      dedup decision.
+    * reassembly groups by document key: the only collect_list is a
+      single document's own paragraphs (bounded by document size, the
+      same contract as every per-doc operator here).
+    """
+    paras = (
+        df.select(
+            F.col(key_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("idx", "para"),
+        )
+        .filter(F.col("para") != "")
+        .select(
+            key_col, "idx", "para", F.xxhash64("para").alias("__d")
+        )
+    )
+    # two consumers (totals + dedup join) of one explode: scan it once
+    paras = paras.localCheckpoint(eager=False)
+    firsts = (
+        paras.groupBy("__d")
+        .agg(F.min(F.struct(F.col(key_col), F.col("idx"))).alias("first"))
+        .select(
+            F.col("__d").alias("__fd"),
+            F.col(f"first.{key_col}").alias("__fk"),
+            F.col("first.idx").alias("__fi"),
+        )
+    )
+    kept = paras.join(
+        firsts,
+        (F.col("__d") == F.col("__fd"))
+        & (F.col(key_col) == F.col("__fk"))
+        & (F.col("idx") == F.col("__fi")),
+    ).select(key_col, "idx", "para")
+    reassembled = kept.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.expr("transform(sort_array(collect_list(struct(idx, para))), x -> x.para)"),
+        ).alias("text_out"),
+    )
+    totals = paras.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    base = df.select(key_col)
+    return (
+        base.join(totals, key_col, "left")
+        .join(reassembled, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.coalesce("n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("text_out", F.lit("")).alias("text_out"),
+        )
+    )

@@ -366,3 +366,103 @@ def embedding_near_dup_pairs(
         F.round(cosine(F.col("p.v1"), F.col("p.v2")), 6).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def _lcg_centroids(spark, dim: int, num_clusters: int, seed: int = 42) -> DataFrame:
+    """Deterministic pseudo-random centroids from the seeded-LCG hyperplane
+    family (plane-id namespace offset by 1000 so they never coincide with
+    the LSH planes of the same seed). Data-independent by design: the
+    oracle replays them as SQL literals (CLAUDE.md gotcha 19)."""
+    rows = [(c, _hyperplane(dim, 1000 + c, seed)) for c in range(num_clusters)]
+    return spark.createDataFrame(rows, "centroid_id int, centroid_vec array<double>")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    num_clusters: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    blocks_per_cluster: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, compute exact pairwise cosine WITHIN each cluster,
+    and drop every vector that has a same-cluster neighbor with
+    cos >= threshold and a smaller id (deterministic min-id survivor per
+    near-duplicate neighborhood). Returns (id_col, centroid_id,
+    is_survivor) for every input row.
+
+    Clustering defaults to data-independent seeded-LCG centroids so the
+    whole decision is SQL-replayable; pass `centroids` (e.g. from
+    ivf_build's k-means) for data-dependent clusters in production.
+
+    Scale shape: assignment is the broadcast map-side argmax (no shuffle);
+    within-cluster pairwise — inherently quadratic per cluster, the
+    SemDeDup contract — is distributed by hash-blocking each cluster into
+    `blocks_per_cluster` blocks (block = xxhash64(id) % B, NO rank window,
+    no table-sized sort group): every pair lives in exactly one block pair
+    (bi <= bj), same-block pairs expand i<j within one array, cross-block
+    pairs expand across two arrays, so the per-task buffer is bounded by
+    cluster_size/B and tasks scale as clusters × B(B+1)/2. The blocked
+    frame is localCheckpointed once — its two join sides and the same-block
+    branch reread the materialized blocks, not the assignment pipeline
+    (gotchas 16/24). Blocking choice never changes the answer (the pair
+    SET is all within-cluster pairs), so the oracle replays semantics, not
+    blocks."""
+    if centroids is None:
+        centroids = _lcg_centroids(df.sparkSession, dim, num_clusters, seed)
+    assigned = _assign_to_centroids(
+        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, id_col
+    ).select(F.col(id_col).alias("key"), F.col(vec_col).alias("v"), "centroid_id")
+    blocked = (
+        assigned.withColumn(
+            "block", F.pmod(F.xxhash64("key"), F.lit(blocks_per_cluster))
+        )
+        .groupBy("centroid_id", "block")
+        .agg(F.sort_array(F.collect_list(F.struct("key", "v"))).alias("ms"))
+        .localCheckpoint(eager=False)
+    )
+    same = blocked.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2))))"
+            )
+        ).alias("p")
+    )
+    a = blocked.select("centroid_id", F.col("block").alias("ba"), F.col("ms").alias("ma"))
+    b = blocked.select("centroid_id", F.col("block").alias("bb"), F.col("ms").alias("mb"))
+    cross = (
+        a.join(b, "centroid_id")
+        .filter(F.col("ba") < F.col("bb"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, x -> transform(mb, "
+                    "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2))))"
+                )
+            ).alias("p")
+        )
+    )
+    pairs = same.unionByName(cross).select(
+        "p.key1",
+        "p.key2",
+        F.round(cosine(F.col("p.v1"), F.col("p.v2")), 6).alias("cos_sim"),
+    )
+    dropped = (
+        pairs.filter(F.col("cos_sim") >= threshold)
+        .select(F.greatest("key1", "key2").alias("key"))
+        .distinct()
+    )
+    return (
+        assigned.select("key", "centroid_id")
+        .join(dropped.withColumn("__dropped", F.lit(True)), "key", "left")
+        .select(
+            F.col("key").alias(id_col),
+            "centroid_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_survivor"),
+        )
+    )

@@ -344,3 +344,48 @@ def script_profile(
             F.when(total > 0, (total - F.col("latin_chars")) / total), 6
         ).alias("nonlatin_frac"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFrame:
+    """OLS fit of ln(count) against ln(rank) over the corpus's `top_n`
+    most frequent words. Zipf's law predicts slope ≈ -1 on natural text;
+    the deviation is a cheap corpus-quality signal (boilerplate floods
+    flatten the head, templated spam steepens it) tracked per snapshot
+    next to the drift metrics.
+
+    Returns ONE row: (n_ranks, slope, intercept, r2) — slope/intercept
+    from the covar_pop/var_pop closed form (same as growth.linregress),
+    r2 = cov²/(var_x·var_y) with a NULL guard for degenerate corpora.
+
+    Scale shape: word counts are one explode + hash aggregate (map-side
+    combine over the vocabulary); the top-n selection is an
+    orderBy+limit — TakeOrderedAndProject, per-partition top-k merged at
+    the driver, never a full sort shuffle. The ONLY window runs over the
+    ≤ top_n surviving rows (bounded by a literal, not by data), then one
+    scalar aggregate closes the fit."""
+    counts = unigram_vocab(df, text_col)
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.covar_pop("x", "y").alias("__cov"),
+        F.var_pop("x").alias("__vx"),
+        F.var_pop("y").alias("__vy"),
+        F.avg("x").alias("__mx"),
+        F.avg("y").alias("__my"),
+    )
+    slope = F.col("__cov") / F.nullif(F.col("__vx"), F.lit(0.0))
+    return agg.select(
+        "n_ranks",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__my") - slope * F.col("__mx"), 6).alias("intercept"),
+        F.round(
+            (F.col("__cov") * F.col("__cov"))
+            / F.nullif(F.col("__vx") * F.col("__vy"), F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )

@@ -2632,6 +2632,142 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(spark, docs.select("doc_id", "text"), CurationConfig()).funnel
 
 
+@register(
+    "paragraph_dedup_documents",
+    """WITH synth AS (
+  SELECT a.doc_id, a.text || chr(10) || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+base AS (SELECT doc_id, str_split(text, chr(10)) AS ps FROM synth),
+ix AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps FROM base),
+paras AS (SELECT doc_id, i - 1 AS idx, ps[i] AS para FROM ix WHERE ps[i] <> ''),
+fdoc AS (SELECT para, MIN(doc_id) AS fd FROM paras GROUP BY para),
+firsts AS (SELECT p.para, p.doc_id AS fd, MIN(p.idx) AS fi
+           FROM paras p JOIN fdoc f ON p.para = f.para AND p.doc_id = f.fd
+           GROUP BY p.para, p.doc_id),
+kept AS (SELECT p.doc_id, p.idx, p.para FROM paras p
+         JOIN firsts f ON p.para = f.para AND p.doc_id = f.fd AND p.idx = f.fi),
+agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, chr(10) ORDER BY idx) AS text_out
+        FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(g.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(t.n_paras, 0) - COALESCE(g.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(g.text_out, '') AS text_out
+FROM synth s LEFT JOIN totals t USING (doc_id) LEFT JOIN agg g USING (doc_id)""",
+)
+def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup (C4/RefinedWeb line-dedup)
+    over a synthesized multi-paragraph corpus: doc k = texts of docs k and
+    k+1 joined by newline, so every text occurs in two docs and the
+    first-occurrence rule must strip the second copy. The oracle replays
+    split/first-occurrence/reassembly on paragraph TEXT; the engine
+    decides on xxhash64 digests — same answer, digests never ride the
+    dedup shuffle as text at scale. LOCAL-ONLY TAIL entry (harvest window
+    full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_id"), F.col("text").alias("text2")
+    )
+    synth = (
+        docs.select("doc_id", "text")
+        .join(nxt, "doc_id")
+        .select("doc_id", F.concat_ws("\n", "text", "text2").alias("text"))
+    )
+    return paragraph_dedup(synth, "doc_id")
+
+
+def _semantic_dedup_sql(
+    dim: int = 64, num_clusters: int = 8, threshold: float = 0.9
+) -> str:
+    """DuckDB oracle for SemDeDup: the seeded-LCG centroids are emitted as
+    SQL literals (gotcha 19), assignment is the same argmax with
+    first-min-centroid ties (ROW_NUMBER ORDER BY s DESC, cid), and the
+    within-cluster pairwise drop rule is replayed as a plain self-join —
+    blocking is physical, so the oracle never needs to see it."""
+    from dataprofiler_spark.operators.similarity import _hyperplane
+
+    vals = ", ".join(
+        "(" + str(c) + ", [" + ", ".join(repr(x) for x in _hyperplane(dim, 1000 + c)) + "]::DOUBLE[])"
+        for c in range(num_clusters)
+    )
+    return f"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM e0 WHERE vec_id % 5 = 0),
+c(cid, cv) AS (VALUES {vals}),
+sims AS (SELECT e.vec_id, c.cid,
+  list_dot_product(e.v, c.cv) /
+    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+  FROM e, c),
+rnk AS (SELECT vec_id, cid,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn FROM sims),
+assign AS (SELECT r.vec_id, r.cid AS centroid_id, e.v
+           FROM rnk r JOIN e USING (vec_id) WHERE rn = 1),
+pairs AS (SELECT a.vec_id AS k1, b.vec_id AS k2,
+  ROUND(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cs
+  FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+dropped AS (SELECT DISTINCT k2 AS vec_id FROM pairs WHERE cs >= {threshold})
+SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS is_survivor
+FROM assign a LEFT JOIN dropped d USING (vec_id)"""
+
+
+@register("semantic_dedup_embeddings", _semantic_dedup_sql())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus with planted duplicates: every
+    vec_id % 5 == 0 vector gets a 2x-scaled copy (same direction, cos = 1)
+    at id+100000 — the min-id rule must keep each original and drop its
+    copy, while the natural corpus (max pair cos 0.51) survives intact.
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform("embedding", _times_two).alias("embedding"),
+    )
+    return semantic_dedup(
+        emb.unionByName(planted), dim=64, num_clusters=8, threshold=0.9
+    )
+
+
+def _times_two(x):
+    """Module-level HOF lambda (default-arg capture breaks arity
+    inference — gotcha 4)."""
+    return x * F.lit(2.0)
+
+
+@register(
+    "zipf_fit_documents",
+    """WITH words AS (
+  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+counts AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 1000),
+xy AS (SELECT ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, w)) AS x,
+              ln(cnt) AS y FROM top),
+a AS (SELECT COUNT(*) AS n_ranks, covar_pop(x, y) AS cov, var_pop(x) AS vx,
+             var_pop(y) AS vy, avg(x) AS mx, avg(y) AS my FROM xy)
+SELECT n_ranks, ROUND(cov / NULLIF(vx, 0), 6) AS slope,
+       ROUND(my - (cov / NULLIF(vx, 0)) * mx, 6) AS intercept,
+       ROUND(cov * cov / NULLIF(vx * vy, 0), 6) AS r2
+FROM a""",
+)
+def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the documents corpus word-frequency head — the
+    corpus-quality diagnostic (slope ≈ -1 on natural text). LOCAL-ONLY
+    TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

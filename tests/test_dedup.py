@@ -301,3 +301,57 @@ def test_exact_duplicate_groups_capped_keys(spark):
     assert small.keys == [100, 101]
     full = {r.copies: r.keys for r in exact_duplicate_groups(df, ["text"], "doc_id").collect()}
     assert full[20] == list(range(20))
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta"),
+        (3, "delta\n\nalpha\nepsilon"),  # empty pseudo-para dropped
+        (4, ""),  # no non-empty paragraphs at all
+        (5, "beta\nbeta"),  # every copy already seen at doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, "doc_id").collect()}
+    assert out[1].text_out == "alpha\nbeta\ngamma" and out[1].n_removed == 0
+    assert out[2].text_out == "delta" and out[2].n_removed == 1
+    assert (out[3].n_paras, out[3].n_kept, out[3].text_out) == (3, 1, "epsilon")
+    assert (out[4].n_paras, out[4].text_out) == (0, "")
+    assert (out[5].n_kept, out[5].n_removed) == (0, 2)
+
+
+def test_paragraph_dedup_within_doc_duplicate(spark):
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    # a paragraph repeated INSIDE one doc keeps only its first index
+    df = spark.createDataFrame(
+        [(7, "x\ny\nx\nz\nx")], "doc_id int, text string"
+    )
+    out = paragraph_dedup(df, "doc_id").collect()[0]
+    assert out.text_out == "x\ny\nz"
+    assert (out.n_paras, out.n_kept, out.n_removed) == (5, 3, 2)
+
+
+def test_paragraph_dedup_string_keys_order(spark):
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    # first occurrence is ordered by (key, idx) under the key's own type
+    # ordering — string keys order lexicographically
+    df = spark.createDataFrame(
+        [("b", "dup"), ("a", "dup\nown")], "doc_id string, text string"
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, "doc_id").collect()}
+    assert out["a"].text_out == "dup\nown"
+    assert out["b"].text_out == "" and out["b"].n_removed == 1
+
+
+def test_paragraph_dedup_no_rank_window(spark):
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id int, text string")
+    plan = paragraph_dedup(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    # the first-occurrence decision must be an aggregate, never a rank
+    # window over a paragraph's (possibly viral) duplicate set
+    assert "Window" not in plan

@@ -204,3 +204,49 @@ def test_assign_to_centroids_is_aggregate_not_window(spark, emb):
         best = int(cent_rows[int(np.argmax(np.round(sims, 12)))].centroid_id)
         assert got[r.vec_id] == best, (r.vec_id, got[r.vec_id], best)
     assert set(assigned.columns) == set(emb.columns) | {"centroid_id"}
+
+
+def test_semantic_dedup_drops_scaled_copies(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, semantic_dedup
+
+    rows = []
+    for i in range(6):
+        base = _hyperplane(8, 500 + i, seed=9)
+        rows.append((i * 10, base))
+        rows.append((i * 10 + 1, [x * 2.0 for x in base]))  # same direction
+    rows.append((999, _hyperplane(8, 7777, seed=9)))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, dim=8, num_clusters=4, threshold=0.999).collect()}
+    assert len(out) == 13
+    for i in range(6):
+        assert out[i * 10].is_survivor  # min-id survivor
+        assert not out[i * 10 + 1].is_survivor  # scaled copy shares its cluster
+        assert out[i * 10].centroid_id == out[i * 10 + 1].centroid_id
+    assert out[999].is_survivor
+
+
+def test_semantic_dedup_blocking_invariance(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, semantic_dedup
+
+    rows = [(i, _hyperplane(8, i * 3 + 1, seed=4)) for i in range(40)]
+    rows += [(100 + i, [x * 1.0 for x in rows[i][1]]) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, semantic_dedup(df, dim=8, num_clusters=4, threshold=0.999, blocks_per_cluster=1).collect()))
+    b = sorted(map(tuple, semantic_dedup(df, dim=8, num_clusters=4, threshold=0.999, blocks_per_cluster=3).collect()))
+    assert a == b  # hash-blocking is a physical choice, never a semantic one
+
+
+def test_semantic_dedup_no_rank_window(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, _hyperplane(8, i + 1, seed=4)) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semantic_dedup(df, dim=8, num_clusters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # cluster membership must never funnel through a rank window or a
+    # per-cluster sort (a cluster can be table-sized)
+    assert "Window" not in plan
