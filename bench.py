@@ -34,6 +34,7 @@ from dataprofiler_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_near_dup_pairs,
 )
 from dataprofiler_spark.operators.incremental import (  # noqa: E402
@@ -53,7 +54,11 @@ from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
 from dataprofiler_spark.operators.textstats import token_count, unigram_logprob  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
-from dataprofiler_spark.operators.similarity import batch_topk, brute_force_topk  # noqa: E402
+from dataprofiler_spark.operators.similarity import (  # noqa: E402
+    batch_topk,
+    brute_force_topk,
+    semantic_dedup,
+)
 from dataprofiler_spark.pipeline import (  # noqa: E402
     CurationConfig,
     ValidationConfig,
@@ -202,7 +207,26 @@ def main() -> None:
             "curation_funnel": lambda: curate_corpus(
                 spark, dc.select("doc_id", "text"), CurationConfig()
             ).funnel.collect(),
+            # round-4 late ops: C4-style paragraph dedup over overlapping
+            # two-doc windows (first-occurrence aggregate, no rank window);
+            # SemDeDup cluster-then-pairwise over the embedding corpus
+            "paragraph_dedup": lambda: _paragraph_dedup(dc),
+            "semantic_dedup": lambda: semantic_dedup(
+                em.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+                dim=64, num_clusters=8, threshold=0.9,
+            ).filter(~F.col("is_survivor")).count(),
         }
+
+    def _paragraph_dedup(dc):
+        nxt = dc.select((F.col("doc_id") - F.lit(1)).alias("doc_id"), F.col("text").alias("text2"))
+        synth = (
+            dc.select("doc_id", "text")
+            .join(nxt, "doc_id")
+            .select("doc_id", F.concat_ws("\n", "text", "text2").alias("text"))
+        )
+        return paragraph_dedup(synth, "doc_id").agg(
+            F.sum("n_removed"), F.count("*")
+        ).collect()
 
     def _snapshot_diff(dc):
         new = dc.withColumn(

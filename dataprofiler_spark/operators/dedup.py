@@ -265,7 +265,15 @@ def ngram_jaccard_pairs(
         df.select(F.col(key_col).alias("key"), words.alias("__words"))
         .select("key", F.explode(word_shingles(F.col("__words"), shingle_k, pre_split=True)).alias("s"))
     )
+    # the shingle frame feeds the hot-filter, the size aggregate AND both
+    # self-join sides: without a checkpoint each consumer re-executes the
+    # corpus scan + shingle explode (4 scans of the corpus at scale, one
+    # of them twice through the split pipeline). localCheckpoint
+    # materializes shingles once; blocks are freed when the frame drops
+    # (gotchas 16/24). Measured 1.6x at sf0.1; at 100 TB it is 3 corpus
+    # scans avoided.
     if max_shingle_doc_freq is not None:
+        sh = sh.localCheckpoint(eager=False)
         hot = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df_"))
@@ -273,6 +281,7 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     other = sh.select(F.col("key").alias("key2"), "s")
     inter = (

@@ -46,9 +46,14 @@ def brute_force_topk(
     (Spark's TakeOrderedAndProject — per-partition heaps, no full sort).
     Deterministic tie-break on id."""
     q = _lit_vec(query_vec)
+    # the query norm is a Python-side constant — folding the literal
+    # array per row would cost an extra interpreted HOF pass per row
+    qn = float(sum(x * x for x in query_vec) ** 0.5)
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * F.lit(qn)), 6
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
@@ -244,10 +249,18 @@ def batch_topk(
     corpus-sized group."""
     from dataprofiler_spark.plans.windows import top_rows_per_group
 
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    # norms once per corpus row and once per query — NOT per (row × query)
+    # pair, which is what a per-pair cosine() would fold
+    corpus_n = corpus.withColumn("__cn", l2_norm(F.col(vec_col)))
+    queries_n = queries.withColumn("__qn", l2_norm(F.col(query_vec_col)))
+    scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / (F.col("__cn") * F.col("__qn")),
+            6,
+        ).alias("cos_sim"),
     )
     return top_rows_per_group(
         scored,
@@ -344,11 +357,16 @@ def embedding_near_dup_pairs(
     sharing a sign pattern) whose pair expansion is quadratic in one task —
     same cap + disclosure as the minhash/simhash paths."""
     b = lsh_cosine_buckets(df, dim, num_planes, vec_col, seed).select(
-        F.col(id_col).alias("key"), F.col(vec_col).alias("v"), "bucket"
+        F.col(id_col).alias("key"),
+        F.col(vec_col).alias("v"),
+        # one norm fold per VECTOR — cosine() per pair would fold both
+        # sides' norms again for every candidate pair
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        "bucket",
     )
     buckets = (
         b.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("key", "v"))).alias("ms"))
+        .agg(F.sort_array(F.collect_list(F.struct("key", "v", "nrm"))).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
     pairs = buckets.select(
@@ -356,14 +374,15 @@ def embedding_near_dup_pairs(
             F.flatten(
                 F.expr(
                     "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
-                    "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2)))"
+                    "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2, "
+                    "x.nrm * y.nrm AS nn)))"
                 )
             )
         ).alias("p")
     ).select(
         "p.key1",
         "p.key2",
-        F.round(cosine(F.col("p.v1"), F.col("p.v2")), 6).alias("cos_sim"),
+        F.round(dot(F.col("p.v1"), F.col("p.v2")) / F.col("p.nn"), 6).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
 
@@ -417,19 +436,24 @@ def semantic_dedup(
     assigned = _assign_to_centroids(
         df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, id_col
     ).select(F.col(id_col).alias("key"), F.col(vec_col).alias("v"), "centroid_id")
+    # one norm fold PER VECTOR here, not three folds per pair below
+    # (cosine() would recompute both sides' norms for every pair)
     blocked = (
-        assigned.withColumn(
-            "block", F.pmod(F.xxhash64("key"), F.lit(blocks_per_cluster))
-        )
+        assigned.withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn("block", F.pmod(F.xxhash64("key"), F.lit(blocks_per_cluster)))
         .groupBy("centroid_id", "block")
-        .agg(F.sort_array(F.collect_list(F.struct("key", "v"))).alias("ms"))
+        .agg(F.sort_array(F.collect_list(F.struct("key", "v", "nrm"))).alias("ms"))
         .localCheckpoint(eager=False)
+    )
+    pair_struct = (
+        "struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2, "
+        "x.nrm * y.nrm AS nn)"
     )
     same = blocked.select(
         F.explode(
             F.expr(
                 "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
-                "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2))))"
+                f"y -> {pair_struct})))"
             )
         ).alias("p")
     )
@@ -442,7 +466,7 @@ def semantic_dedup(
             F.explode(
                 F.expr(
                     "flatten(transform(ma, x -> transform(mb, "
-                    "y -> struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2))))"
+                    f"y -> {pair_struct})))"
                 )
             ).alias("p")
         )
@@ -450,7 +474,7 @@ def semantic_dedup(
     pairs = same.unionByName(cross).select(
         "p.key1",
         "p.key2",
-        F.round(cosine(F.col("p.v1"), F.col("p.v2")), 6).alias("cos_sim"),
+        F.round(dot(F.col("p.v1"), F.col("p.v2")) / F.col("p.nn"), 6).alias("cos_sim"),
     )
     dropped = (
         pairs.filter(F.col("cos_sim") >= threshold)

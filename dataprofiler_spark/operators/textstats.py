@@ -389,3 +389,60 @@ def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 1000) -> DataFr
             6,
         ).alias("r2"),
     )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate exposure per document: the fraction of a
+    document's distinct k-word shingles that occur in MORE than
+    `df_threshold` documents (RefinedWeb-style boilerplate signal —
+    navigation chrome, license headers, templated spans). Complements
+    repetition_stats, which only sees repetition WITHIN one document.
+
+    Returns (key_col, n_shingles, n_boilerplate, boilerplate_frac) for
+    every input document (frac NULL when the document has no shingles).
+
+    Scale shape: ONE explode of distinct per-doc shingles, hashed to
+    64-bit digests so shingle text rides no shuffle (gotcha 9); the
+    doc-frequency aggregate map-side combines; the per-doc verdict is a
+    single equi-join of that digest frame with its own frequency table
+    plus a groupBy(key) — the exploded frame is localCheckpointed once
+    because both the frequency aggregate and the join consume it
+    (gotchas 16/24)."""
+    from dataprofiler_spark.operators.dedup import word_shingles
+
+    words = F.split(F.col(text_col), " ")
+    sh = (
+        df.select(F.col(key_col), words.alias("__w"))
+        .select(
+            key_col,
+            F.explode(
+                word_shingles(F.col("__w"), shingle_k, pre_split=True)
+            ).alias("s"),
+        )
+        .select(key_col, F.xxhash64("s").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+    per_doc = (
+        sh.join(dfreq, "h")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df_") > df_threshold).cast("long")).alias("n_boilerplate"),
+        )
+    )
+    base = df.select(key_col)
+    return base.join(per_doc, key_col, "left").select(
+        key_col,
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
+        F.round(
+            F.col("n_boilerplate") / F.nullif(F.col("n_shingles"), F.lit(0)), 6
+        ).alias("boilerplate_frac"),
+    )

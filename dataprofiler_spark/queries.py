@@ -2768,6 +2768,34 @@ def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "boilerplate_ngrams_documents",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+         generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+       ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
+ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+dfreq AS (SELECT s, COUNT(*) AS df_ FROM ex GROUP BY s),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN df_ > 2 THEN 1 ELSE 0 END) AS n_boilerplate
+            FROM ex JOIN dfreq USING (s) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       ROUND(p.n_boilerplate * 1.0 / NULLIF(p.n_shingles, 0), 6) AS boilerplate_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+)
+def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-level boilerplate exposure (fraction of the
+    doc's distinct 3-gram shingles seen in > 2 documents). The engine
+    decides on xxhash64 shingle digests; the oracle replays on shingle
+    TEXT — same answer, digests never shuffle as text at scale.
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    return boilerplate_ngram_stats(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

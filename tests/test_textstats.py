@@ -254,3 +254,34 @@ def test_zipf_fit_no_full_sort_shuffle(spark):
     plan = zipf_fit(df)._jdf.queryExecution().executedPlan().toString()
     # top-n must be TakeOrderedAndProject, not a global Sort + Limit
     assert "TakeOrderedAndProject" in plan
+
+
+def test_boilerplate_ngram_stats(spark):
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    rows = [
+        (1, "a b c d"),   # shingles: "a b c", "b c d"
+        (2, "a b c x"),
+        (3, "a b c y"),
+        (4, "zz"),        # short doc -> whole text is its one shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in boilerplate_ngram_stats(df, df_threshold=2).collect()}
+    # "a b c" appears in 3 docs (> 2) -> boilerplate; the others don't
+    for d in (1, 2, 3):
+        assert (out[d].n_shingles, out[d].n_boilerplate) == (2, 1)
+        assert out[d].boilerplate_frac == 0.5
+    assert (out[4].n_shingles, out[4].n_boilerplate) == (1, 0)
+
+
+def test_boilerplate_ngram_stats_within_doc_repeat_not_flagged(spark):
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    # a shingle repeated inside ONE doc is distinct-counted once -> its
+    # doc frequency stays 1; within-doc repetition belongs to
+    # repetition_stats, not this corpus-level signal
+    df = spark.createDataFrame(
+        [(1, "p q r p q r p q r"), (2, "u v w")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in boilerplate_ngram_stats(df, df_threshold=1).collect()}
+    assert out[1].n_boilerplate == 0 and out[2].n_boilerplate == 0
