@@ -303,3 +303,134 @@ def test_curate_survivor_matches_reference(request, spec):
         if q_keys:
             want.add(q_keys[0])
     assert kept == want, (kept, want)
+
+
+_para_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "", "x y z"]),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_para_corpus)
+@settings(max_examples=6, deadline=None)
+def test_paragraph_dedup_matches_reference(request, corpus):
+    """paragraph_dedup's min(struct(key, idx)) first-occurrence aggregate
+    must equal the sequential first-seen sweep (docs in key order,
+    paragraphs in index order) on random corpora with empty paragraphs
+    and within-doc repeats."""
+    spark = request.getfixturevalue("spark")
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    rows = [(k, "\n".join(paras)) for k, paras in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.n_removed, r.text_out)
+        for r in paragraph_dedup(df, "doc_id").collect()
+    }
+
+    seen: set = set()
+    for k, paras in enumerate(corpus):
+        nonempty = [p for p in paras if p != ""]
+        kept = []
+        for p in nonempty:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want = (len(nonempty), len(kept), len(nonempty) - len(kept), "\n".join(kept))
+        assert got[k] == want, (k, got[k], want)
+
+
+_vec = st.lists(st.integers(-5, 5), min_size=4, max_size=4).filter(
+    lambda v: any(x != 0 for x in v)
+)
+
+
+@given(st.lists(_vec, min_size=2, max_size=10), st.integers(1, 3))
+@settings(max_examples=6, deadline=None)
+def test_semantic_dedup_matches_reference(request, vecs, blocks):
+    """semantic_dedup (argmax assignment + blocked within-cluster pairwise
+    + min-id survivor) vs a pure-Python sweep on random small-int vectors,
+    at several blocks_per_cluster settings."""
+    spark = request.getfixturevalue("spark")
+    from dataprofiler_spark.operators.similarity import (
+        _lcg_centroids,
+        _hyperplane,
+        semantic_dedup,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, dim=4, num_clusters=3, threshold=0.9, blocks_per_cluster=blocks
+    )
+    got = {r.vec_id: (r.centroid_id, r.is_survivor) for r in out.collect()}
+
+    cents = [_hyperplane(4, 1000 + c, 42) for c in range(3)]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def nrm(a):
+        return dot(a, a) ** 0.5
+
+    assign = {}
+    for i, v in rows:
+        sims = [dot(v, c) / (nrm(v) * nrm(c)) for c in cents]
+        assign[i] = sims.index(max(sims))
+    dropped = set()
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j and assign[i] == assign[j]:
+                cs = round(dot(vi, vj) / (nrm(vi) * nrm(vj)), 6)
+                if cs >= 0.9:
+                    dropped.add(j)
+    for i, _ in rows:
+        assert got[i] == (assign[i], i not in dropped), (i, got[i])
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=6, deadline=None)
+def test_boilerplate_ngrams_match_reference(request, corpus, thr):
+    """boilerplate_ngram_stats vs a pure-Python doc-frequency sweep with
+    the same short-doc fallback (whole text as the single shingle)."""
+    spark = request.getfixturevalue("spark")
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    rows = [(k, " ".join(ws)) for k, ws in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_boilerplate)
+        for r in boilerplate_ngram_stats(df, df_threshold=thr).collect()
+    }
+
+    def shingles(text):
+        ws = text.split(" ")
+        if len(ws) >= 3:
+            return sorted({" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)})
+        return [" ".join(ws)]
+
+    from collections import Counter
+
+    dfreq = Counter()
+    for _, text in rows:
+        for s in set(shingles(text)):
+            dfreq[s] += 1
+    for k, text in rows:
+        ss = shingles(text)
+        want = (len(ss), sum(1 for s in ss if dfreq[s] > thr))
+        assert got[k] == want, (k, got[k], want)
