@@ -406,6 +406,7 @@ def semantic_dedup(
     seed: int = 42,
     blocks_per_cluster: int = 4,
     centroids: DataFrame | None = None,
+    pair_backend: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space, compute exact pairwise cosine WITHIN each cluster,
@@ -430,7 +431,17 @@ def semantic_dedup(
     branch reread the materialized blocks, not the assignment pipeline
     (gotchas 16/24). Blocking choice never changes the answer (the pair
     SET is all within-cluster pairs), so the oracle replays semantics, not
-    blocks."""
+    blocks.
+
+    pair_backend: "expr" (default) scores pairs with pure column
+    expressions — SQL-replayable, zero Python. "arrow" scores each block
+    pair as ONE NumPy/BLAS matrix product inside mapInPandas and emits
+    only the >= threshold hits from the kernel — the production setting
+    for the matmul-bound regime (SemDeDup at 10^8+ vectors), where a
+    per-pair interpreted fold is the bottleneck. Requires an integral
+    id_col; NumPy's half-even rounding can differ from Spark's HALF_UP
+    in the last 1e-6 digit for pairs landing exactly on a rounding
+    boundary (same disclosure as every Arrow kernel here)."""
     if centroids is None:
         centroids = _lcg_centroids(df.sparkSession, dim, num_clusters, seed)
     assigned = _assign_to_centroids(
@@ -445,37 +456,58 @@ def semantic_dedup(
         .agg(F.sort_array(F.collect_list(F.struct("key", "v", "nrm"))).alias("ms"))
         .localCheckpoint(eager=False)
     )
-    pair_struct = (
-        "struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2, "
-        "x.nrm * y.nrm AS nn)"
-    )
-    same = blocked.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
-                f"y -> {pair_struct})))"
+    if pair_backend == "arrow":
+        id_type = dict(df.dtypes)[id_col]
+        if id_type not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"pair_backend='arrow' needs an integral {id_col} (got {id_type})"
             )
-        ).alias("p")
-    )
-    a = blocked.select("centroid_id", F.col("block").alias("ba"), F.col("ms").alias("ma"))
-    b = blocked.select("centroid_id", F.col("block").alias("bb"), F.col("ms").alias("mb"))
-    cross = (
-        a.join(b, "centroid_id")
-        .filter(F.col("ba") < F.col("bb"))
-        .select(
+        a = blocked.select(
+            "centroid_id", F.col("block").alias("ba"), F.col("ms").alias("ma")
+        )
+        b = blocked.select(
+            "centroid_id", F.col("block").alias("bb"), F.col("ms").alias("mb")
+        )
+        joined = (
+            a.join(b, "centroid_id")
+            .filter(F.col("ba") <= F.col("bb"))
+            .select("ba", "bb", "ma", "mb")
+        )
+        pairs = joined.mapInPandas(
+            _arrow_pair_scorer(threshold), "key1 long, key2 long, cos_sim double"
+        )
+    else:
+        pair_struct = (
+            "struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2, "
+            "x.nrm * y.nrm AS nn)"
+        )
+        same = blocked.select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ma, x -> transform(mb, "
+                    "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
                     f"y -> {pair_struct})))"
                 )
             ).alias("p")
         )
-    )
-    pairs = same.unionByName(cross).select(
-        "p.key1",
-        "p.key2",
-        F.round(dot(F.col("p.v1"), F.col("p.v2")) / F.col("p.nn"), 6).alias("cos_sim"),
-    )
+        a = blocked.select("centroid_id", F.col("block").alias("ba"), F.col("ms").alias("ma"))
+        b = blocked.select("centroid_id", F.col("block").alias("bb"), F.col("ms").alias("mb"))
+        cross = (
+            a.join(b, "centroid_id")
+            .filter(F.col("ba") < F.col("bb"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ma, x -> transform(mb, "
+                        f"y -> {pair_struct})))"
+                    )
+                ).alias("p")
+            )
+        )
+        pairs = same.unionByName(cross).select(
+            "p.key1",
+            "p.key2",
+            F.round(dot(F.col("p.v1"), F.col("p.v2")) / F.col("p.nn"), 6).alias("cos_sim"),
+        )
     dropped = (
         pairs.filter(F.col("cos_sim") >= threshold)
         .select(F.greatest("key1", "key2").alias("key"))
@@ -490,3 +522,55 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_survivor"),
         )
     )
+
+
+def _arrow_pair_scorer(threshold: float):
+    """mapInPandas kernel factory for semantic_dedup(pair_backend='arrow'):
+    each input row is one block pair (ba, bb, ma, mb); the kernel scores
+    the whole block-vs-block cosine matrix as ONE NumPy/BLAS matmul and
+    emits only pairs >= threshold — at 10^8+ vectors the per-pair work is
+    a dense GEMM, which no interpreted expression fold approaches. The
+    threshold filter runs INSIDE the kernel, so only near-duplicate hits
+    (a tiny fraction of the quadratic pair space) cross Arrow back to the
+    JVM. Created lazily per call: no pandas_udf at module import
+    (CLAUDE.md gotcha 3)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            k1s, k2s, css = [], [], []
+            for ba, bb, ma, mb in zip(pdf["ba"], pdf["bb"], pdf["ma"], pdf["mb"]):
+                A = np.asarray([e["v"] for e in ma], dtype=np.float64)
+                na = np.asarray([e["nrm"] for e in ma], dtype=np.float64)
+                ka = np.asarray([e["key"] for e in ma], dtype=np.int64)
+                if ba == bb:
+                    if len(ka) < 2:
+                        continue
+                    S = np.round((A @ A.T) / np.outer(na, na), 6)
+                    iu, ju = np.triu_indices(len(ka), k=1)
+                    s = S[iu, ju]
+                    m = s >= threshold
+                    k1s.append(ka[iu[m]])
+                    k2s.append(ka[ju[m]])
+                    css.append(s[m])
+                else:
+                    B = np.asarray([e["v"] for e in mb], dtype=np.float64)
+                    nb = np.asarray([e["nrm"] for e in mb], dtype=np.float64)
+                    kb = np.asarray([e["key"] for e in mb], dtype=np.int64)
+                    S = np.round((A @ B.T) / np.outer(na, nb), 6)
+                    ii, jj = np.nonzero(S >= threshold)
+                    k1s.append(ka[ii])
+                    k2s.append(kb[jj])
+                    css.append(S[ii, jj])
+            if k1s:
+                yield pd.DataFrame(
+                    {
+                        "key1": np.concatenate(k1s),
+                        "key2": np.concatenate(k2s),
+                        "cos_sim": np.concatenate(css),
+                    }
+                )
+
+    return gen

@@ -250,3 +250,48 @@ def test_semantic_dedup_no_rank_window(spark):
     # cluster membership must never funnel through a rank window or a
     # per-cluster sort (a cluster can be table-sized)
     assert "Window" not in plan
+
+
+def test_semantic_dedup_arrow_backend_matches_expr(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, semantic_dedup
+
+    rows = [(i, _hyperplane(8, i * 5 + 2, seed=6)) for i in range(30)]
+    rows += [(200 + i, [x * 3.0 for x in rows[i][1]]) for i in range(8)]  # planted dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=8, num_clusters=4, threshold=0.999, blocks_per_cluster=3)
+    expr = sorted(map(tuple, semantic_dedup(df, **kw).collect()))
+    arrow = sorted(map(tuple, semantic_dedup(df, pair_backend="arrow", **kw).collect()))
+    assert expr == arrow
+    assert sum(1 for _, _, surv in expr if not surv) == 8
+
+
+def test_semantic_dedup_arrow_plan_gate(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, _hyperplane(8, i + 3, seed=6)) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    expr_plan = (
+        semantic_dedup(df, dim=8, num_clusters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    arrow_plan = (
+        semantic_dedup(df, dim=8, num_clusters=2, pair_backend="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # python appears ONLY when explicitly opted into the arrow backend
+    assert "MapInPandas" not in expr_plan and "EvalPython" not in expr_plan
+    assert "MapInPandas" in arrow_plan
+
+
+def test_semantic_dedup_arrow_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from dataprofiler_spark.operators.similarity import _hyperplane, semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", _hyperplane(4, 3, seed=6))], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        semantic_dedup(df, dim=4, pair_backend="arrow")
