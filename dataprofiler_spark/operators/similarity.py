@@ -233,6 +233,7 @@ def batch_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    backend: str = "expr",
 ) -> DataFrame:
     """Exact cosine top-k for a BATCH of queries in one corpus pass:
     broadcast the (small) query frame, score every (corpus, query) pair
@@ -246,22 +247,50 @@ def batch_topk(
     is CORPUS-sized, so the rank uses the skew-safe two-stage window
     (plans/windows.top_rows_per_group): each map task keeps its own top k
     per query before the per-query ordering — no task ever sorts a
-    corpus-sized group."""
+    corpus-sized group.
+
+    backend: "expr" (default) scores pairs with column expressions —
+    SQL-replayable, zero Python. "arrow" scores each Arrow batch of
+    corpus rows against ALL queries as ONE NumPy/BLAS GEMM inside
+    mapInPandas and keeps only each batch's per-query top k (same
+    (cos desc, id asc) order as the global rank, so top-k containment
+    holds) — the production setting for the matmul-bound regime.
+    Requires integral ids; NumPy half-even rounding vs Spark HALF_UP can
+    differ in the last 1e-6 digit (standard Arrow-kernel disclosure)."""
     from dataprofiler_spark.plans.windows import top_rows_per_group
 
-    # norms once per corpus row and once per query — NOT per (row × query)
-    # pair, which is what a per-pair cosine() would fold
-    corpus_n = corpus.withColumn("__cn", l2_norm(F.col(vec_col)))
-    queries_n = queries.withColumn("__qn", l2_norm(F.col(query_vec_col)))
-    scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(
-            dot(F.col(vec_col), F.col(query_vec_col))
-            / (F.col("__cn") * F.col("__qn")),
-            6,
-        ).alias("cos_sim"),
-    )
+    if backend == "arrow":
+        for frame, col in ((corpus, id_col), (queries, query_id_col)):
+            t = dict(frame.dtypes)[col]
+            if t not in ("int", "bigint", "smallint", "tinyint"):
+                raise ValueError(f"backend='arrow' needs an integral {col} (got {t})")
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        cand = corpus.select(id_col, vec_col).mapInPandas(
+            _batch_gemm_scorer(
+                [r[0] for r in qrows],
+                [list(r[1]) for r in qrows],
+                k,
+                id_col,
+                vec_col,
+                query_id_col,
+            ),
+            f"{query_id_col} long, {id_col} long, cos_sim double",
+        )
+        scored = cand
+    else:
+        # norms once per corpus row and once per query — NOT per
+        # (row × query) pair, which is what a per-pair cosine() would fold
+        corpus_n = corpus.withColumn("__cn", l2_norm(F.col(vec_col)))
+        queries_n = queries.withColumn("__qn", l2_norm(F.col(query_vec_col)))
+        scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col(query_vec_col))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
+            ).alias("cos_sim"),
+        )
     return top_rows_per_group(
         scored,
         [query_id_col],
@@ -269,6 +298,45 @@ def batch_topk(
         k,
         rank_col="rank",
     ).select(query_id_col, id_col, "cos_sim", "rank")
+
+
+def _batch_gemm_scorer(qids, qvecs, k: int, id_col: str, vec_col: str, query_id_col: str):
+    """mapInPandas kernel factory for batch_topk(backend='arrow'): one
+    GEMM per Arrow batch (batch_rows × dim @ dim × n_queries), then a
+    per-query (cos desc, id asc) lexsort trim to k rows per batch — the
+    map-local half of the two-stage top-k, so only k × n_batches
+    candidate rows per query cross back to the JVM. Lazy per call: no
+    pandas_udf at module import (CLAUDE.md gotcha 3)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qi = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            an = np.sqrt((A * A).sum(axis=1))
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            S = np.round((A @ Q.T) / np.outer(an, qn), 6)
+            out_q, out_i, out_c = [], [], []
+            for j in range(len(qi)):
+                order = np.lexsort((ids, -S[:, j]))[:k]
+                out_q.append(np.full(len(order), qi[j], dtype=np.int64))
+                out_i.append(ids[order])
+                out_c.append(S[order, j])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_c),
+                }
+            )
+
+    return gen
 
 
 def quantize_int8(

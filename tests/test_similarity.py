@@ -295,3 +295,54 @@ def test_semantic_dedup_arrow_rejects_string_ids(spark):
     )
     with _pytest.raises(ValueError, match="integral"):
         semantic_dedup(df, dim=4, pair_backend="arrow")
+
+
+def test_batch_topk_arrow_matches_expr(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, batch_topk
+
+    corpus = spark.createDataFrame(
+        [(i, _hyperplane(8, i * 7 + 1, seed=11)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, _hyperplane(8, i * 7 + 1, seed=11)) for i in range(0, 60, 17)],
+        "query_id long, query_vec array<double>",
+    )
+    expr = sorted(map(tuple, batch_topk(corpus, queries, k=5).collect()))
+    arrow = sorted(
+        map(tuple, batch_topk(corpus, queries, k=5, backend="arrow").collect())
+    )
+    assert expr == arrow
+    # every query's own vector must rank first with cos 1.0
+    by_q = {t[0]: t for t in arrow if t[3] == 1}
+    for q, (qid, vid, cs, rank) in by_q.items():
+        assert vid == q and cs == 1.0
+
+
+def test_batch_topk_arrow_plan_gate_and_id_check(spark):
+    import pytest as _pytest
+
+    from dataprofiler_spark.operators.similarity import _hyperplane, batch_topk
+
+    corpus = spark.createDataFrame(
+        [(i, _hyperplane(4, i + 1, seed=11)) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, _hyperplane(4, 1, seed=11))], "query_id long, query_vec array<double>"
+    )
+    expr_plan = (
+        batch_topk(corpus, queries, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    arrow_plan = (
+        batch_topk(corpus, queries, k=2, backend="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in expr_plan and "EvalPython" not in expr_plan
+    assert "MapInPandas" in arrow_plan
+    sq = spark.createDataFrame(
+        [("q0", _hyperplane(4, 1, seed=11))], "query_id string, query_vec array<double>"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        batch_topk(corpus, sq, k=2, backend="arrow")
