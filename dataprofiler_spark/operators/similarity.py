@@ -59,7 +59,11 @@ def brute_force_topk(
 
 
 def _assign_to_centroids(
-    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    backend: str = "expr",
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE MAP-SIDE PROJECTION: the tiny
     centroid frame is collapsed to ONE broadcast row holding an id-sorted
@@ -77,7 +81,34 @@ def _assign_to_centroids(
     index of the max, so ties go to the smallest centroid_id — the old
     desc-sim/asc-id window order. Centroid norms are precomputed in the
     broadcast row; the data vector's norm is materialized once per row
-    (not once per centroid — CLAUDE.md gotcha 8)."""
+    (not once per centroid — CLAUDE.md gotcha 8).
+
+    backend="arrow": one NumPy GEMM (batch × dim @ dim × centroids) +
+    argmax per Arrow batch inside mapInPandas — np.argmax takes the first
+    max, matching the array_position tie rule over id-sorted centroids.
+    The production setting when assignment itself is matmul-bound (IVF
+    k-means sweeps over 10^9 vectors); GEMM summation order can flip an
+    argmax only for FP-level near-ties (standard Arrow disclosure)."""
+    if backend == "arrow":
+        from pyspark.sql import types as T
+
+        crows = centroids.orderBy("centroid_id").collect()
+        # centroid_id keeps the centroid frame's own id type (ivf uses
+        # vector ids as seeds -> bigint; LCG centroids -> int). Fresh
+        # StructType: .add() would MUTATE df's cached schema object and
+        # poison df.columns with the phantom output column.
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("centroid_id", centroids.schema["centroid_id"].dataType)]
+        )
+        return df.mapInPandas(
+            _assign_gemm(
+                [int(r["centroid_id"]) for r in crows],
+                [list(r["centroid_vec"]) for r in crows],
+                vec_col,
+            ),
+            out_schema,
+        )
     cent_arr = centroids.agg(
         F.sort_array(
             F.collect_list(
@@ -107,6 +138,31 @@ def _assign_to_centroids(
     ).drop("__cents", "__vnorm", "__sims")
 
 
+def _assign_gemm(cids, cvecs, vec_col: str):
+    """mapInPandas kernel factory for _assign_to_centroids(backend=
+    'arrow'): GEMM against the (id-sorted) centroid matrix + first-max
+    argmax per batch; passes every input column through unchanged. Lazy
+    per call (CLAUDE.md gotcha 3)."""
+
+    def gen(batches):
+        import numpy as np
+
+        C = np.asarray(cvecs, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        ci = np.asarray(cids, dtype=np.int64)  # Arrow downcasts to the declared type
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            an = np.sqrt((A * A).sum(axis=1))
+            S = (A @ C.T) / np.outer(an, cn)
+            pdf = pdf.copy()
+            pdf["centroid_id"] = ci[np.argmax(S, axis=1)]
+            yield pdf
+
+    return gen
+
+
 def _sim_fn(vec_col: str):
     """Closure factory for the per-centroid cosine lambda (default-arg
     capture breaks PySpark's HOF arity inference — CLAUDE.md gotcha 4)."""
@@ -123,6 +179,7 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_sweeps: int = 1,
+    assign_backend: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse index. Seeds = the vectors with the `num_centroids`
     smallest ids, then `refine_sweeps` k-means sweeps: assign → recompute
@@ -143,7 +200,7 @@ def ivf_build(
         )
     )
     for _ in range(refine_sweeps):
-        assigned = _assign_to_centroids(df, centroids, vec_col, id_col)
+        assigned = _assign_to_centroids(df, centroids, vec_col, id_col, assign_backend)
         dim_means = (
             assigned.select(
                 "centroid_id", F.posexplode(vec_col).alias("pos", "val")
@@ -164,7 +221,7 @@ def ivf_build(
             )
             .localCheckpoint(eager=True)
         )
-    assigned = _assign_to_centroids(df, centroids, vec_col, id_col)
+    assigned = _assign_to_centroids(df, centroids, vec_col, id_col, assign_backend)
     return assigned, centroids
 
 
@@ -475,6 +532,7 @@ def semantic_dedup(
     blocks_per_cluster: int = 4,
     centroids: DataFrame | None = None,
     pair_backend: str = "expr",
+    assign_backend: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     embedding space, compute exact pairwise cosine WITHIN each cluster,
@@ -513,7 +571,8 @@ def semantic_dedup(
     if centroids is None:
         centroids = _lcg_centroids(df.sparkSession, dim, num_clusters, seed)
     assigned = _assign_to_centroids(
-        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, id_col
+        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, id_col,
+        assign_backend,
     ).select(F.col(id_col).alias("key"), F.col(vec_col).alias("v"), "centroid_id")
     # one norm fold PER VECTOR here, not three folds per pair below
     # (cosine() would recompute both sides' norms for every pair)

@@ -346,3 +346,42 @@ def test_batch_topk_arrow_plan_gate_and_id_check(spark):
     )
     with _pytest.raises(ValueError, match="integral"):
         batch_topk(corpus, sq, k=2, backend="arrow")
+
+
+def test_assign_backend_arrow_matches_expr(spark):
+    from dataprofiler_spark.operators.similarity import (
+        _assign_to_centroids,
+        _hyperplane,
+        _lcg_centroids,
+        ivf_build,
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, _hyperplane(8, i * 9 + 4, seed=3)) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = _lcg_centroids(spark, 8, 4)
+    expr = {r.vec_id: r.centroid_id for r in
+            _assign_to_centroids(df, cents, "embedding", "vec_id").collect()}
+    arrow = {r.vec_id: r.centroid_id for r in
+             _assign_to_centroids(df, cents, "embedding", "vec_id", "arrow").collect()}
+    assert expr == arrow
+
+    # through ivf_build (bigint centroid ids from vector seeds)
+    a_expr, c_expr = ivf_build(df, num_centroids=4, vec_col="embedding")
+    a_arrow, c_arrow = ivf_build(
+        df, num_centroids=4, vec_col="embedding", assign_backend="arrow"
+    )
+    assert dict(a_arrow.select("vec_id", "centroid_id").collect()) == dict(
+        a_expr.select("vec_id", "centroid_id").collect()
+    )
+    assert dict(a_arrow.dtypes)["centroid_id"] == dict(a_expr.dtypes)["centroid_id"]
+
+    # full arrow configuration of semantic dedup
+    both = sorted(map(tuple, semantic_dedup(
+        df, dim=8, num_clusters=4, threshold=0.999,
+        pair_backend="arrow", assign_backend="arrow").collect()))
+    ref = sorted(map(tuple, semantic_dedup(
+        df, dim=8, num_clusters=4, threshold=0.999).collect()))
+    assert both == ref
