@@ -215,6 +215,14 @@ def main() -> None:
                 em.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
                 dim=64, num_clusters=8, threshold=0.9,
             ).filter(~F.col("is_survivor")).count(),
+            # same operator, production GEMM backends (pair + assignment):
+            # the expr/arrow delta IS the measured point (BENCH/BASELINE.md
+            # records 11.4x on the pair stage at 20k vectors)
+            "semantic_dedup_arrow": lambda: semantic_dedup(
+                em.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+                dim=64, num_clusters=8, threshold=0.9,
+                pair_backend="arrow", assign_backend="arrow",
+            ).filter(~F.col("is_survivor")).count(),
         }
 
     def _paragraph_dedup(dc):
