@@ -819,9 +819,11 @@ def paragraph_dedup(
     )
     base = df.select(
         F.col(key_col),
-        F.size(F.filter(F.split(F.col(text_col), F.lit(sep)), _nonempty)).alias(
-            "n_paras"
-        ),
+        # coalesce: size() of a NULL array (NULL text) is NULL in Spark 4
+        F.coalesce(
+            F.size(F.filter(F.split(F.col(text_col), F.lit(sep)), _nonempty)),
+            F.lit(0),
+        ).alias("n_paras"),
     )
     return base.join(reassembled, key_col, "left").select(
         key_col,

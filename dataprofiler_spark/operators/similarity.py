@@ -369,6 +369,8 @@ def _batch_gemm_scorer(qids, qvecs, k: int, id_col: str, vec_col: str, query_id_
         import numpy as np
         import pandas as pd
 
+        if not qvecs:  # no queries: emit nothing
+            return
         Q = np.asarray(qvecs, dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
         qi = np.asarray(qids, dtype=np.int64)
@@ -385,6 +387,8 @@ def _batch_gemm_scorer(qids, qvecs, k: int, id_col: str, vec_col: str, query_id_
                 out_q.append(np.full(len(order), qi[j], dtype=np.int64))
                 out_i.append(ids[order])
                 out_c.append(S[order, j])
+            if not out_q:  # empty query batch: nothing to emit
+                continue
             yield pd.DataFrame(
                 {
                     query_id_col: np.concatenate(out_q),

@@ -355,3 +355,14 @@ def test_paragraph_dedup_no_rank_window(spark):
     # the first-occurrence decision must be an aggregate, never a rank
     # window over a paragraph's (possibly viral) duplicate set
     assert "Window" not in plan
+
+
+def test_paragraph_dedup_null_text(spark):
+    from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "keep\nme")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, "doc_id").collect()}
+    assert (out[1].n_paras, out[1].n_kept, out[1].n_removed, out[1].text_out) == (0, 0, 0, "")
+    assert out[2].text_out == "keep\nme"

@@ -385,3 +385,14 @@ def test_assign_backend_arrow_matches_expr(spark):
     ref = sorted(map(tuple, semantic_dedup(
         df, dim=8, num_clusters=4, threshold=0.999).collect()))
     assert both == ref
+
+
+def test_batch_topk_arrow_empty_queries(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, batch_topk
+
+    corpus = spark.createDataFrame(
+        [(i, _hyperplane(4, i + 1, seed=2)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame([], "query_id long, query_vec array<double>")
+    assert batch_topk(corpus, queries, k=3, backend="arrow").count() == 0
