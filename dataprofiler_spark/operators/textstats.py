@@ -407,42 +407,42 @@ def boilerplate_ngram_stats(
     Returns (key_col, n_shingles, n_boilerplate, boilerplate_frac) for
     every input document (frac NULL when the document has no shingles).
 
-    Scale shape: ONE explode of distinct per-doc shingles, hashed to
-    64-bit digests so shingle text rides no shuffle (gotcha 9); the
-    doc-frequency aggregate map-side combines; the per-doc verdict is a
-    single equi-join of that digest frame with its own frequency table
-    plus a groupBy(key) — the exploded frame is localCheckpointed once
-    because both the frequency aggregate and the join consume it
-    (gotchas 16/24)."""
+    Scale shape: ONE corpus scan — the per-doc shingle count rides the
+    exploded rows (size computed before the explode, the
+    contamination_check trick), and every document emits at least one
+    shingle (whole-text fallback), so no second scan / left join is
+    needed to keep empty docs. Shingles travel as 64-bit digests, never
+    text (gotcha 9); the doc-frequency aggregate map-side combines; the
+    exploded frame is localCheckpointed once because both the frequency
+    aggregate and the per-doc join consume it (gotchas 16/24)."""
     from dataprofiler_spark.operators.dedup import word_shingles
 
-    words = F.split(F.col(text_col), " ")
+    staged = df.select(
+        F.col(key_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
     sh = (
-        df.select(F.col(key_col), words.alias("__w"))
-        .select(
+        staged.select(
             key_col,
-            F.explode(
-                word_shingles(F.col("__w"), shingle_k, pre_split=True)
-            ).alias("s"),
+            F.size("__sh").alias("n_shingles"),
+            F.explode("__sh").alias("s"),
         )
-        .select(key_col, F.xxhash64("s").alias("h"))
+        .select(key_col, "n_shingles", F.xxhash64("s").alias("h"))
         .localCheckpoint(eager=False)
     )
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-    per_doc = (
+    return (
         sh.join(dfreq, "h")
         .groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.first("n_shingles").alias("n_shingles"),
             F.sum((F.col("df_") > df_threshold).cast("long")).alias("n_boilerplate"),
         )
-    )
-    base = df.select(key_col)
-    return base.join(per_doc, key_col, "left").select(
-        key_col,
-        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-        F.coalesce("n_boilerplate", F.lit(0)).alias("n_boilerplate"),
-        F.round(
-            F.col("n_boilerplate") / F.nullif(F.col("n_shingles"), F.lit(0)), 6
-        ).alias("boilerplate_frac"),
+        .select(
+            key_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_boilerplate",
+            F.round(
+                F.col("n_boilerplate") / F.nullif(F.col("n_shingles"), F.lit(0)), 6
+            ).alias("boilerplate_frac"),
+        )
     )
