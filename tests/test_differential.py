@@ -434,3 +434,45 @@ def test_boilerplate_ngrams_match_reference(request, corpus, thr):
         ss = shingles(text)
         want = (len(ss), sum(1 for s in ss if dfreq[s] > thr))
         assert got[k] == want, (k, got[k], want)
+
+
+@given(st.lists(_vec, min_size=2, max_size=12), st.integers(1, 3))
+@settings(max_examples=5, deadline=None)
+def test_semantic_dedup_arrow_matches_expr_random(request, vecs, blocks):
+    """The GEMM pair backend must agree with the expression fold on random
+    small-int vectors (FP: integer-valued doubles dot-product exactly, so
+    rounding-mode differences cannot appear)."""
+    spark = request.getfixturevalue("spark")
+    from dataprofiler_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=4, num_clusters=3, threshold=0.9, blocks_per_cluster=blocks)
+    expr = sorted(map(tuple, semantic_dedup(df, **kw).collect()))
+    arrow = sorted(
+        map(
+            tuple,
+            semantic_dedup(
+                df, pair_backend="arrow", assign_backend="arrow", **kw
+            ).collect(),
+        )
+    )
+    assert expr == arrow
+
+
+@given(st.lists(_vec, min_size=3, max_size=12), st.integers(1, 4))
+@settings(max_examples=5, deadline=None)
+def test_batch_topk_arrow_matches_expr_random(request, vecs, k):
+    spark = request.getfixturevalue("spark")
+    from dataprofiler_spark.operators.similarity import batch_topk
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[::3]], "query_id long, query_vec array<double>"
+    )
+    expr = sorted(map(tuple, batch_topk(corpus, queries, k=k).collect()))
+    arrow = sorted(
+        map(tuple, batch_topk(corpus, queries, k=k, backend="arrow").collect())
+    )
+    assert expr == arrow
