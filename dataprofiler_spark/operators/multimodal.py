@@ -411,3 +411,125 @@ def resize_images(df: DataFrame, target_h: int, target_w: int) -> DataFrame:
     return df.filter(F.col("modality") == "image").select(
         "asset_id", "data"
     ).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("hashed", T.BooleanType()),
+    ]
+)
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (the classic pHash transform)."""
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * k * (2 * x + 1) / (2 * n))
+    m[0] /= np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+def _phash_bits(px: "np.ndarray", hash_size: int = 8) -> int:
+    """64-bit DCT perceptual hash: area-resize to 4×hash_size square, 2D
+    DCT, keep the top-left hash_size² low-frequency block, bit = coef >
+    median (DC term included in the median but its bit carries no
+    discriminative weight — standard pHash recipe)."""
+    side = hash_size * 4
+    small = _block_mean_resize(px, side, side).astype(np.float64)
+    m = _dct_matrix(side)
+    d = m @ small @ m.T
+    block = d[:hash_size, :hash_size].ravel()
+    bits = block > np.median(block)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # interpret as signed 64-bit for the LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_images(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual hash per image asset → (asset_id, phash, hashed).
+    Undecodable payloads yield hashed=False with phash NULL (one corrupt
+    asset never kills the job — same contract as extract_features).
+    Arrow-batched mapInPandas; pure-numpy decode/resize/DCT."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ok = [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["data"]):
+                px = decode_image(bytes(b))
+                if px is not None and px.size:
+                    hs.append(_phash_bits(px, hash_size))
+                    ok.append(True)
+                else:
+                    hs.append(None)
+                    ok.append(False)
+                ids.append(aid)
+            yield pd.DataFrame({"asset_id": ids, "phash": hs, "hashed": ok})
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("asset_id", "data")
+        .mapInPandas(kernel, PHASH_SCHEMA)
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 10,
+    hash_size: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: pHash each image,
+    then hamming-LSH exactly like simhash_near_dup_pairs — split the
+    64-bit hash into 4 × 16-bit chunks (pigeonhole: any pair within
+    hamming 10 shares at least one chunk when... strictly, within
+    hamming 3; wider radii trade recall, same disclosure as simhash),
+    bucket on (chunk_id, chunk), expand pairs in-expression (no
+    self-join — gotcha 16), verify exact hamming via bit_count(xor).
+
+    Scale shape: one mapInPandas pass to hash, one groupBy(bucket) +
+    bounded pair expansion; hot degenerate buckets (e.g. monochrome
+    images all hashing alike) are capped and disclosed like every LSH
+    path here."""
+    hashed = phash_images(df, hash_size).filter(F.col("hashed")).select(
+        F.col("asset_id").alias("key"), F.col("phash").alias("h")
+    )
+    # 4 × 16-bit chunks; shiftright needs literal ints (gotcha 5)
+    chunks = hashed.select(
+        "key",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("h", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "h", "c.chunk_id", "c.chunk")
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x.key AS key1, y.key AS key2, x.h AS h1, y.h AS h2)))"
+                )
+            )
+        ).alias("p")
+    ).select(
+        "p.key1",
+        "p.key2",
+        F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
+    )
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)

@@ -193,3 +193,62 @@ def test_block_mean_resize_exact_means():
     # non-divisible shapes stay exact block means over their boxes
     r = _block_mean_resize(np.arange(15, dtype=np.uint8).reshape(5, 3), 2, 2)
     assert r.shape == (2, 2) and r[0, 0] == np.arange(15).reshape(5, 3)[:2, :1].mean() // 1
+
+
+def test_phash_invariance_and_discrimination():
+    """Driver-side pHash properties on synthetic pixel fields: identical
+    pixels hash identically; a mild brightness shift moves few bits; an
+    unrelated random field moves ~half the bits."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import _phash_bits
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 256, (48, 64))).astype(np.uint8)
+    # smooth it so perceptual structure exists (pHash is a low-freq hash)
+    smooth = base.astype(np.int64)
+    for _ in range(3):
+        smooth = (smooth + np.roll(smooth, 1, 0) + np.roll(smooth, 1, 1)) // 3
+    img = smooth.astype(np.uint8)
+    h1 = _phash_bits(img)
+    h2 = _phash_bits(np.clip(img.astype(np.int64) + 6, 0, 255).astype(np.uint8))
+    other = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    h3 = _phash_bits(other)
+    assert h1 == _phash_bits(img.copy())
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 8  # brightness-robust
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") >= 16  # discriminative
+
+
+def test_image_near_dup_pairs_finds_planted_pair(spark):
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        image_near_dup_pairs,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def smooth_img(seed):
+        r = np.random.default_rng(seed)
+        px = r.integers(0, 256, (40, 40)).astype(np.int64)
+        for _ in range(3):
+            px = (px + np.roll(px, 1, 0) + np.roll(px, 1, 1)) // 3
+        return px.astype(np.uint8)
+
+    rows = []
+    for i in range(6):
+        px = smooth_img(100 + i)
+        rows.append((f"img-{i}", "image", bytearray(png_encode(px)), (40, 40, None, None)))
+    # planted near-dup of img-0: tiny brightness shift
+    px0 = smooth_img(100)
+    shifted = np.clip(px0.astype(np.int64) + 4, 0, 255).astype(np.uint8)
+    rows.append(("img-dup", "image", bytearray(png_encode(shifted)), (40, 40, None, None)))
+    # corrupt payload must not kill the job
+    rows.append(("img-bad", "image", bytearray(b"not a png"), (None, None, None, None)))
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {(r.key1, r.key2): r.hamming for r in image_near_dup_pairs(df, max_hamming=8).collect()}
+    assert ("img-0", "img-dup") in pairs or ("img-dup", "img-0") in pairs
+    for (a, b) in pairs:
+        assert "img-bad" not in (a, b)
