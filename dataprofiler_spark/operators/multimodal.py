@@ -497,7 +497,16 @@ def image_near_dup_pairs(
     hashed = phash_images(df, hash_size).filter(F.col("hashed")).select(
         F.col("asset_id").alias("key"), F.col("phash").alias("h")
     )
-    # 4 × 16-bit chunks; shiftright needs literal ints (gotcha 5)
+    return _hamming_lsh_pairs(hashed, max_hamming, max_bucket_size)
+
+
+def _hamming_lsh_pairs(
+    hashed: DataFrame, max_hamming: int, max_bucket_size: int
+) -> DataFrame:
+    """Shared hamming-LSH candidate machinery over a (key, h:long) frame:
+    4 × 16-bit chunk buckets, one-scan groupBy + in-expression pair
+    expansion (no self-join — gotcha 16), exact bit_count(xor) verify.
+    Same shape (and caps disclosure) as simhash_near_dup_pairs."""
     chunks = hashed.select(
         "key",
         "h",
@@ -533,3 +542,70 @@ def image_near_dup_pairs(
         F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
     )
     return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("hashed", T.BooleanType()),
+    ]
+)
+
+
+def _audio_fp_bits(samples: "np.ndarray", n_bits: int = 64) -> int:
+    """64-bit audio fingerprint: window the PCM stream into n_bits + 1
+    frames, bit_i = energy(frame i+1) > energy(frame i) — the
+    energy-delta sign signature (a chromaprint-style reduction that
+    survives gain changes exactly: scaling all samples scales every
+    frame energy by the same factor, preserving every comparison)."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    if n < n_bits + 1:
+        x = np.pad(x, (0, n_bits + 1 - n))
+        n = len(x)
+    edges = (np.arange(n_bits + 2) * n) // (n_bits + 1)
+    e = np.add.reduceat(x * x, edges[:-1])
+    bits = e[1:] > e[:-1]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Energy-delta fingerprint per audio asset → (asset_id, afp, hashed);
+    undecodable payloads yield hashed=False (same contract as
+    phash_images). Arrow-batched mapInPandas over the WAV decoder."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ok = [], [], []
+            for aid, b in zip(pdf["asset_id"], pdf["data"]):
+                dec = decode_audio(bytes(b))
+                if dec is not None and len(dec[0]):
+                    hs.append(_audio_fp_bits(dec[0]))
+                    ok.append(True)
+                else:
+                    hs.append(None)
+                    ok.append(False)
+                ids.append(aid)
+            yield pd.DataFrame({"asset_id": ids, "afp": hs, "hashed": ok})
+
+    return (
+        df.filter(F.col("modality") == "audio")
+        .select("asset_id", "data")
+        .mapInPandas(kernel, AUDIO_FP_SCHEMA)
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 10, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Audio near-duplicate pairs: energy-delta fingerprints through the
+    shared hamming-LSH machinery (gain-shifted copies land at hamming 0
+    by construction; see _audio_fp_bits)."""
+    hashed = audio_fingerprint(df).filter(F.col("hashed")).select(
+        F.col("asset_id").alias("key"), F.col("afp").alias("h")
+    )
+    return _hamming_lsh_pairs(hashed, max_hamming, max_bucket_size)

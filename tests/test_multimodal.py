@@ -252,3 +252,42 @@ def test_image_near_dup_pairs_finds_planted_pair(spark):
     assert ("img-0", "img-dup") in pairs or ("img-dup", "img-0") in pairs
     for (a, b) in pairs:
         assert "img-bad" not in (a, b)
+
+
+def test_audio_fingerprint_gain_invariance():
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import _audio_fp_bits
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    h = _audio_fp_bits(x)
+    # exact gain scaling preserves every energy comparison
+    assert _audio_fp_bits((x * 0.5).astype(np.float64)) == h
+    y = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    assert bin((h ^ _audio_fp_bits(y)) & ((1 << 64) - 1)).count("1") >= 16
+
+
+def test_audio_near_dup_pairs_planted(spark):
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_near_dup_pairs,
+        wav_encode,
+    )
+
+    rows = []
+    for i in range(5):
+        r = np.random.default_rng(50 + i)
+        s = (r.standard_normal(8000) * 2500).astype(np.int16)
+        rows.append((f"au-{i}", "audio", bytearray(wav_encode(s)), (None, None, 16000, None)))
+        if i == 0:
+            half = (s.astype(np.float64) * 0.5).astype(np.int16)  # gain-shifted copy
+            rows.append(("au-dup", "audio", bytearray(wav_encode(half)), (None, None, 16000, None)))
+    rows.append(("au-bad", "audio", bytearray(b"not a wav"), (None, None, None, None)))
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    pairs = {(r.key1, r.key2): r.hamming for r in audio_near_dup_pairs(df, max_hamming=6).collect()}
+    assert ("au-0", "au-dup") in pairs or ("au-dup", "au-0") in pairs
+    for a, b in pairs:
+        assert "au-bad" not in (a, b)
