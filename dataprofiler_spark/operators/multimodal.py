@@ -609,3 +609,64 @@ def audio_near_dup_pairs(
         F.col("asset_id").alias("key"), F.col("afp").alias("h")
     )
     return _hamming_lsh_pairs(hashed, max_hamming, max_bucket_size)
+
+
+def image_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_hamming: int = 4,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Eval-image leakage check — the multimodal analog of
+    dedup.contamination_check: corpus images whose perceptual hash lands
+    within `max_hamming` bits of ANY benchmark/eval image →
+    (asset_id, best_hamming, n_benchmark_matches).
+
+    Scale shape: both sides hash in one mapInPandas pass each; the
+    benchmark's 16-bit-chunk frame (a small eval set) is BROADCAST
+    against the corpus chunks, so corpus hashes never shuffle; exact
+    hamming verifies candidates. Only 64-bit hashes move, never image
+    bytes."""
+    ch = phash_images(corpus, hash_size).filter(F.col("hashed")).select(
+        F.col("asset_id").alias("key"), F.col("phash").alias("h")
+    )
+    bh = (
+        phash_images(benchmark, hash_size)
+        .filter(F.col("hashed"))
+        .select(F.col("phash").alias("bh"))
+        .distinct()
+    )
+
+    def _chunked(dfh, col_name):
+        return dfh.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk_id"),
+                            F.shiftright(col_name, 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("chunk"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("c"),
+        ).select("*", "c.chunk_id", "c.chunk").drop("c")
+
+    cand = (
+        _chunked(ch, "h")
+        .join(F.broadcast(_chunked(bh, "bh")), ["chunk_id", "chunk"])
+        .select("key", "h", "bh")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h").bitwiseXOR(F.col("bh"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy(F.col("key").alias("asset_id"))
+        .agg(
+            F.min("hamming").alias("best_hamming"),
+            F.count(F.lit(1)).alias("n_benchmark_matches"),
+        )
+    )

@@ -291,3 +291,37 @@ def test_audio_near_dup_pairs_planted(spark):
     assert ("au-0", "au-dup") in pairs or ("au-dup", "au-0") in pairs
     for a, b in pairs:
         assert "au-bad" not in (a, b)
+
+
+def test_image_contamination_planted_leak(spark):
+    import numpy as np
+
+    from dataprofiler_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        image_contamination,
+        png_encode,
+    )
+
+    def smooth_img(seed):
+        r = np.random.default_rng(seed)
+        px = r.integers(0, 256, (40, 40)).astype(np.int64)
+        for _ in range(3):
+            px = (px + np.roll(px, 1, 0) + np.roll(px, 1, 1)) // 3
+        return px.astype(np.uint8)
+
+    bench_px = smooth_img(900)
+    bench = spark.createDataFrame(
+        [("eval-0", "image", bytearray(png_encode(bench_px)), (40, 40, None, None))],
+        ASSET_SCHEMA,
+    )
+    rows = [
+        ("leak", "image",
+         bytearray(png_encode(np.clip(bench_px.astype(np.int64) + 3, 0, 255).astype(np.uint8))),
+         (40, 40, None, None)),
+    ]
+    for i in range(4):
+        rows.append((f"clean-{i}", "image", bytearray(png_encode(smooth_img(300 + i))), (40, 40, None, None)))
+    corpus = spark.createDataFrame(rows, ASSET_SCHEMA)
+    hits = {r.asset_id: r for r in image_contamination(corpus, bench, max_hamming=6).collect()}
+    assert "leak" in hits and hits["leak"].n_benchmark_matches == 1
+    assert all(k == "leak" for k in hits)
