@@ -2850,13 +2850,19 @@ _NEVER_HARVESTED_R3 = [
     "curation_funnel_documents",
 ]
 
-# already-driver-proven entries worth re-adjudicating, filling the window
-# to exactly HARVEST_BUDGET: the flagship §2 surface + the heavy LSH/dedup
-# block + this round's changed operators
+# window fill to exactly HARVEST_BUDGET: this round's NEW oracle-backed
+# operators first (paragraph dedup, SemDeDup, zipf, boilerplate — never
+# driver-adjudicated), then already-proven flagship entries worth
+# re-adjudicating. Four proven entries (profile_orders, growth_alerts,
+# token_counts, latest_event) rotated OUT to the local-only tail — they
+# hold green driver rows from rounds 1-3.
 _PROVEN_REFILL = [
     "dedup_clusters_string_ids",  # new this round (string-key CC fix)
+    "paragraph_dedup_documents",  # new this round (C4 line dedup)
+    "semantic_dedup_embeddings",  # new this round (SemDeDup)
+    "zipf_fit_documents",  # new this round
+    "boilerplate_ngrams_documents",  # new this round
     "profile_documents",
-    "profile_orders",
     "profile_lineitem_by_returnflag",
     "uniqueness_duplicates_orders_custkey",
     "ri_orphans_orders_customer",
@@ -2870,9 +2876,6 @@ _PROVEN_REFILL = [
     "incremental_profile_merge_documents",
     "psi_chi2_nchars_split",
     "profile_compare_envs",
-    "growth_alerts_events_by_type",
-    "token_counts_documents",
-    "latest_event_per_user",
 ]
 
 _HARVEST_FIRST = _NEVER_HARVESTED_R3 + _PROVEN_REFILL
