@@ -446,3 +446,62 @@ def boilerplate_ngram_stats(
             ).alias("boilerplate_frac"),
         )
     )
+
+
+def _ranked_vocab(df: DataFrame, text_col: str, top_n: int) -> DataFrame:
+    """(word, rank) over the corpus's top_n most frequent words; rank by
+    (cnt desc, word) — the window runs over <= top_n rows (bounded by a
+    literal, same justification as zipf_fit)."""
+    counts = unigram_vocab(df, text_col)
+    top = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(top_n)
+    win = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    return top.withColumn("rank", F.row_number().over(win)).select("w", "rank")
+
+
+def vocab_rank_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots over their top_n
+    frequency heads: how much the vocabularies overlap and how well the
+    shared words' frequency RANKS agree. Complements token_frequency_psi
+    (mass-based) with an order-based signal that catches re-rankings PSI
+    smooths over.
+
+    Returns ONE row: (n_a, n_b, n_shared, overlap_jaccard, rank_corr)
+    where rank_corr is the Pearson correlation of each side's own
+    1-based rank over the SHARED words (Spearman-style; NULL when < 2
+    shared words).
+
+    Scale shape: two explode+hash-agg vocab counts, two
+    TakeOrderedAndProject top-n cuts, a full-outer join of two <= top_n
+    row frames, one scalar aggregate. Nothing is corpus-sized past the
+    first aggregate."""
+    ra = _ranked_vocab(df_a, text_col, top_n).select(
+        "w", F.col("rank").alias("rank_a")
+    )
+    rb = _ranked_vocab(df_b, text_col, top_n).select(
+        "w", F.col("rank").alias("rank_b")
+    )
+    j = ra.join(rb, "w", "full_outer")
+    agg = j.agg(
+        F.count("rank_a").alias("n_a"),
+        F.count("rank_b").alias("n_b"),
+        F.count(F.when(F.col("rank_a").isNotNull() & F.col("rank_b").isNotNull(), 1)).alias(
+            "n_shared"
+        ),
+        F.corr("rank_a", "rank_b").alias("__rho"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared")
+            / F.nullif(F.col("n_a") + F.col("n_b") - F.col("n_shared"), F.lit(0)),
+            6,
+        ).alias("overlap_jaccard"),
+        F.round("__rho", 6).alias("rank_corr"),
+    )

@@ -2769,6 +2769,39 @@ def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_rank_drift_split",
+    """WITH wa AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 0),
+ca AS (SELECT w, COUNT(*) AS cnt FROM wa WHERE w <> '' GROUP BY w),
+ta AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank_a
+       FROM (SELECT w, cnt FROM ca ORDER BY cnt DESC, w LIMIT 1000)),
+wb AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 1),
+cb AS (SELECT w, COUNT(*) AS cnt FROM wb WHERE w <> '' GROUP BY w),
+tb AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank_b
+       FROM (SELECT w, cnt FROM cb ORDER BY cnt DESC, w LIMIT 1000)),
+j AS (SELECT rank_a, rank_b FROM ta FULL JOIN tb USING (w)),
+a AS (SELECT COUNT(rank_a) AS n_a, COUNT(rank_b) AS n_b,
+             COUNT(CASE WHEN rank_a IS NOT NULL AND rank_b IS NOT NULL THEN 1 END) AS n_shared,
+             corr(rank_a, rank_b) AS rho
+      FROM j)
+SELECT n_a, n_b, n_shared,
+       ROUND(n_shared * 1.0 / NULLIF(n_a + n_b - n_shared, 0), 6) AS overlap_jaccard,
+       ROUND(rho, 6) AS rank_corr
+FROM a""",
+)
+def vocab_rank_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rank drift between the even/odd doc_id halves of the
+    corpus: top-1000 vocab overlap + Pearson of shared words' own ranks
+    (order-based token-frequency drift next to the mass-based PSI).
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import vocab_rank_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_rank_drift(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+@register(
     "boilerplate_ngrams_documents",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(

@@ -285,3 +285,28 @@ def test_boilerplate_ngram_stats_within_doc_repeat_not_flagged(spark):
     )
     out = {r.doc_id: r for r in boilerplate_ngram_stats(df, df_threshold=1).collect()}
     assert out[1].n_boilerplate == 0 and out[2].n_boilerplate == 0
+
+
+def test_vocab_rank_drift_identical_and_disjoint(spark):
+    from dataprofiler_spark.operators.textstats import vocab_rank_drift
+
+    a = spark.createDataFrame(
+        [(0, "x x x y y z")], "doc_id int, text string"
+    )
+    same = vocab_rank_drift(a, a).collect()[0]
+    assert (same.n_a, same.n_b, same.n_shared) == (3, 3, 3)
+    assert same.overlap_jaccard == 1.0 and same.rank_corr == 1.0
+    b = spark.createDataFrame([(0, "p p q")], "doc_id int, text string")
+    disj = vocab_rank_drift(a, b).collect()[0]
+    assert disj.n_shared == 0 and disj.overlap_jaccard == 0.0
+    assert disj.rank_corr is None
+
+
+def test_vocab_rank_drift_reversed_ranks(spark):
+    from dataprofiler_spark.operators.textstats import vocab_rank_drift
+
+    # same vocab, exactly inverted frequency order -> rho = -1
+    a = spark.createDataFrame([(0, "u u u v v w")], "doc_id int, text string")
+    b = spark.createDataFrame([(0, "w w w v v u")], "doc_id int, text string")
+    row = vocab_rank_drift(a, b).collect()[0]
+    assert row.n_shared == 3 and row.rank_corr == -1.0
