@@ -54,6 +54,7 @@ from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
 from dataprofiler_spark.operators.textstats import token_count, unigram_logprob  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
+from dataprofiler_spark.operators.multimodal import image_near_dup_pairs  # noqa: E402
 from dataprofiler_spark.operators.similarity import (  # noqa: E402
     batch_topk,
     brute_force_topk,
@@ -127,6 +128,11 @@ def main() -> None:
 
     docs = load_table(spark, SF_DIR, "documents")
     emb = load_table(spark, SF_DIR, "embeddings")
+    # multimodal fixture: 3000 real PNG/WAV payloads, generated distributed
+    # and pinned once (setup, untimed)
+    from dataprofiler_spark.operators.multimodal import gen_assets_real
+    assets = gen_assets_real(spark, 3000).cache()
+    assets.count()
     lineitem = load_table(spark, SF_DIR, "lineitem")
     qvec = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
 
@@ -223,6 +229,10 @@ def main() -> None:
                 dim=64, num_clusters=8, threshold=0.9,
                 pair_backend="arrow", assign_backend="arrow",
             ).filter(~F.col("is_survivor")).count(),
+            # multimodal dedup: decode -> pHash -> hamming-LSH over 1000
+            # real PNGs (the gradient fixture is perceptually homogeneous
+            # by construction, so the pair expansion actually works)
+            "image_near_dup": lambda: image_near_dup_pairs(assets, max_hamming=4).count(),
         }
 
     def _paragraph_dedup(dc):
