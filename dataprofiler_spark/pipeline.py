@@ -256,6 +256,11 @@ class CurationConfig:
     splits: dict | None = None  # name -> fraction; default 90/5/5
     text_col: str = "text"
     key_col: str = "doc_id"
+    # optional corpus-global paragraph dedup BEFORE the quality gate
+    # (C4/RefinedWeb order: strip duplicated lines first, then judge the
+    # cleaned text) — funnel gains n_paragraphs_removed when enabled
+    dedup_paragraphs: bool = False
+    paragraph_sep: str = "\n"
 
 
 @dataclass
@@ -310,6 +315,24 @@ def curate_corpus(
     if sum(splits.values()) < 1.0 - 1e-9:
         split_names.append("rest")
     passthrough = list(docs.columns)
+
+    para_removed = None
+    if cfg.dedup_paragraphs:
+        from dataprofiler_spark.operators.dedup import paragraph_dedup
+
+        pd_out = paragraph_dedup(
+            docs, cfg.key_col, cfg.text_col, cfg.paragraph_sep
+        ).select(
+            cfg.key_col,
+            F.col("text_out").alias("__pd_text"),
+            F.col("n_removed").alias("__pd_removed"),
+        )
+        docs = (
+            docs.join(pd_out, cfg.key_col)
+            .withColumn(cfg.text_col, F.col("__pd_text"))
+            .drop("__pd_text")
+        )
+        para_removed = "__pd_removed"
 
     staged = quality_features(docs, cfg.text_col)
     q_pass = (F.col("n_words") >= cfg.min_words) & (
@@ -370,6 +393,11 @@ def curate_corpus(
         # then redacted is cfg.redact_pii's job, not this counter's claim
         _n(F.col("__keep") & F.col("__has_pii"), "n_kept_with_pii"),
     ]
+    if para_removed is not None:
+        funnel_aggs.insert(
+            1,
+            F.coalesce(F.sum(para_removed), F.lit(0)).alias("n_paragraphs_removed"),
+        )
     for name in split_names:
         funnel_aggs.append(_n(F.col("__keep") & (F.col("split") == name), f"n_{name}"))
     funnel = staged.agg(*funnel_aggs)
@@ -381,5 +409,5 @@ def curate_corpus(
         kept = redact(kept, cfg.text_col, output_col="__red").withColumn(
             cfg.text_col, F.col("__red")
         )
-    kept = kept.select(*passthrough, "split")
+    kept = kept.select(*[c for c in passthrough if c != para_removed], "split")
     return CurationResult(curated=kept, funnel=funnel)

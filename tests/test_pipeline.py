@@ -313,3 +313,38 @@ def test_snapshot_resume_reinvalidates_only_appended_partition(spark, tmp_path):
         p for p in untouched if recs[p].status == "validated"
     }
     assert validated_untouched <= r2.skipped_partitions
+
+
+def test_curate_with_paragraph_dedup(spark):
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    long_para = " ".join(f"w{j}" for j in range(12))
+    other = " ".join(f"x{j}" for j in range(12))
+    rows = [
+        (1, long_para + "\n" + other),     # keeps both paragraphs
+        (2, long_para + "\nunique tail"),  # loses the duplicated paragraph
+        (3, long_para),                    # fully duplicated -> empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(min_words=10, min_distinct_ratio=0.0, dedup_paragraphs=True)
+    res = curate_corpus(spark, df, cfg)
+    f = res.funnel.collect()[0]
+    # doc1 survives (24 words), doc2 drops to 2 words (< 10), doc3 empties
+    assert f.n_input == 3 and f.n_paragraphs_removed == 2
+    assert f.n_quality == 1 and f.n_kept == 1
+    kept = res.curated.collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert kept[0].text == long_para + "\n" + other
+    # staging columns never leak
+    assert set(res.curated.columns) == {"doc_id", "text", "split"}
+
+
+def test_curate_paragraph_dedup_off_is_unchanged(spark):
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{j}" for j in range(12)))], "doc_id long, text string"
+    )
+    base = curate_corpus(spark, df, CurationConfig(min_words=10, min_distinct_ratio=0.0))
+    assert "n_paragraphs_removed" not in base.funnel.columns
+    assert base.funnel.collect()[0].n_kept == 1
