@@ -312,3 +312,46 @@ def partition_skew_report(df: DataFrame, part_col: str) -> DataFrame:
         F.round(F.col("rows") / F.sum("rows").over(w), 4).alias("fraction"),
         F.round(F.col("rows") / F.avg("rows").over(w), 4).alias("rows_over_avg"),
     )
+
+
+def frequent_values(
+    df: DataFrame, columns: list[str] | None = None, k: int = 5
+) -> DataFrame:
+    """Top-k most frequent values per column — the classic profiler
+    "common values" panel: (column_name, value, cnt, rank), value
+    stringified (NULL kept as a real class), rank by (cnt desc, value)
+    for determinism.
+
+    Scale shape: ONE scan — every requested column's (name, stringified
+    value) pairs ride a single posexplode projection into ONE hash
+    aggregate keyed (column_name, value) — map-side combine collapses hot
+    values before the shuffle, so a 10^12-row constant column arrives at
+    the reducer as one row per map task. The rank runs through the
+    skew-safe two-stage top-k (plans/windows): no task ever sorts a
+    column's whole distinct-value set."""
+    from dataprofiler_spark.plans.windows import top_rows_per_group
+
+    cols = columns or [f.name for f in df.schema.fields]
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.value")
+    counts = pairs.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return top_rows_per_group(
+        counts,
+        ["column_name"],
+        [F.desc("cnt"), F.asc_nulls_first("value")],
+        k,
+        rank_col="rank",
+    ).select("column_name", "value", "cnt", "rank")

@@ -2769,6 +2769,29 @@ def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_values_documents",
+    """WITH pairs AS (
+  SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS value FROM documents
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents),
+c AS (SELECT column_name, value, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+r AS (SELECT column_name, value, cnt,
+             ROW_NUMBER() OVER (PARTITION BY column_name
+                                ORDER BY cnt DESC, value ASC NULLS FIRST) AS rnk
+      FROM c)
+SELECT column_name, value, cnt, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5""",
+)
+def frequent_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent values of the lang and source columns — the
+    classic profiler 'common values' panel, one scan + skew-safe top-k.
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.profile import frequent_values
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_values(docs, ["lang", "source"], k=5)
+
+
+@register(
     "vocab_rank_drift_split",
     """WITH wa AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 0),
 ca AS (SELECT w, COUNT(*) AS cnt FROM wa WHERE w <> '' GROUP BY w),

@@ -149,3 +149,32 @@ def test_partition_skew_report(spark):
     assert rows["hot"].fraction == 0.8
     assert rows["hot"].rows_over_avg == 2.4  # 80 / mean(80,10,10)
     assert rows["a"].rows_over_avg == 0.3
+
+
+def test_frequent_values_basic(spark):
+    from dataprofiler_spark.operators.profile import frequent_values
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), (None, 2), ("a", 3)], "s string, n int"
+    )
+    out = frequent_values(df, ["s", "n"], k=2).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r.column_name, []).append((r.rank, r.value, r.cnt))
+    assert sorted(by_col["s"]) == [(1, "a", 3), (2, None, 1)]  # NULL is a class
+    assert sorted(by_col["n"]) == [(1, "2", 3), (2, "1", 1)]
+
+
+def test_frequent_values_one_scan_two_stage(spark):
+    from dataprofiler_spark.operators.profile import frequent_values
+
+    df = spark.createDataFrame([("a", 1)], "s string, n int")
+    plan = frequent_values(df)._jdf.queryExecution().executedPlan().toString()
+    # one scan feeding one aggregate; the rank is the two-stage pattern
+    # (two windows: map-local pre-trim + final), never a single global one
+    assert plan.count("Scan ExistingRDD") <= 1
+    # skew-safe top-k signature: Spark 4 plans the rank-limit as
+    # WindowGroupLimit Partial (map-side pre-trim) + Final — no reducer
+    # ever sorts a column's full distinct-value set
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
