@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
         "one-row funnel, and with --output-dir writes the curated corpus",
     )
     p.add_argument(
+        "--dedup-paragraphs",
+        action="store_true",
+        help="with --curate: corpus-global paragraph dedup (C4-style "
+        "first-occurrence line dedup) before the quality gate; the "
+        "funnel gains n_paragraphs_removed",
+    )
+    p.add_argument(
         "--layout-report",
         action="store_true",
         help="storage-layout verdict for --input from a metadata-only file "
@@ -338,7 +345,11 @@ def main(argv: list[str] | None = None) -> int:
         res = curate_corpus(
             spark,
             df,
-            CurationConfig(text_col=args.text_col, key_col=args.key_col),
+            CurationConfig(
+                text_col=args.text_col,
+                key_col=args.key_col,
+                dedup_paragraphs=args.dedup_paragraphs,
+            ),
             # two actions (funnel + write) share the staged frame
             persist=bool(args.output_dir),
         )
