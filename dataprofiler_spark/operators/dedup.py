@@ -838,3 +838,86 @@ def _nonempty(p: Column) -> Column:
     """Module-level HOF lambda (default-arg capture breaks PySpark's
     arity inference — CLAUDE.md gotcha 4)."""
     return p != F.lit("")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_span_doc_freq: int = 2,
+) -> DataFrame:
+    """C4-style duplicated-span REMOVAL (the acting counterpart of
+    textstats.boilerplate_ngram_stats): every k-word span occurring in
+    more than `max_span_doc_freq` documents is boilerplate; all word
+    positions covered by ANY boilerplate span are dropped (overlapping
+    spans merge naturally through position coverage) and the document is
+    rebuilt from the surviving words.
+
+    Returns (key_col, n_words, n_removed_words, text_out). Output text
+    is whitespace-NORMALIZED (single spaces — empty pseudo-tokens are
+    gone; documented contract). Documents shorter than shingle_k words
+    emit no spans and pass through untouched.
+
+    Scale shape: one staged (key, words) projection localCheckpointed
+    (the span frame and the word frame both derive from it — gotcha 16);
+    span doc-frequency is a hash aggregate over 64-bit span digests
+    (map-side combine; text never shuffles); hot spans come back as a
+    digest semi-join; coverage is explode(sequence(start, start+k-1)) →
+    distinct (key, pos); the rebuild is a per-document sort_array —
+    bounded by document size like every per-doc aggregate here."""
+    words_arr = F.filter(F.split(F.col(text_col), " "), _nonempty)
+    staged = df.select(F.col(key_col), words_arr.alias("__ws")).localCheckpoint(
+        eager=False
+    )
+    n = F.size("__ws")
+    spans = (
+        staged.filter(n >= shingle_k)
+        .select(
+            key_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__ws) - {shingle_k}), "
+                    f"i -> struct(i AS start, "
+                    f"xxhash64(concat_ws(' ', slice(__ws, i + 1, {shingle_k}))) AS h))"
+                )
+            ).alias("sp"),
+        )
+        .select(key_col, "sp.start", "sp.h")
+        .localCheckpoint(eager=False)  # feeds the df-count AND the cover join
+    )
+    # doc frequency = docs containing the span (distinct per doc first)
+    span_df = (
+        spans.select(key_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_"))
+    )
+    hot = span_df.filter(F.col("df_") > max_span_doc_freq).select("h")
+    covered = (
+        spans.join(hot, "h", "left_semi")
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(shingle_k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    word_rows = staged.select(
+        key_col, F.posexplode("__ws").alias("pos", "w")
+    )
+    kept = word_rows.join(covered, [key_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ", F.expr("transform(sort_array(collect_list(struct(pos, w))), x -> x.w)")
+        ).alias("text_out"),
+    )
+    base = staged.select(F.col(key_col), F.size("__ws").alias("n_words"))
+    return base.join(rebuilt, key_col, "left").select(
+        key_col,
+        "n_words",
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias("n_removed_words"),
+        F.coalesce("text_out", F.lit("")).alias("text_out"),
+    )

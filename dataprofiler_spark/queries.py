@@ -2769,6 +2769,44 @@ def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "remove_duplicated_spans_documents",
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+spbase AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 3)) AS start, ws
+           FROM w WHERE len(ws) >= 3),
+sp AS (SELECT doc_id, start, array_to_string(ws[start + 1 : start + 3], ' ') AS s
+       FROM spbase),
+sdf AS (SELECT s, COUNT(DISTINCT doc_id) AS df_ FROM sp GROUP BY s),
+hot AS (SELECT s FROM sdf WHERE df_ > 2),
+cov AS (SELECT DISTINCT doc_id, start + u AS pos
+        FROM (SELECT sp.doc_id, sp.start, unnest(generate_series(0, 2)) AS u
+              FROM sp JOIN hot USING (s))),
+wr AS (SELECT doc_id, i - 1 AS pos, ws[i] AS wd
+       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+kept AS (SELECT wr.doc_id, wr.pos, wr.wd FROM wr
+         ANTI JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.pos),
+reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(wd, ' ' ORDER BY pos) AS text_out
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+       CAST(len(ws) - COALESCE(reb.n_kept, 0) AS INT) AS n_removed_words,
+       COALESCE(reb.text_out, '') AS text_out
+FROM w LEFT JOIN reb USING (doc_id)""",
+)
+def remove_duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal over the documents corpus (hot
+    3-grams in > 2 docs dropped with overlap-merged coverage). The
+    engine decides on xxhash64 span digests; the oracle replays on span
+    TEXT. LOCAL-ONLY TAIL entry (harvest window full this round,
+    gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", shingle_k=3, max_span_doc_freq=2
+    )
+
+
+@register(
     "frequent_values_documents",
     """WITH pairs AS (
   SELECT 'lang' AS column_name, CAST(lang AS VARCHAR) AS value FROM documents

@@ -366,3 +366,34 @@ def test_paragraph_dedup_null_text(spark):
     out = {r.doc_id: r for r in paragraph_dedup(df, "doc_id").collect()}
     assert (out[1].n_paras, out[1].n_kept, out[1].n_removed, out[1].text_out) == (0, 0, 0, "")
     assert out[2].text_out == "keep\nme"
+
+
+def test_remove_duplicated_spans_basic(spark):
+    from dataprofiler_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (1, "nav home about contact the real content of page one"),
+        (2, "nav home about contact something different entirely here"),
+        (3, "nav home about contact yet another unique body text"),
+        (4, "totally unrelated short doc"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicated_spans(df, "doc_id", shingle_k=3, max_span_doc_freq=2).collect()}
+    # the shared 4-word chrome is covered by two overlapping hot 3-grams
+    assert out[1].text_out == "the real content of page one"
+    assert (out[1].n_words, out[1].n_removed_words) == (10, 4)
+    assert out[2].n_removed_words == 4 and out[3].n_removed_words == 4
+    assert out[4].n_removed_words == 0 and out[5].text_out == "tiny"
+
+
+def test_remove_duplicated_spans_whole_doc_covered(spark):
+    from dataprofiler_spark.operators.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(i, "all rights reserved") for i in range(4)], "doc_id int, text string"
+    )
+    out = remove_duplicated_spans(df, "doc_id", shingle_k=3, max_span_doc_freq=2).collect()
+    for r in out:
+        assert (r.n_words, r.n_removed_words, r.text_out) == (3, 3, "")

@@ -476,3 +476,46 @@ def test_batch_topk_arrow_matches_expr_random(request, vecs, k):
         map(tuple, batch_topk(corpus, queries, k=k, backend="arrow").collect())
     )
     assert expr == arrow
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=7,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=6, deadline=None)
+def test_remove_duplicated_spans_matches_reference(request, corpus, max_df):
+    """Span removal (hot 3-gram coverage merge + rebuild) vs a pure-Python
+    sweep on random short corpora."""
+    spark = request.getfixturevalue("spark")
+    from dataprofiler_spark.operators.dedup import remove_duplicated_spans
+
+    k = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_removed_words, r.text_out)
+        for r in remove_duplicated_spans(
+            df, "doc_id", shingle_k=k, max_span_doc_freq=max_df
+        ).collect()
+    }
+
+    from collections import Counter
+
+    span_docs = Counter()
+    for i, ws in enumerate(corpus):
+        spans = {" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)}
+        for s in spans:
+            span_docs[s] += 1
+    hot = {s for s, c in span_docs.items() if c > max_df}
+    for i, ws in enumerate(corpus):
+        covered = set()
+        for j in range(len(ws) - k + 1):
+            if " ".join(ws[j : j + k]) in hot:
+                covered.update(range(j, j + k))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        want = (len(ws), len(ws) - len(kept), " ".join(kept))
+        assert got[i] == want, (i, got[i], want)
