@@ -859,13 +859,20 @@ def remove_duplicated_spans(
     gone; documented contract). Documents shorter than shingle_k words
     emit no spans and pass through untouched.
 
-    Scale shape: one staged (key, words) projection localCheckpointed
-    (the span frame and the word frame both derive from it — gotcha 16);
-    span doc-frequency is a hash aggregate over 64-bit span digests
-    (map-side combine; text never shuffles); hot spans come back as a
-    digest semi-join; coverage is explode(sequence(start, start+k-1)) →
-    distinct (key, pos); the rebuild is a per-document sort_array —
-    bounded by document size like every per-doc aggregate here."""
+    Scale shape: ONLY the narrow (key, words) projection is
+    localCheckpointed (its two consumers — the span pipeline and the
+    word rows — would otherwise re-scan the corpus; gotcha 16). The
+    span frame is DERIVED, larger than its source, and deliberately NOT
+    materialized: the first cut checkpointed it too and OOMed the local
+    JVM at 32M spans — re-deriving an explode from the materialized
+    words is CPU-cheap, holding 80M deserialized rows in the block
+    manager is not. Span doc-frequency is a hash aggregate over 64-bit
+    digests (map-side combine; text never shuffles); hot spans come
+    back as a digest semi-join; coverage = explode(sequence(start,
+    start+k-1)) → distinct (key, pos). Totals, removal counts, AND the
+    rebuild fold into ONE per-document aggregate over coverage-flagged
+    word rows (no base re-scan, no left-join of two per-doc frames);
+    the only collect_list is a document's own words."""
     words_arr = F.filter(F.split(F.col(text_col), " "), _nonempty)
     staged = df.select(F.col(key_col), words_arr.alias("__ws")).localCheckpoint(
         eager=False
@@ -884,7 +891,6 @@ def remove_duplicated_spans(
             ).alias("sp"),
         )
         .select(key_col, "sp.start", "sp.h")
-        .localCheckpoint(eager=False)  # feeds the df-count AND the cover join
     )
     # doc frequency = docs containing the span (distinct per doc first)
     span_df = (
@@ -903,21 +909,22 @@ def remove_duplicated_spans(
             ).alias("pos"),
         )
         .distinct()
+        .withColumn("__cov", F.lit(True))
     )
-    word_rows = staged.select(
-        key_col, F.posexplode("__ws").alias("pos", "w")
+    # outer explode: a zero-word document keeps one NULL row so it still
+    # reaches the aggregate (n_words = count(w) ignores it)
+    word_rows = staged.select(key_col, F.posexplode_outer("__ws").alias("pos", "w"))
+    flagged = word_rows.join(covered, [key_col, "pos"], "left").select(
+        key_col, "pos", "w", F.coalesce("__cov", F.lit(False)).alias("__cov")
     )
-    kept = word_rows.join(covered, [key_col, "pos"], "left_anti")
-    rebuilt = kept.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    return flagged.groupBy(key_col).agg(
+        F.count("w").cast("int").alias("n_words"),
+        F.sum(F.col("__cov").cast("int")).cast("int").alias("n_removed_words"),
         F.concat_ws(
-            " ", F.expr("transform(sort_array(collect_list(struct(pos, w))), x -> x.w)")
+            " ",
+            F.expr(
+                "transform(filter(sort_array(collect_list(struct(pos, w, __cov))), "
+                "x -> NOT x.__cov), x -> x.w)"
+            ),
         ).alias("text_out"),
-    )
-    base = staged.select(F.col(key_col), F.size("__ws").alias("n_words"))
-    return base.join(rebuilt, key_col, "left").select(
-        key_col,
-        "n_words",
-        (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias("n_removed_words"),
-        F.coalesce("text_out", F.lit("")).alias("text_out"),
     )
