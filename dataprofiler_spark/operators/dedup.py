@@ -928,3 +928,44 @@ def remove_duplicated_spans(
             ),
         ).alias("text_out"),
     )
+
+
+def paragraph_near_dup_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    sep: str = "\n",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Fuzzy paragraph-level near-dup candidates (the RefinedWeb fuzzy
+    line-dedup granularity): explode documents into paragraphs keyed
+    "<doc_key>:<idx>" and run the SAME MinHash-LSH machinery as
+    document-level dedup over them. Pairs are paragraph keys; exact
+    paragraph copies share every band, near-copies most.
+
+    Scale shape: identical to lsh_candidate_pairs (one scan, map-side
+    signatures, (band, hash) bucket groupBy with hot caps) — the explode
+    only multiplies rows by paragraphs/doc before the same pipeline."""
+    paras = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("idx", "para"),
+    ).filter(F.col("para") != "").select(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit(":"), F.col("idx").cast("string")
+        ).alias("para_key"),
+        F.col("para"),
+    )
+    return lsh_candidate_pairs(
+        paras,
+        "para_key",
+        text_col="para",
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+    )

@@ -224,16 +224,18 @@ def growth_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P31 = (1 << 31) - 1
 
 
-def _duck_minhash_cte(num_hashes: int, seed: int = 42) -> str:
+def _duck_minhash_cte(num_hashes: int, seed: int = 42, source: str = "documents") -> str:
     """DuckDB CTEs reproducing minhash_signature() bit-for-bit (same md5
-    prefix hash, same LCG-derived (a,b) params)."""
+    prefix hash, same LCG-derived (a,b) params). `source` must expose
+    (doc_id, text) — pass a prior CTE name to run at other granularities
+    (e.g. exploded paragraphs)."""
     from dataprofiler_spark.operators.dedup import _minhash_params
 
     sig_exprs = ", ".join(
         f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_P31})) AS s{i}"
         for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
     )
-    return f"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    return f"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM {source}),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
          generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
@@ -241,13 +243,15 @@ h AS (SELECT doc_id, list_transform(ss, s -> CAST('0x' || substr(md5(s),1,7) AS 
 sig AS (SELECT doc_id, {sig_exprs} FROM h)"""
 
 
-def _lsh_pairs_sql(num_hashes: int = 16, bands: int = 8) -> str:
+def _lsh_pairs_sql(
+    num_hashes: int = 16, bands: int = 8, prefix: str = "", source: str = "documents"
+) -> str:
     rows = num_hashes // bands
     band_selects = "\nUNION ALL\n".join(
         f"""SELECT doc_id, {b} AS band_id, md5({" || ',' || ".join(f"s{b*rows+r}::VARCHAR" for r in range(rows))}) AS band_hash FROM sig"""
         for b in range(bands)
     )
-    return f"""WITH {_duck_minhash_cte(num_hashes)},
+    return f"""WITH {prefix}{_duck_minhash_cte(num_hashes, source=source)},
 bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS key1, b.doc_id AS key2
 FROM bands a JOIN bands b USING (band_id, band_hash)
@@ -2766,6 +2770,42 @@ def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataprofiler_spark.operators.textstats import zipf_fit
 
     return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+_PARA_LSH_PREFIX = """synth AS (
+  SELECT a.doc_id, a.text || chr(10) || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+pb AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM synth),
+pi AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps FROM pb),
+paras AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) AS doc_id,
+                 ps[i] AS text
+          FROM pi WHERE ps[i] <> ''),
+"""
+
+
+@register(
+    "paragraph_near_dup_pairs_documents",
+    _lsh_pairs_sql(prefix=_PARA_LSH_PREFIX, source="paras"),
+)
+def paragraph_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy paragraph-level near-dup candidates over the synthesized
+    two-doc-window corpus: every text occurs as a paragraph in two docs,
+    so exact paragraph copies must collide in every band. Same bit-exact
+    minhash SQL replay as the document-level entry, run at paragraph
+    granularity through the parameterized CTE source. LOCAL-ONLY TAIL
+    entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import paragraph_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - F.lit(1)).alias("doc_id"), F.col("text").alias("text2")
+    )
+    synth = (
+        docs.select("doc_id", "text")
+        .join(nxt, "doc_id")
+        .select("doc_id", F.concat_ws("\n", "text", "text2").alias("text"))
+    )
+    return paragraph_near_dup_pairs(synth, "doc_id", num_hashes=16, bands=8)
 
 
 @register(

@@ -397,3 +397,19 @@ def test_remove_duplicated_spans_whole_doc_covered(spark):
     out = remove_duplicated_spans(df, "doc_id", shingle_k=3, max_span_doc_freq=2).collect()
     for r in out:
         assert (r.n_words, r.n_removed_words, r.text_out) == (3, 3, "")
+
+
+def test_paragraph_near_dup_pairs_exact_copies_collide(spark):
+    from dataprofiler_spark.operators.dedup import paragraph_near_dup_pairs
+
+    long_a = "the quick brown fox jumps over the lazy dog tonight"
+    long_b = "completely different paragraph about spark query planning"
+    rows = [
+        (1, long_a + "\n" + long_b),
+        (2, long_a + "\nunrelated filler paragraph of words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r.key1, r.key2) for r in
+             paragraph_near_dup_pairs(df, "doc_id", num_hashes=16, bands=8).collect()}
+    assert ("1:0", "2:0") in pairs  # the exact copy collides in every band
+    assert all(not (a.startswith("1:1") and b.startswith("2:1")) for a, b in pairs)
