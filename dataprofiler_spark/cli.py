@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
         "funnel gains n_paragraphs_removed",
     )
     p.add_argument(
+        "--remove-spans",
+        action="store_true",
+        help="with --curate: drop corpus-frequent word spans "
+        "(C4-style duplicated-span removal) before the quality gate; "
+        "the funnel gains n_span_words_removed",
+    )
+    p.add_argument(
         "--layout-report",
         action="store_true",
         help="storage-layout verdict for --input from a metadata-only file "
@@ -349,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
                 key_col=args.key_col,
                 dedup_paragraphs=args.dedup_paragraphs,
+                remove_spans=args.remove_spans,
             ),
             # two actions (funnel + write) share the staged frame
             persist=bool(args.output_dir),

@@ -261,6 +261,12 @@ class CurationConfig:
     # cleaned text) — funnel gains n_paragraphs_removed when enabled
     dedup_paragraphs: bool = False
     paragraph_sep: str = "\n"
+    # optional duplicated-span removal (after paragraph dedup, before the
+    # quality gate) — funnel gains n_span_words_removed when enabled;
+    # NOTE: rebuilt text is whitespace-normalized (operator contract)
+    remove_spans: bool = False
+    span_k: int = 3
+    span_max_doc_freq: int = 2
 
 
 @dataclass
@@ -334,6 +340,24 @@ def curate_corpus(
         )
         para_removed = "__pd_removed"
 
+    span_removed = None
+    if cfg.remove_spans:
+        from dataprofiler_spark.operators.dedup import remove_duplicated_spans
+
+        rs = remove_duplicated_spans(
+            docs, cfg.key_col, cfg.text_col, cfg.span_k, cfg.span_max_doc_freq
+        ).select(
+            cfg.key_col,
+            F.col("text_out").alias("__rs_text"),
+            F.col("n_removed_words").alias("__rs_removed"),
+        )
+        docs = (
+            docs.join(rs, cfg.key_col)
+            .withColumn(cfg.text_col, F.col("__rs_text"))
+            .drop("__rs_text")
+        )
+        span_removed = "__rs_removed"
+
     staged = quality_features(docs, cfg.text_col)
     q_pass = (F.col("n_words") >= cfg.min_words) & (
         F.col("distinct_word_ratio") >= cfg.min_distinct_ratio
@@ -393,6 +417,11 @@ def curate_corpus(
         # then redacted is cfg.redact_pii's job, not this counter's claim
         _n(F.col("__keep") & F.col("__has_pii"), "n_kept_with_pii"),
     ]
+    if span_removed is not None:
+        funnel_aggs.insert(
+            1,
+            F.coalesce(F.sum(span_removed), F.lit(0)).alias("n_span_words_removed"),
+        )
     if para_removed is not None:
         funnel_aggs.insert(
             1,
@@ -409,5 +438,7 @@ def curate_corpus(
         kept = redact(kept, cfg.text_col, output_col="__red").withColumn(
             cfg.text_col, F.col("__red")
         )
-    kept = kept.select(*[c for c in passthrough if c != para_removed], "split")
+    kept = kept.select(
+        *[c for c in passthrough if c not in (para_removed, span_removed)], "split"
+    )
     return CurationResult(curated=kept, funnel=funnel)

@@ -348,3 +348,48 @@ def test_curate_paragraph_dedup_off_is_unchanged(spark):
     base = curate_corpus(spark, df, CurationConfig(min_words=10, min_distinct_ratio=0.0))
     assert "n_paragraphs_removed" not in base.funnel.columns
     assert base.funnel.collect()[0].n_kept == 1
+
+
+def test_curate_with_span_removal(spark):
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    chrome = "nav home about contact"
+    bodies = [" ".join(f"b{i}x{j}" for j in range(12)) for i in range(3)]
+    rows = [(i, chrome + " " + bodies[i]) for i in range(3)]
+    rows.append((9, chrome))  # chrome-only doc: empties after removal
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        min_words=10, min_distinct_ratio=0.0, remove_spans=True, span_max_doc_freq=2
+    )
+    res = curate_corpus(spark, df, cfg)
+    f = res.funnel.collect()[0]
+    # 4 chrome words removed from each of the 4 docs
+    assert f.n_input == 4 and f.n_span_words_removed == 16
+    assert f.n_quality == 3 and f.n_kept == 3  # chrome-only doc emptied out
+    kept = {r.doc_id: r.text for r in res.curated.collect()}
+    assert set(kept) == {0, 1, 2}
+    for i in range(3):
+        assert kept[i] == bodies[i]  # chrome stripped, body intact
+    assert set(res.curated.columns) == {"doc_id", "text", "split"}
+
+
+def test_curate_paragraph_then_span_stages_compose(spark):
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    chrome = "nav home about contact"
+    body = " ".join(f"w{j}" for j in range(12))
+    # duplicated paragraph + chrome spans in the surviving text
+    rows = [
+        (1, chrome + " " + body + "\n" + "shared para line"),
+        (2, chrome + " " + body + "x\n" + "shared para line"),
+        (3, chrome + " other unique twelve word body " + body),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(
+        min_words=5, min_distinct_ratio=0.0,
+        dedup_paragraphs=True, remove_spans=True, span_max_doc_freq=2,
+    )
+    f = curate_corpus(spark, df, cfg).funnel.collect()[0]
+    assert "n_paragraphs_removed" in f.asDict() and "n_span_words_removed" in f.asDict()
+    assert f.n_paragraphs_removed >= 1  # the shared para's second copy
+    assert f.n_span_words_removed >= 9  # chrome in all three docs
