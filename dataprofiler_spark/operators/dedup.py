@@ -666,6 +666,41 @@ def simhash(text_col: str | Column, bits: int = 60, portable: bool = True) -> Co
     return out
 
 
+def hamming_bucket_pairs(
+    chunks: DataFrame, max_hamming: int, max_bucket_size: int
+) -> DataFrame:
+    """Shared hamming-LSH candidate machinery over a chunked-hash frame
+    (key, h:long, chunk_id, chunk): bucket on (chunk_id, chunk), expand
+    pairs in-expression (groupBy + sorted collect_list — NOT a self-join,
+    which would recompute the upstream hash pipeline for both sides and
+    shuffle it twice; gotcha 16), verify exact hamming via
+    bit_count(xor). sort_array orders members by key so array order gives
+    key1 < key2 for free. max_bucket_size drops degenerate hot buckets
+    (quadratic in one task at corpus scale — recall trade, disclosed by
+    every LSH path here). Used by simhash (4 x 15-bit chunks), image
+    pHash and audio fingerprints (4 x 16-bit chunks)."""
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+                    "y -> struct(x.key AS key1, y.key AS key2, x.h AS h1, y.h AS h2)))"
+                )
+            )
+        ).alias("p")
+    ).select(
+        "p.key1",
+        "p.key2",
+        F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
+    )
+    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     key_col: str,
@@ -731,31 +766,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("c"),
     ).select("key", "h", "c.chunk_id", "c.chunk")
-    # Pairs via groupBy(bucket) + sorted collect_list + in-expression pair
-    # expansion — NOT a self-join: referencing the chunk frame twice would
-    # recompute the whole signature pipeline (scan + explode + 60-sum agg)
-    # for both sides and shuffle it twice (plan-gated: one scan). sort_array
-    # orders members by key, so array order gives key1 < key2 for free.
-    buckets = (
-        chunks.groupBy("chunk_id", "chunk")
-        .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
-                    "y -> struct(x.key AS key1, y.key AS key2, x.h AS h1, y.h AS h2)))"
-                )
-            )
-        ).alias("p")
-    ).select(
-        "p.key1",
-        "p.key2",
-        F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
-    )
-    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+    return hamming_bucket_pairs(chunks, max_hamming, max_bucket_size)
 
 
 def paragraph_dedup(

@@ -503,10 +503,10 @@ def image_near_dup_pairs(
 def _hamming_lsh_pairs(
     hashed: DataFrame, max_hamming: int, max_bucket_size: int
 ) -> DataFrame:
-    """Shared hamming-LSH candidate machinery over a (key, h:long) frame:
-    4 × 16-bit chunk buckets, one-scan groupBy + in-expression pair
-    expansion (no self-join — gotcha 16), exact bit_count(xor) verify.
-    Same shape (and caps disclosure) as simhash_near_dup_pairs."""
+    """64-bit hashes -> 4 x 16-bit chunks -> the shared
+    dedup.hamming_bucket_pairs machinery (one implementation of the
+    bucket/pair-expansion/verify pipeline for simhash, pHash, and audio
+    fingerprints)."""
     chunks = hashed.select(
         "key",
         "h",
@@ -522,26 +522,9 @@ def _hamming_lsh_pairs(
             )
         ).alias("c"),
     ).select("key", "h", "c.chunk_id", "c.chunk")
-    buckets = (
-        chunks.groupBy("chunk_id", "chunk")
-        .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
-                    "y -> struct(x.key AS key1, y.key AS key2, x.h AS h1, y.h AS h2)))"
-                )
-            )
-        ).alias("p")
-    ).select(
-        "p.key1",
-        "p.key2",
-        F.bit_count(F.col("p.h1").bitwiseXOR(F.col("p.h2"))).alias("hamming"),
-    )
-    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+    from dataprofiler_spark.operators.dedup import hamming_bucket_pairs
+
+    return hamming_bucket_pairs(chunks, max_hamming, max_bucket_size)
 
 
 AUDIO_FP_SCHEMA = T.StructType(

@@ -51,11 +51,19 @@ def brute_force_topk(
     qn = float(sum(x * x for x in query_vec) ** 0.5)
     scored = df.select(
         F.col(id_col),
+        # nullif: a zero-norm vector has no cosine — NULL, excluded below
+        # (Spark would otherwise rank NaN ABOVE every real score)
         F.round(
-            dot(F.col(vec_col), q) / (l2_norm(F.col(vec_col)) * F.lit(qn)), 6
+            dot(F.col(vec_col), q)
+            / F.nullif(l2_norm(F.col(vec_col)) * F.lit(qn), F.lit(0.0)),
+            6,
         ).alias("cos_sim"),
     )
-    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def _assign_to_centroids(
@@ -155,7 +163,10 @@ def _assign_gemm(cids, cvecs, vec_col: str):
                 continue
             A = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             an = np.sqrt((A * A).sum(axis=1))
-            S = (A @ C.T) / np.outer(an, cn)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = (A @ C.T) / np.outer(an, cn)
+            # zero-norm rows: -2 everywhere -> first centroid, same as expr
+            S = np.nan_to_num(S, nan=-2.0)
             pdf = pdf.copy()
             pdf["centroid_id"] = ci[np.argmax(S, axis=1)]
             yield pdf
@@ -168,7 +179,15 @@ def _sim_fn(vec_col: str):
     capture breaks PySpark's HOF arity inference — CLAUDE.md gotcha 4)."""
 
     def f(c):
-        return dot(F.col(vec_col), c["v"]) / (F.col("__vnorm") * c["nrm"])
+        # nullif+coalesce: a zero-norm data vector scores -2 against every
+        # centroid -> deterministic first-centroid assignment, identical
+        # to the arrow kernel's nan_to_num(-2) (NaN would otherwise make
+        # array_max/array_position engine-dependent)
+        return F.coalesce(
+            dot(F.col(vec_col), c["v"])
+            / F.nullif(F.col("__vnorm") * c["nrm"], F.lit(0.0)),
+            F.lit(-2.0),
+        )
 
     return f
 
@@ -322,6 +341,8 @@ def batch_topk(
             if t not in ("int", "bigint", "smallint", "tinyint"):
                 raise ValueError(f"backend='arrow' needs an integral {col} (got {t})")
         qrows = queries.select(query_id_col, query_vec_col).collect()
+        qtype = dict(queries.dtypes)[query_id_col]
+        ctype = dict(corpus.dtypes)[id_col]
         cand = corpus.select(id_col, vec_col).mapInPandas(
             _batch_gemm_scorer(
                 [r[0] for r in qrows],
@@ -331,7 +352,10 @@ def batch_topk(
                 vec_col,
                 query_id_col,
             ),
-            f"{query_id_col} long, {id_col} long, cos_sim double",
+            # schema follows the INPUT id types (Arrow downcasts the
+            # kernel's int64 arrays) so expr and arrow return identical
+            # schemas — the backend is a performance knob, not a cast
+            f"{query_id_col} {qtype}, {id_col} {ctype}, cos_sim double",
         )
         scored = cand
     else:
@@ -342,12 +366,14 @@ def batch_topk(
         scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
             F.col(query_id_col),
             F.col(id_col),
+            # nullif: zero-norm rows have no cosine -> NULL -> excluded
+            # below, matching the arrow kernel's NaN masking
             F.round(
                 dot(F.col(vec_col), F.col(query_vec_col))
-                / (F.col("__cn") * F.col("__qn")),
+                / F.nullif(F.col("__cn") * F.col("__qn"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
-        )
+        ).filter(F.col("cos_sim").isNotNull())
     return top_rows_per_group(
         scored,
         [query_id_col],
@@ -380,10 +406,16 @@ def _batch_gemm_scorer(qids, qvecs, k: int, id_col: str, vec_col: str, query_id_
             A = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             an = np.sqrt((A * A).sum(axis=1))
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            S = np.round((A @ Q.T) / np.outer(an, qn), 6)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                S = np.round((A @ Q.T) / np.outer(an, qn), 6)
+            finite = np.isfinite(S)
             out_q, out_i, out_c = [], [], []
             for j in range(len(qi)):
-                order = np.lexsort((ids, -S[:, j]))[:k]
+                ok = finite[:, j]
+                if not ok.any():
+                    continue
+                order = np.lexsort((ids[ok], -S[ok, j]))[:k]
+                order = np.nonzero(ok)[0][order]
                 out_q.append(np.full(len(order), qi[j], dtype=np.int64))
                 out_i.append(ids[order])
                 out_c.append(S[order, j])
@@ -511,7 +543,12 @@ def embedding_near_dup_pairs(
     ).select(
         "p.key1",
         "p.key2",
-        F.round(dot(F.col("p.v1"), F.col("p.v2")) / F.col("p.nn"), 6).alias("cos_sim"),
+        # nullif: zero-norm pairs have no cosine; NULL fails the threshold
+        # filter on both backends (Spark treats NaN as the LARGEST double,
+        # which would silently "match" zero vectors)
+        F.round(
+            dot(F.col("p.v1"), F.col("p.v2")) / F.nullif(F.col("p.nn"), F.lit(0.0)), 6
+        ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
 
@@ -637,15 +674,27 @@ def semantic_dedup(
         pairs = same.unionByName(cross).select(
             "p.key1",
             "p.key2",
-            F.round(dot(F.col("p.v1"), F.col("p.v2")) / F.col("p.nn"), 6).alias("cos_sim"),
+            # nullif: zero-norm pairs have no cosine -> NULL -> no match,
+            # identical to the arrow kernel's NaN >= threshold == False
+            F.round(
+                dot(F.col("p.v1"), F.col("p.v2")) / F.nullif(F.col("p.nn"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
         )
     dropped = (
         pairs.filter(F.col("cos_sim") >= threshold)
         .select(F.greatest("key1", "key2").alias("key"))
         .distinct()
     )
+    # membership comes from the MATERIALIZED blocked frame (explode of the
+    # checkpointed block lists), NOT from `assigned` — consuming assigned
+    # again would re-execute the whole centroid-assignment pipeline
+    # (second corpus scan + argmax pass) for the final join side
+    membership = blocked.select(
+        "centroid_id", F.explode("ms").alias("m")
+    ).select(F.col("m.key").alias("key"), "centroid_id")
     return (
-        assigned.select("key", "centroid_id")
+        membership
         .join(dropped.withColumn("__dropped", F.lit(True)), "key", "left")
         .select(
             F.col("key").alias(id_col),

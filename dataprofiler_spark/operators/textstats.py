@@ -417,8 +417,16 @@ def boilerplate_ngram_stats(
     aggregate and the per-doc join consume it (gotchas 16/24)."""
     from dataprofiler_spark.operators.dedup import word_shingles
 
+    # empty pseudo-tokens filtered BEFORE shingling (gotcha 25) so spans
+    # here are the SAME spans remove_duplicated_spans removes — the stats
+    # and the acting operator must agree on what is boilerplate
     staged = df.select(
-        F.col(key_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
+        F.col(key_col),
+        word_shingles(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+            shingle_k,
+            pre_split=True,
+        ).alias("__sh"),
     )
     sh = (
         staged.select(

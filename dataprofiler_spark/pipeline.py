@@ -278,6 +278,7 @@ class CurationResult:
 RESERVED_CURATION_COLS = (
     "n_chars_calc", "n_words", "mean_word_len", "distinct_word_ratio",
     "stopword_ratio", "fingerprint", "split",
+    "__pd_text", "__pd_removed", "__rs_text", "__rs_removed",
 )
 
 
@@ -438,7 +439,7 @@ def curate_corpus(
         kept = redact(kept, cfg.text_col, output_col="__red").withColumn(
             cfg.text_col, F.col("__red")
         )
-    kept = kept.select(
-        *[c for c in passthrough if c not in (para_removed, span_removed)], "split"
-    )
+    # passthrough was snapshotted BEFORE the staging joins, so it never
+    # contains the __pd_/__rs_ columns — no filtering needed
+    kept = kept.select(*passthrough, "split")
     return CurationResult(curated=kept, funnel=funnel)

@@ -2668,8 +2668,8 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence rule must strip the second copy. The oracle replays
     split/first-occurrence/reassembly on paragraph TEXT; the engine
     decides on xxhash64 digests — same answer, digests never ride the
-    dedup shuffle as text at scale. LOCAL-ONLY TAIL entry (harvest window
-    full this round, gotcha 26)."""
+    dedup shuffle as text at scale. Holds a HARVEST-WINDOW slot this
+    round (rotated into _PROVEN_REFILL, gotcha 26)."""
     from dataprofiler_spark.operators.dedup import paragraph_dedup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2726,7 +2726,8 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 5 == 0 vector gets a 2x-scaled copy (same direction, cos = 1)
     at id+100000 — the min-id rule must keep each original and drop its
     copy, while the natural corpus (max pair cos 0.51) survives intact.
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Holds a HARVEST-WINDOW slot this round (rotated into _PROVEN_REFILL,
+    gotcha 26)."""
     from dataprofiler_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -2765,8 +2766,9 @@ FROM a""",
 )
 def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the documents corpus word-frequency head — the
-    corpus-quality diagnostic (slope ≈ -1 on natural text). LOCAL-ONLY
-    TAIL entry (harvest window full this round, gotcha 26)."""
+    corpus-quality diagnostic (slope ≈ -1 on natural text). Holds a
+    HARVEST-WINDOW slot this round (rotated into _PROVEN_REFILL,
+    gotcha 26)."""
     from dataprofiler_spark.operators.textstats import zipf_fit
 
     return zipf_fit(load_table(spark, sf_dir, "documents"))
@@ -2904,7 +2906,8 @@ def vocab_rank_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "boilerplate_ngrams_documents",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
          generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
        ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
@@ -2923,8 +2926,9 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus-level boilerplate exposure (fraction of the
     doc's distinct 3-gram shingles seen in > 2 documents). The engine
     decides on xxhash64 shingle digests; the oracle replays on shingle
-    TEXT — same answer, digests never shuffle as text at scale.
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    TEXT — same answer, digests never shuffle as text at scale. Holds a
+    HARVEST-WINDOW slot this round (rotated into _PROVEN_REFILL,
+    gotcha 26)."""
     from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
 
     return boilerplate_ngram_stats(load_table(spark, sf_dir, "documents"))

@@ -396,3 +396,51 @@ def test_batch_topk_arrow_empty_queries(spark):
     )
     queries = spark.createDataFrame([], "query_id long, query_vec array<double>")
     assert batch_topk(corpus, queries, k=3, backend="arrow").count() == 0
+
+
+def test_zero_norm_vectors_consistent_across_backends(spark):
+    """Zero embeddings (padding rows) have no cosine: they must never
+    'match' anything (Spark ranks NaN above every real double, which the
+    nullif guards now prevent) and both backends must agree."""
+    from dataprofiler_spark.operators.similarity import (
+        _hyperplane,
+        batch_topk,
+        brute_force_topk,
+        semantic_dedup,
+    )
+
+    rows = [(i, _hyperplane(4, i + 2, seed=8)) for i in range(4)]
+    rows += [(10, [0.0] * 4), (11, [0.0] * 4)]  # two zero vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(dim=4, num_clusters=2, threshold=0.5)
+    expr = sorted(map(tuple, semantic_dedup(df, **kw).collect()))
+    arrow = sorted(map(tuple, semantic_dedup(
+        df, pair_backend="arrow", assign_backend="arrow", **kw).collect()))
+    assert expr == arrow
+    surv = dict((v, s) for v, _, s in expr)
+    assert surv[10] and surv[11]  # zero vectors are NOT near-dups of anything
+
+    top = brute_force_topk(df, rows[0][1], k=10).collect()
+    assert {r.vec_id for r in top} == {0, 1, 2, 3}  # zero rows excluded
+
+    queries = spark.createDataFrame([(0, rows[0][1])], "query_id long, query_vec array<double>")
+    be = sorted(map(tuple, batch_topk(df, queries, k=10).collect()))
+    ba = sorted(map(tuple, batch_topk(df, queries, k=10, backend="arrow").collect()))
+    assert be == ba
+    assert {t[1] for t in be} == {0, 1, 2, 3}
+
+
+def test_batch_topk_arrow_schema_follows_input_types(spark):
+    from dataprofiler_spark.operators.similarity import _hyperplane, batch_topk
+
+    corpus = spark.createDataFrame(
+        [(i, _hyperplane(4, i + 1, seed=8)) for i in range(4)],
+        "vec_id int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, _hyperplane(4, 1, seed=8))], "query_id int, query_vec array<double>"
+    )
+    e = dict(batch_topk(corpus, queries, k=2).dtypes)
+    a = dict(batch_topk(corpus, queries, k=2, backend="arrow").dtypes)
+    assert e == a  # backend is a performance knob, not a schema change

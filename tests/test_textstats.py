@@ -310,3 +310,17 @@ def test_vocab_rank_drift_reversed_ranks(spark):
     b = spark.createDataFrame([(0, "w w w v v u")], "doc_id int, text string")
     row = vocab_rank_drift(a, b).collect()[0]
     assert row.n_shared == 3 and row.rank_corr == -1.0
+
+
+def test_boilerplate_ngrams_whitespace_invariant(spark):
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    a = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z q"), (3, "x y z r")], "doc_id int, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x  y z w"), (2, "x y  z q"), (3, " x y z r")], "doc_id int, text string"
+    )
+    ra = sorted(map(tuple, boilerplate_ngram_stats(a, df_threshold=2).collect()))
+    rb = sorted(map(tuple, boilerplate_ngram_stats(b, df_threshold=2).collect()))
+    assert ra == rb  # gotcha 25: formatting must not shift the spans
