@@ -980,3 +980,47 @@ def paragraph_near_dup_pairs(
         seed=seed,
         max_bucket_size=max_bucket_size,
     )
+
+
+def duplication_weights(
+    df: DataFrame,
+    cols: list[str],
+    weight_col: str = "weight",
+    digest_col: str | None = None,
+) -> DataFrame:
+    """Soft dedup: per-row training weight 1 / |exact-dup group| over a
+    content digest of `cols` — instead of DROPPING duplicates, downweight
+    them so each distinct content contributes unit mass to the loss (the
+    standard alternative when dedup would starve rare domains).
+
+    One count window over the 128-bit digest: a single shuffle on narrow
+    (digest) keys, no join-back. A dup group lands in one window task —
+    bounded in practice by the corpus's max copy count; if an adversarial
+    corpus has table-sized dup groups, dedup first (they carry ~no
+    information anyway). Weights are rounded to 6dp (driver-compare
+    convention). `digest_col` keeps the digest for auditing."""
+    d = content_hash(*cols)
+    staged = df.withColumn("__digest", d)
+    w = Window.partitionBy("__digest")
+    out = staged.withColumn(
+        weight_col, F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6)
+    )
+    if digest_col:
+        out = out.withColumn(digest_col, F.col("__digest"))
+    return out.drop("__digest")
+
+
+def cluster_weights(
+    assignments: DataFrame,
+    cluster_col: str = "cluster_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Per-row weight 1 / |near-dup cluster| from a dedup_clusters /
+    connected-components assignment frame — soft NEAR-dedup (SemDeDup /
+    D4-style reweighting). Same one-window shape as duplication_weights;
+    near-dup clusters are LSH-bounded (hot-bucket caps upstream), so no
+    funnel."""
+    w = Window.partitionBy(cluster_col)
+    return assignments.withColumn(
+        weight_col, F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6)
+    )

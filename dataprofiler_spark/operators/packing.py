@@ -148,3 +148,50 @@ def batch_padding_stats(
             6,
         ).alias("padding_frac"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+    stride: int = 8,
+) -> DataFrame:
+    """Overlapping fixed-width word windows per document — the RAG /
+    retrieval-indexing splitter (window `window` words, hop `stride`,
+    so consecutive chunks overlap by `window - stride`). Emits one row
+    per (doc, chunk): (key, chunk_start, n_tokens, chunk_text).
+
+    Pure map-side explode: the words array is materialized once
+    (gotcha 8), start offsets come from `sequence(0, n-1, stride)`, and
+    each slice is a bounded array op — no shuffle, no UDF; output size
+    is ~n_words/stride rows per doc. Empty docs (no non-empty tokens,
+    gotcha 25) emit no chunks."""
+    if not (0 < stride <= window):
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    staged = df.withColumn(
+        "__ws", F.filter(F.split(F.col(text_col), " "), _nonempty_word)
+    ).withColumn("__n", F.size("__ws"))
+    exploded = staged.filter(F.col("__n") > 0).select(
+        F.col(key_col),
+        F.col("__ws"),
+        F.col("__n"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
+        ).alias("chunk_start"),
+    )
+    return exploded.select(
+        key_col,
+        "chunk_start",
+        F.least(F.lit(int(window)), F.col("__n") - F.col("chunk_start")).alias(
+            "n_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("__ws"), F.col("chunk_start") + 1, F.lit(int(window))), " "
+        ).alias("chunk_text"),
+    )
+
+
+def _nonempty_word(w: Column) -> Column:
+    # module-level HOF lambda (gotcha 4)
+    return w != ""

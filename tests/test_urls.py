@@ -1,0 +1,125 @@
+"""URL canonicalization / domain extraction / URL dedup / domain cap."""
+
+from pyspark.sql import functions as F
+
+from dataprofiler_spark.operators.urls import (
+    domain_cap_sample,
+    domain_stats,
+    registered_domain,
+    url_dedup,
+    with_normalized_url,
+)
+
+
+def _norm_one(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return with_normalized_url(df).select("norm_url").first()[0]
+
+
+def test_normalize_cases(spark):
+    cases = {
+        # scheme+host lowercased, default port stripped, fragment stripped
+        "HTTPS://News.Example.COM:443/a/b#frag": "https://news.example.com/a/b",
+        # www + :80 stripped, tracking params dropped, kept params sorted
+        "http://www.example.com:80/x?utm_source=rss&z=1&id=3": "http://example.com/x?id=3&z=1",
+        # scheme-less input defaults to http; trailing slash stripped
+        "example.com/path/": "http://example.com/path",
+        # later '?' belongs to the query; fbclid/gclid dropped
+        "https://a.com/p?id=2?b&fbclid=x&gclid=y": "https://a.com/p?id=2?b",
+        # empty params dropped; :8080 (non-default) kept
+        "https://a.com:8080/p?&&id=1": "https://a.com:8080/p?id=1",
+        # bare host, no path, no query
+        "http://WWW.A.com": "http://a.com",
+        # ref / utm_campaign are tracking; '=' -less param kept
+        "https://a.com/p?ref=tw&utm_campaign=c&debug": "https://a.com/p?debug",
+    }
+    for raw, want in cases.items():
+        assert _norm_one(spark, raw) == want, raw
+
+
+def test_normalize_root_slash_and_only_tracking(spark):
+    # root '/' also stripped (canonical host form); all-tracking query → none
+    assert (
+        _norm_one(spark, "https://a.com/?utm_source=x") == "https://a.com"
+    )
+
+
+def test_registered_domain(spark):
+    rows = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("www.example.com", "example.com"),  # (www already stripped upstream
+        #  in the pipeline; raw input here shows the pure-label behavior)
+        ("a.b.c.example.com.au", "example.com.au"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("deep.sub.example.org", "example.org"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = [
+        r[0]
+        for r in df.select(registered_domain("host").alias("d")).collect()
+    ]
+    want = [d for _, d in rows]
+    # www.example.com → last2 = example.com (www is just a label here)
+    assert got == want
+
+
+def test_url_dedup_survivor_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/x/?utm_source=a", "p1"),
+            (2, "https://a.com:443/x?utm_campaign=b", "p2"),
+            (3, "http://a.com/x", "p3"),  # different scheme → distinct
+        ],
+        "doc_id long, url string, payload string",
+    )
+    out = url_dedup(df, "url", "doc_id", payload_cols=["payload"])
+    rows = {r["norm_url"]: r for r in out.collect()}
+    assert rows["https://a.com/x"]["survivor_doc_id"] == 1
+    assert rows["https://a.com/x"]["dup_count"] == 2
+    assert rows["https://a.com/x"]["payload"] == "p1"
+    assert rows["http://a.com/x"]["dup_count"] == 1
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.news.co.uk/1",),
+            ("https://www.b.news.co.uk/2",),  # same registered? b.news.co.uk
+            ("https://x.com/3",),
+        ],
+        "url string",
+    )
+    got = {r["domain"]: r["n_docs"] for r in domain_stats(df).collect()}
+    # news.co.uk is NOT in the suffix sample → last2 = news.co.uk?? no:
+    # labels(a.news.co.uk) last2 = co.uk (multi) → last3 = news.co.uk
+    assert got == {"news.co.uk": 2, "x.com": 1}
+
+
+def test_domain_cap_sample_exact_and_stable(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 90, "big.com").otherwise("small.com").alias("domain"),
+    )
+    out = domain_cap_sample(df, "domain", "doc_id", cap=7)
+    got = out.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in got}
+    assert counts == {"big.com": 7, "small.com": 7}
+    # deterministic: same selection on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in domain_cap_sample(df, "domain", "doc_id", 7).collect())
+    assert a == b
+    # supersets nest: cap=7 ⊂ cap=20
+    big = sorted(
+        r["doc_id"]
+        for r in domain_cap_sample(df, "domain", "doc_id", 20).collect()
+    )
+    assert set(a) <= set(big)
+
+
+def test_normalized_url_is_pure_projection(spark):
+    """Plan gate: canonicalization must add no shuffle — a scan stays a
+    scan at 100 TB."""
+    df = spark.createDataFrame([("https://a.com/x",)], "url string")
+    plan = with_normalized_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
