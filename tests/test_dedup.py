@@ -413,3 +413,34 @@ def test_paragraph_near_dup_pairs_exact_copies_collide(spark):
              paragraph_near_dup_pairs(df, "doc_id", num_hashes=16, bands=8).collect()}
     assert ("1:0", "2:0") in pairs  # the exact copy collides in every band
     assert all(not (a.startswith("1:1") and b.startswith("2:1")) for a, b in pairs)
+
+
+def test_duplication_weights_inverse_group_size(spark):
+    """Weight = 1/|exact-dup group|: singletons keep full mass, a pair
+    gets 0.5 each, a triple 0.333333 each; per-group mass sums to 1."""
+    from dataprofiler_spark.operators.dedup import duplication_weights
+
+    rows = [(1, "a"), (2, "b"), (3, "b"), (4, "c"), (5, "c"), (6, "c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.weight
+           for r in duplication_weights(df, ["text"]).collect()}
+    assert out[1] == 1.0
+    assert out[2] == out[3] == 0.5
+    assert out[4] == out[5] == out[6] == 0.333333
+
+
+def test_cluster_weights_from_dedup_clusters(spark):
+    """cluster_weights composes with the dedup_clusters assignment frame:
+    every member of a near-dup cluster is downweighted by cluster size."""
+    from dataprofiler_spark.operators.dedup import cluster_weights, dedup_clusters
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    b = base.replace("tok5", "x5")
+    c = b.replace("tok35", "y35")
+    df = spark.createDataFrame(
+        [(1, base), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    clusters = dedup_clusters(df, "doc_id", num_hashes=16, bands=8)
+    out = {r.node: r.weight
+           for r in cluster_weights(clusters, cluster_col="component").collect()}
+    assert out == {1: 0.333333, 2: 0.333333, 3: 0.333333}

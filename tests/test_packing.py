@@ -85,3 +85,38 @@ def test_batch_padding_stats_exact_and_bucketed_win(spark):
     r = batch_padding_stats(three, "n_tok", 2, group_col="source").collect()[0]
     # batches: (5,7) pad 2; (9) pad 0
     assert r.padded_tokens == 2
+
+
+def test_chunk_windows_exact_slices(spark):
+    """Window 4 / stride 3: starts 0,3,6,... chunk text and n_tokens match
+    hand-computed slices; the tail chunk is short, never empty."""
+    from dataprofiler_spark.operators.packing import chunk_windows
+
+    text = "w0 w1 w2 w3 w4 w5 w6"  # 7 words
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_windows(df, window=4, stride=3).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    got = [(r.chunk_start, r.n_tokens, r.chunk_text) for r in rows]
+    assert got == [
+        (0, 4, "w0 w1 w2 w3"),
+        (3, 4, "w3 w4 w5 w6"),
+        (6, 1, "w6"),
+    ]
+
+
+def test_chunk_windows_empty_and_validation(spark):
+    from dataprofiler_spark.operators.packing import chunk_windows
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "only one  word")], "doc_id bigint, text string"
+    )
+    rows = chunk_windows(df, window=5, stride=5).collect()
+    # doc 1 has no non-empty tokens -> no chunks; doc 2 -> one chunk of 3
+    assert [(r.doc_id, r.n_tokens, r.chunk_text) for r in rows] == [
+        (2, 3, "only one word")
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_windows(df, window=4, stride=5)
