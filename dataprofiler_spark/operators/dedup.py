@@ -157,7 +157,7 @@ def minhash_signature(
     return F.array(*sigs)
 
 
-def lsh_candidate_pairs(
+def minhash_band_frame(
     df: DataFrame,
     key_col: str,
     text_col: str = "text",
@@ -165,21 +165,18 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     seed: int = 42,
-    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket on
-    (band_id, band_hash), emit distinct (key1 < key2) pairs.
+    """The storable LSH band frame: (key, band_id, band_hash) — `bands`
+    narrow fixed-width rows per document, entirely map-side expressions.
+    This is both the internal stage of `lsh_candidate_pairs` and the
+    APPEND-ONLY NEAR-DUP LEDGER for cross-snapshot dedup: persist it per
+    corpus snapshot and new batches probe it via
+    `near_dup_against_history` without ever re-reading history text.
 
-    Physical shape (deliberate, measured): signatures are computed ONCE —
-    each pipeline stage (words → shingles → shingle hashes → signature) is
-    materialized as a column so Catalyst doesn't inline and re-evaluate the
-    md5 subtree 16× per hash function. Pairs come from groupBy(bucket) +
-    collect_list + in-expression pair expansion instead of a self-join —
-    a self-join would recompute the whole signature subtree for both sides
-    and shuffle the table twice; this shape shuffles once.
-
-    max_bucket_size drops degenerate buckets (boilerplate collisions) whose
-    quadratic pair expansion would dominate at corpus scale."""
+    Physical shape (deliberate, measured): each pipeline stage (words →
+    shingles → shingle hashes → signature) is materialized as a column so
+    Catalyst doesn't inline and re-evaluate the md5 subtree once per hash
+    function (CLAUDE.md gotcha 8)."""
     rows_per_band = num_hashes // bands
 
     words = F.split(F.col(text_col), " ")
@@ -207,7 +204,7 @@ def lsh_candidate_pairs(
         F.array_min(F.transform("__hashes", _hash_fn(a, b))).cast("string")
         for a, b in _minhash_params(num_hashes, seed)
     ]
-    banded = staged.select(
+    return staged.select(
         "key",
         F.explode(
             F.array(
@@ -223,6 +220,34 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("key", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket on
+    (band_id, band_hash), emit distinct (key1 < key2) pairs.
+
+    Physical shape (deliberate, measured): signatures are computed ONCE
+    via `minhash_band_frame` (stage-materialized, see its docstring).
+    Pairs come from groupBy(bucket) + collect_list + in-expression pair
+    expansion instead of a self-join — a self-join would recompute the
+    whole signature subtree for both sides and shuffle the table twice;
+    this shape shuffles once.
+
+    max_bucket_size drops degenerate buckets (boilerplate collisions) whose
+    quadratic pair expansion would dominate at corpus scale."""
+    banded = minhash_band_frame(
+        df, key_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
+    )
 
     buckets = (
         banded.groupBy("band_id", "band_hash")
@@ -1023,4 +1048,76 @@ def cluster_weights(
     w = Window.partitionBy(cluster_col)
     return assignments.withColumn(
         weight_col, F.round(F.lit(1.0) / F.count(F.lit(1)).over(w), 6)
+    )
+
+
+def dedup_against_history(
+    new_df: DataFrame,
+    history_digests: DataFrame,
+    cols: list[str],
+    key_col: str,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental EXACT dedup of a new ingestion batch against the
+    append-only digest ledger of everything already in the corpus — the
+    continuous-crawl shape: history text is NEVER re-read or re-shuffled,
+    only its narrow 128-bit digests participate.
+
+    Two stages, both scale-shaped:
+    1. within-batch collapse: one hash aggregate on the content digest;
+       the min-key survivor rides IN the min(struct) buffer (gotcha 36).
+    2. cross-history: left-anti join of the collapsed (digest, survivor)
+       frame against `history_digests[digest_col]` — shuffle of digests
+       only. At 10^11-row ledgers both sides hash-partition on digest;
+       store the ledger bucketed by digest and the exchange on its side
+       disappears entirely.
+
+    Returns one row per NEW distinct content: (digest, survivor_<key>,
+    batch_copies). Appending exactly these digests to the ledger commits
+    the batch — the same commit-after-validate ordering as
+    plans/incremental_files.FileLedger."""
+    staged = new_df.withColumn("__digest", content_hash(*cols))
+    collapsed = staged.groupBy(F.col("__digest").alias(digest_col)).agg(
+        F.min(F.col(key_col)).alias(f"survivor_{key_col}"),
+        F.count(F.lit(1)).alias("batch_copies"),
+    )
+    hist = history_digests.select(F.col(digest_col))
+    return collapsed.join(hist, on=digest_col, how="left_anti")
+
+
+def near_dup_against_history(
+    new_df: DataFrame,
+    history_bands: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR dedup: flag new-batch documents that collide with
+    the historical corpus's MinHash-LSH band ledger (`minhash_band_frame`
+    persisted per snapshot). Returns (key, n_hit_bands, example_hist_key)
+    for flagged docs only — more hit bands ≈ higher Jaccard to something
+    already ingested.
+
+    Scale shape: the history side is pre-aggregated to ONE row per
+    (band_id, band_hash) bucket before the join, so a boilerplate bucket
+    shared by 10^7 historical docs cannot explode the join — the
+    hot-bucket hazard is capped at the bucket-count level, the exact
+    analog of lsh_candidate_pairs' max_bucket_size. Both joins shuffle
+    only fixed-width (band_id, 128-bit hash) keys; no text moves. Store
+    the ledger pre-aggregated (it is idempotent under re-aggregation:
+    min/merge per bucket) and the aggregate is metadata-only."""
+    new_bands = minhash_band_frame(
+        new_df, key_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
+    )
+    hist_buckets = history_bands.groupBy("band_id", "band_hash").agg(
+        F.min("key").alias("__hist_key")
+    )
+    hits = new_bands.join(hist_buckets, on=["band_id", "band_hash"], how="inner")
+    return hits.groupBy("key").agg(
+        F.count_distinct("band_id").alias("n_hit_bands"),
+        F.min("__hist_key").alias("example_hist_key"),
     )

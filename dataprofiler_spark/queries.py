@@ -3119,6 +3119,75 @@ def chunk_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(docs, window=12, stride=8)
 
 
+@register(
+    "dedup_against_history_documents",
+    """WITH hist AS (SELECT DISTINCT md5(substr(text, 1, 20)) AS digest
+                 FROM documents WHERE doc_id % 3 = 0),
+newb AS (SELECT doc_id, md5(substr(text, 1, 20)) AS digest
+         FROM documents WHERE doc_id % 3 <> 0),
+coll AS (SELECT digest, MIN(doc_id) AS survivor_doc_id, COUNT(*) AS batch_copies
+         FROM newb GROUP BY digest)
+SELECT digest, survivor_doc_id, batch_copies FROM coll
+WHERE digest NOT IN (SELECT digest FROM hist)""",
+)
+def dedup_against_history_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new ingestion batch (doc_id%3≠0)
+    against the digest ledger of the already-ingested corpus (doc_id%3=0):
+    within-batch collapse + digest-only anti-join — history text never
+    re-read. 20-char prefix digest manufactures cross-snapshot collisions
+    at test scale (same convention as dedup_exact_prefix_groups).
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import content_hash, dedup_against_history
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 20)
+    hist = docs.filter(F.col("doc_id") % 3 == 0).select(
+        content_hash(prefix).alias("digest")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", prefix.alias("prefix")
+    )
+    return dedup_against_history(new, hist, ["prefix"], "doc_id")
+
+
+def _near_dup_history_sql(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    band_selects = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, {b} AS band_id, md5({" || ',' || ".join(f"s{b*rows+r}::VARCHAR" for r in range(rows))}) AS band_hash FROM sig"""
+        for b in range(bands)
+    )
+    return f"""WITH {_duck_minhash_cte(num_hashes)},
+bands AS ({band_selects}),
+hb AS (SELECT band_id, band_hash, MIN(doc_id) AS hk FROM bands
+       WHERE doc_id % 3 = 0 GROUP BY band_id, band_hash),
+nb AS (SELECT doc_id, band_id, band_hash FROM bands WHERE doc_id % 3 <> 0)
+SELECT nb.doc_id AS key, COUNT(DISTINCT nb.band_id) AS n_hit_bands,
+       MIN(hb.hk) AS example_hist_key
+FROM nb JOIN hb USING (band_id, band_hash) GROUP BY nb.doc_id"""
+
+
+@register("near_dup_history_documents", _near_dup_history_sql())
+def near_dup_history_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR dedup: new batch (doc_id%3≠0) probed against the
+    historical MinHash band ledger (doc_id%3=0, minhash_band_frame) —
+    bit-exact signature replay in SQL, history pre-aggregated to one row
+    per band bucket before the join (hot-bucket explosion guard).
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import (
+        minhash_band_frame,
+        near_dup_against_history,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ledger = minhash_band_frame(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", num_hashes=16, bands=8
+    )
+    return near_dup_against_history(
+        docs.filter(F.col("doc_id") % 3 != 0), ledger, "doc_id",
+        num_hashes=16, bands=8,
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

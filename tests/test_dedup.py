@@ -444,3 +444,68 @@ def test_cluster_weights_from_dedup_clusters(spark):
     out = {r.node: r.weight
            for r in cluster_weights(clusters, cluster_col="component").collect()}
     assert out == {1: 0.333333, 2: 0.333333, 3: 0.333333}
+
+
+def test_dedup_against_history_exact(spark):
+    """New-batch rows whose content is already in the history ledger are
+    dropped; fresh content survives with within-batch collapse first."""
+    from dataprofiler_spark.operators.dedup import content_hash, dedup_against_history
+
+    hist_docs = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id bigint, text string"
+    )
+    ledger = hist_docs.select(content_hash("text").alias("digest"))
+    new = spark.createDataFrame(
+        [(10, "seen before"),        # exact dup of history -> dropped
+         (11, "brand new"), (12, "brand new"),  # batch-internal dup pair
+         (13, "unique fresh")],
+        "doc_id bigint, text string",
+    )
+    out = {r.survivor_doc_id: r.batch_copies
+           for r in dedup_against_history(new, ledger, ["text"], "doc_id").collect()}
+    assert out == {11: 2, 13: 1}
+
+
+def test_near_dup_against_history_band_collision(spark):
+    """A new doc that is a near-copy of a historical doc collides with the
+    stored band ledger; unrelated docs do not. Exact copies hit ALL bands."""
+    from dataprofiler_spark.operators.dedup import (
+        minhash_band_frame,
+        near_dup_against_history,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok5", "x5")
+    hist = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+    ledger = minhash_band_frame(hist, "doc_id", num_hashes=16, bands=8)
+    new = spark.createDataFrame(
+        [(200, base),   # exact copy -> all 8 bands hit
+         (201, near),   # near copy -> >=1 band hit
+         (202, " ".join(f"other{i}" for i in range(40)))],  # unrelated
+        "doc_id bigint, text string",
+    )
+    out = {r.key: (r.n_hit_bands, r.example_hist_key)
+           for r in near_dup_against_history(new, ledger, "doc_id",
+                                             num_hashes=16, bands=8).collect()}
+    assert out[200] == (8, 100)
+    assert 201 in out and 1 <= out[201][0] <= 8 and out[201][1] == 100
+    assert 202 not in out
+
+
+def test_minhash_band_frame_matches_signature(spark):
+    """The band ledger's hashes must equal md5 over the signature slices —
+    the persisted-ledger format and the inline pair path stay in lockstep."""
+    from dataprofiler_spark.operators.dedup import minhash_band_frame, minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    sig = df.select(minhash_signature("text", num_hashes=4).alias("s")).collect()[0].s
+    bands = {(r.band_id, r.band_hash)
+             for r in minhash_band_frame(df, "doc_id", num_hashes=4, bands=2).collect()}
+    import hashlib
+    expected = {
+        (b, hashlib.md5(f"{sig[2*b]},{sig[2*b+1]}".encode()).hexdigest())
+        for b in range(2)
+    }
+    assert bands == expected
