@@ -513,3 +513,71 @@ def vocab_rank_drift(
         ).alias("overlap_jaccard"),
         F.round("__rho", 6).alias("rank_corr"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    seed: int = 42,
+    weights: DataFrame | None = None,
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Model-based quality filtering plumbing: a linear text classifier
+    over hashed unigram features — the fastText architecture that
+    FineWeb-Edu-class corpus filters use. score = sigmoid(mean of the
+    per-word bucket weights), rounded 6dp.
+
+    `weights=None` uses deterministic demo weights derived from the
+    bucket id by the engine's seeded-LCG family (w ∈ [-1, 1]) — fully
+    SQL-replayable, so the ENTIRE feature pipeline (tokenize → hash →
+    bucket → weight → mean → sigmoid) is oracle-verified; a production
+    deployment swaps in a trained weight table via `weights`
+    (bucket:long, weight:double), applied with a broadcast join.
+
+    Scale shape: explode words → per-word bucket/weight expression →
+    hash-aggregate mean per doc (gotcha 15: explode + codegen agg beats
+    the interpreted HOF fold on long arrays). The shuffle carries
+    (key, partial sum/count) after map-side combine — narrow. Empty docs
+    (no non-empty words, gotcha 25) score NULL, surfaced not dropped."""
+    from dataprofiler_spark.operators.dedup import _MERSENNE, _minhash_params
+
+    words = df.select(
+        F.col(key_col),
+        F.explode_outer(
+            F.filter(F.split(F.col(text_col), " "), _nonempty)
+        ).alias("__w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__w")), 1, 7), 16, 10).cast("long")
+        % n_buckets
+    )
+    staged = words.withColumn("__bucket", bucket)
+    if weights is not None:
+        from pyspark.sql.functions import broadcast
+
+        staged = staged.join(
+            broadcast(weights.select(F.col("bucket").alias("__bucket"), F.col("weight").alias("__wt"))),
+            on="__bucket",
+            how="left",
+        ).withColumn("__wt", F.coalesce(F.col("__wt"), F.lit(0.0)))
+    else:
+        (a, b) = _minhash_params(1, seed)[0]
+        staged = staged.withColumn(
+            "__wt",
+            ((F.col("__bucket") * a + b) % _MERSENNE) / F.lit(_MERSENNE / 2.0)
+            - F.lit(1.0),
+        )
+    agg = staged.groupBy(key_col).agg(
+        F.avg(F.when(F.col("__w").isNotNull(), F.col("__wt"))).alias("__m")
+    )
+    return agg.select(
+        key_col,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__m"))), 6).alias(score_col),
+    )
+
+
+def _nonempty(w: Column) -> Column:
+    # module-level HOF lambda (gotcha 4)
+    return w != ""

@@ -3188,6 +3188,38 @@ def near_dup_history_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_linear_score_sql(n_buckets: int = 1 << 18, seed: int = 42) -> str:
+    from dataprofiler_spark.operators.dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(1, seed)[0]
+    return f"""WITH w AS (SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       FROM documents),
+wt AS (SELECT doc_id,
+         ((CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets}) * {a} + {b})
+           % {_MERSENNE} / ({_MERSENNE} / 2.0) - 1.0 AS wt
+       FROM w),
+m AS (SELECT doc_id, AVG(wt) AS m FROM wt GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN m.m IS NULL THEN NULL
+            ELSE ROUND(1.0 / (1.0 + exp(-m.m)), 6) END AS quality_score
+FROM documents d LEFT JOIN m USING (doc_id)"""
+
+
+@register("hashed_classifier_score_documents", _hashed_linear_score_sql())
+def hashed_classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (fastText architecture): linear
+    classifier over hashed unigram features with seeded-LCG demo weights —
+    the oracle replays tokenize → md5 bucket → LCG weight → mean → sigmoid
+    end to end, verifying the exact feature plumbing a trained weight
+    table would ride on. LOCAL-ONLY TAIL entry (harvest window full this
+    round, gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import hashed_linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs)
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

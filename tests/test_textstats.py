@@ -324,3 +324,47 @@ def test_boilerplate_ngrams_whitespace_invariant(spark):
     ra = sorted(map(tuple, boilerplate_ngram_stats(a, df_threshold=2).collect()))
     rb = sorted(map(tuple, boilerplate_ngram_stats(b, df_threshold=2).collect()))
     assert ra == rb  # gotcha 25: formatting must not shift the spans
+
+
+def test_hashed_linear_score_matches_python_reference(spark):
+    """Engine score must equal the hand-computed fastText-style formula:
+    sigmoid(mean over words of the bucket's LCG weight); empty docs NULL."""
+    import hashlib
+    import math
+
+    from dataprofiler_spark.operators.dedup import _MERSENNE, _minhash_params
+    from dataprofiler_spark.operators.textstats import hashed_linear_score
+
+    text = "the quick brown  fox"
+    df = spark.createDataFrame([(1, text), (2, "   ")], "doc_id bigint, text string")
+    a, b = _minhash_params(1, 42)[0]
+
+    def wt(word):
+        bucket = int(hashlib.md5(word.encode()).hexdigest()[:7], 16) % (1 << 18)
+        return ((bucket * a + b) % _MERSENNE) / (_MERSENNE / 2.0) - 1.0
+
+    ws = [w for w in text.split(" ") if w]
+    m = sum(wt(w) for w in ws) / len(ws)
+    expected = round(1.0 / (1.0 + math.exp(-m)), 6)
+    rows = {r.doc_id: r.quality_score for r in hashed_linear_score(df).collect()}
+    assert rows == {1: expected, 2: None}
+
+
+def test_hashed_linear_score_trained_weight_table(spark):
+    """The production path: a broadcast (bucket, weight) table overrides the
+    demo weights; out-of-vocabulary buckets contribute 0."""
+    import hashlib
+    import math
+
+    from dataprofiler_spark.operators.textstats import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "good good bad"), (2, "unseen")],
+                               "doc_id bigint, text string")
+    bk = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % (1 << 18)
+    weights = spark.createDataFrame(
+        [(bk("good"), 2.0), (bk("bad"), -1.0)], "bucket long, weight double"
+    )
+    out = {r.doc_id: r.quality_score
+           for r in hashed_linear_score(df, weights=weights).collect()}
+    assert out[1] == round(1 / (1 + math.exp(-(2.0 + 2.0 - 1.0) / 3)), 6)
+    assert out[2] == 0.5  # OOV-only doc: mean weight 0 -> sigmoid(0)
