@@ -33,6 +33,8 @@ from dataprofiler_spark import get_spark  # noqa: E402
 from dataprofiler_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
     lsh_candidate_pairs,
+    minhash_band_frame,
+    near_dup_against_history,
     ngram_jaccard_pairs,
     paragraph_dedup,
     simhash_near_dup_pairs,
@@ -52,7 +54,13 @@ from dataprofiler_spark.operators.ordering import assign_sequential_ids  # noqa:
 from dataprofiler_spark.operators.packing import packing_stats  # noqa: E402
 from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
-from dataprofiler_spark.operators.textstats import token_count, unigram_logprob  # noqa: E402
+from dataprofiler_spark.operators.textstats import (  # noqa: E402
+    hashed_linear_score,
+    token_count,
+    unigram_logprob,
+)
+from dataprofiler_spark.operators.urls import url_dedup  # noqa: E402
+from dataprofiler_spark.queries import _synthetic_url  # noqa: E402
 from dataprofiler_spark.operators.profile import ProfileConfig, profile  # noqa: E402
 from dataprofiler_spark.operators.multimodal import image_near_dup_pairs  # noqa: E402
 from dataprofiler_spark.operators.similarity import (  # noqa: E402
@@ -228,6 +236,24 @@ def main() -> None:
             # real PNGs (the gradient fixture is perceptually homogeneous
             # by construction, so the pair expansion actually works)
             "image_near_dup": lambda: image_near_dup_pairs(assets, max_hamming=4).count(),
+            # round-4 late ops: URL canonicalize + dedup over a synthesized
+            # crawl-URL column (pure-expression normalizer + one hash agg);
+            # cross-snapshot near-dup probe of a MinHash band ledger
+            # (doc_id%3 split — ledger side is 1/3 of the corpus); hashed
+            # unigram linear classifier (explode + map-side-combined agg)
+            "url_dedup": lambda: url_dedup(
+                dc.select("doc_id", _synthetic_url().alias("url")), "url", "doc_id"
+            ).count(),
+            "near_dup_history": lambda: near_dup_against_history(
+                dc.filter(F.col("doc_id") % 3 != 0),
+                minhash_band_frame(
+                    dc.filter(F.col("doc_id") % 3 == 0), "doc_id",
+                    num_hashes=16, bands=8,
+                ),
+                "doc_id", num_hashes=16, bands=8,
+            ).count(),
+            "hashed_classifier": lambda: hashed_linear_score(dc)
+            .agg(F.avg("quality_score"), F.count("*")).collect(),
         }
 
     def _paragraph_dedup(dc):
