@@ -77,6 +77,22 @@ def build_parser() -> argparse.ArgumentParser:
         "the funnel gains n_span_words_removed",
     )
     p.add_argument(
+        "--url-col",
+        default=None,
+        help="with --curate: URL-level dedup first — canonicalize this "
+        "column and keep one doc per canonical URL; the funnel gains "
+        "n_url_survivors",
+    )
+    p.add_argument(
+        "--min-model-score",
+        type=float,
+        default=None,
+        help="with --curate: model-based quality gate threshold "
+        "(fastText-style hashed-unigram classifier with demo weights; "
+        "supply trained weights via the API); the funnel gains "
+        "n_model_pass",
+    )
+    p.add_argument(
         "--layout-report",
         action="store_true",
         help="storage-layout verdict for --input from a metadata-only file "
@@ -357,6 +373,8 @@ def main(argv: list[str] | None = None) -> int:
                 key_col=args.key_col,
                 dedup_paragraphs=args.dedup_paragraphs,
                 remove_spans=args.remove_spans,
+                url_col=args.url_col,
+                min_model_score=args.min_model_score,
             ),
             # two actions (funnel + write) share the staged frame
             persist=bool(args.output_dir),

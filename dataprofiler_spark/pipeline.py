@@ -247,8 +247,9 @@ def run_validation(
 
 @dataclass
 class CurationConfig:
-    """Corpus-curation pipeline knobs (quality → exact dedup → PII
-    redaction → split assignment)."""
+    """Corpus-curation pipeline knobs (optional URL dedup → optional
+    paragraph/span cleanup → heuristic + optional model quality gate →
+    exact dedup → PII redaction → split assignment)."""
 
     min_words: int = 10
     min_distinct_ratio: float = 0.3
@@ -267,6 +268,19 @@ class CurationConfig:
     remove_spans: bool = False
     span_k: int = 3
     span_max_doc_freq: int = 2
+    # optional URL-level dedup (crawl order: FIRST, before content
+    # stages): canonicalize `url_col` and keep the min-key doc per
+    # canonical URL — refetches with tracking params / www / default
+    # ports collapse before any text is judged. Funnel gains
+    # n_url_survivors when enabled.
+    url_col: str | None = None
+    # optional model-based quality gate (fastText-style hashed-unigram
+    # linear classifier, textstats.hashed_linear_score) ANDed into the
+    # heuristic quality gate; scored on the post-cleanup text. Funnel
+    # gains n_model_pass when enabled. `model_weights` is the trained
+    # (bucket, weight) table; None = the SQL-replayable demo weights.
+    min_model_score: float | None = None
+    model_weights: DataFrame | None = None
 
 
 @dataclass
@@ -323,6 +337,38 @@ def curate_corpus(
         split_names.append("rest")
     passthrough = list(docs.columns)
 
+    url_enabled = cfg.url_col is not None
+    if url_enabled:
+        # URL-level dedup FIRST (crawl order): flag — don't filter — so
+        # the one-scan funnel still accounts for every input row. One
+        # narrow shuffle on the canonical URL; the flag join hashes on
+        # (norm_url, key) so a hot URL's refetches stay spread.
+        from dataprofiler_spark.operators.urls import with_normalized_url
+
+        if cfg.url_col not in docs.columns:
+            raise ValueError(f"curate_corpus: input has no column '{cfg.url_col}'")
+        if "norm_url" in docs.columns:
+            raise ValueError(
+                "curate_corpus: input column 'norm_url' collides with the "
+                "URL-dedup staging column — rename it first"
+            )
+        docs = with_normalized_url(docs, cfg.url_col, "norm_url")
+        usurv = (
+            docs.groupBy("norm_url")
+            .agg(F.min(cfg.key_col).alias("__usk"))
+            .select(F.col("norm_url").alias("__unu"), "__usk")
+        )
+        docs = (
+            docs.join(
+                usurv,
+                (F.col("norm_url") == F.col("__unu"))
+                & (F.col(cfg.key_col) == F.col("__usk")),
+                "left",
+            )
+            .withColumn("__url_keep", F.col("__usk").isNotNull())
+            .drop("__unu", "__usk", "norm_url")
+        )
+
     para_removed = None
     if cfg.dedup_paragraphs:
         from dataprofiler_spark.operators.dedup import paragraph_dedup
@@ -363,6 +409,27 @@ def curate_corpus(
     q_pass = (F.col("n_words") >= cfg.min_words) & (
         F.col("distinct_word_ratio") >= cfg.min_distinct_ratio
     )
+    model_enabled = cfg.min_model_score is not None
+    if model_enabled:
+        # model-based gate on the post-cleanup text: score per key
+        # (explode + map-side-combined agg), joined back on (key) — the
+        # one text-bearing shuffle this stage costs; at corpus scale,
+        # pre-score and store the column instead. NULL score (empty doc)
+        # fails the gate.
+        from dataprofiler_spark.operators.textstats import hashed_linear_score
+
+        scores = hashed_linear_score(
+            docs, cfg.key_col, cfg.text_col,
+            weights=cfg.model_weights, score_col="__model_score",
+        )
+        staged = staged.join(scores, cfg.key_col, "left")
+        staged = staged.withColumn(
+            "__model_pass",
+            F.coalesce(F.col("__model_score") >= cfg.min_model_score, F.lit(False)),
+        )
+        q_pass = q_pass & F.col("__model_pass")
+    if url_enabled:
+        q_pass = q_pass & F.col("__url_keep")
     staged = fingerprint(staged, cfg.text_col).withColumn("__q", q_pass)
     # Survivor per fingerprint (quality-first, then min key) via a
     # map-side-combining AGGREGATE + a (fingerprint, key)-keyed left
@@ -418,6 +485,10 @@ def curate_corpus(
         # then redacted is cfg.redact_pii's job, not this counter's claim
         _n(F.col("__keep") & F.col("__has_pii"), "n_kept_with_pii"),
     ]
+    if model_enabled:
+        funnel_aggs.insert(1, _n(F.col("__model_pass"), "n_model_pass"))
+    if url_enabled:
+        funnel_aggs.insert(1, _n(F.col("__url_keep"), "n_url_survivors"))
     if span_removed is not None:
         funnel_aggs.insert(
             1,

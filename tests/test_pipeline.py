@@ -393,3 +393,47 @@ def test_curate_paragraph_then_span_stages_compose(spark):
     assert "n_paragraphs_removed" in f.asDict() and "n_span_words_removed" in f.asDict()
     assert f.n_paragraphs_removed >= 1  # the shared para's second copy
     assert f.n_span_words_removed >= 9  # chrome in all three docs
+
+
+def test_curate_with_url_dedup_and_model_gate(spark):
+    """URL stage: refetches of one canonical URL collapse to the min-key
+    doc before any text judgment; model gate: a trained weight table
+    drops low-scoring docs; the funnel accounts for both stages."""
+    import hashlib
+
+    from dataprofiler_spark.pipeline import CurationConfig, curate_corpus
+
+    good = "informative well written article with many distinct words here today"
+    spam = "buy buy buy cheap cheap pills pills now now now click here fast"
+    rows = [
+        (1, good, "https://Example.COM:443/a?utm_source=x"),
+        (2, good + " refetched", "https://www.example.com:443/a/"),  # same canon URL
+        (3, spam, "https://example.com/b"),
+        (4, good + " other page entirely with words", "https://example.com/c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+
+    bk = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % (1 << 18)
+    weights = spark.createDataFrame(
+        [(bk(w), 5.0) for w in set(good.split())]
+        + [(bk(w), -5.0) for w in set(spam.split())],
+        "bucket long, weight double",
+    )
+    res = curate_corpus(
+        spark,
+        docs,
+        CurationConfig(
+            min_words=5,
+            min_distinct_ratio=0.0,
+            url_col="url",
+            min_model_score=0.5,
+            model_weights=weights,
+        ),
+    )
+    f = res.funnel.collect()[0]
+    # doc 2 is a URL refetch (not a survivor); doc 3 fails the model gate
+    assert f.n_input == 4 and f.n_url_survivors == 3
+    assert f.n_model_pass == 3  # 1, 2, 4 score high; 3 scores low
+    kept = {r.doc_id for r in res.curated.collect()}
+    assert kept == {1, 4}
+    assert "url" in res.curated.columns and "norm_url" not in res.curated.columns
