@@ -352,3 +352,73 @@ def current_profile(spark: SparkSession, partials_dir: str) -> DataFrame:
         .drop("batch_id")
     )
     return finalize_partials(merge_partials(stored))
+
+
+def ingest_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema: T.StructType | str,
+    checkpoint_dir: str,
+    output_dir: str,
+    cols: list[str],
+    key_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous-ingestion EXACT dedup against a persistent digest
+    ledger — the streaming face of dedup_against_history: every
+    micro-batch collapses its own duplicates, drops content already in
+    `{output_dir}/digest_ledger`, appends the surviving ROWS to
+    `{output_dir}/corpus` and only then commits the new digests to the
+    ledger.
+
+    Write order is the crash-safety contract: corpus append BEFORE
+    ledger append. A replay after a corpus-append-only crash re-emits the
+    same rows with the same batch_id (read through `current_corpus`,
+    which dedups on (batch_id, key) exactly like current_profile); a
+    ledger-first order could lose content forever (the replayed batch
+    would see its own digests as 'historical' and write nothing).
+
+    The ledger is an append-only narrow parquet of 128-bit digests — at
+    corpus scale store it bucketed by digest and compact periodically;
+    the probe is the same digest-only anti-join either way."""
+    from dataprofiler_spark.operators.dedup import dedup_against_history
+
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    ledger_dir = f"{output_dir}/digest_ledger"
+    corpus_dir = f"{output_dir}/corpus"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            ledger = spark.read.parquet(ledger_dir)
+        except Exception:
+            ledger = spark.createDataFrame([], "digest string")
+        fresh = dedup_against_history(batch_df, ledger, cols, key_col)
+        survivors = batch_df.join(
+            fresh.select(F.col(f"survivor_{key_col}").alias(key_col)),
+            key_col,
+            "semi",
+        )
+        (
+            survivors.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(corpus_dir)
+        )
+        fresh.select("digest").write.mode("append").parquet(ledger_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def current_corpus(spark: SparkSession, output_dir: str, key_col: str = "doc_id") -> DataFrame:
+    """Read the ingested corpus idempotently: foreachBatch appends are
+    at-least-once, so a replayed batch can append the same survivors
+    twice with the same batch_id — dedup on (batch_id, key)."""
+    return spark.read.parquet(f"{output_dir}/corpus").dropDuplicates(
+        ["batch_id", key_col]
+    )

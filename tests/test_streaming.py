@@ -367,3 +367,41 @@ def test_current_drift_replayed_batch_is_idempotent(spark, tmp_path):
     assert cur.count() == n_rows
     assert cur.filter("psi_alert").count() == n_alerts
     baseline_hist.unpersist()
+
+
+def test_ingest_dedup_stream_cross_batch_ledger(spark, tmp_path):
+    """Two micro-batch rounds: batch 2's re-delivery of batch-1 content is
+    dropped by the digest ledger; its internal dup collapses; the corpus
+    ends with exactly one row per distinct content."""
+    from dataprofiler_spark.streaming.validate import (
+        current_corpus,
+        ingest_dedup_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content")], schema
+    ).write.mode("append").parquet(inp)
+    ingest_dedup_stream(
+        spark, inp, schema, ck, out, cols=["text"]
+    ).awaitTermination(120)
+
+    spark.createDataFrame(
+        [(10, "beta content"),      # historical dup -> dropped
+         (11, "gamma content"), (12, "gamma content")],  # internal dup pair
+        schema,
+    ).write.mode("append").parquet(inp)
+    ingest_dedup_stream(
+        spark, inp, schema, ck, out, cols=["text"]
+    ).awaitTermination(120)
+
+    corpus = current_corpus(spark, out)
+    texts = sorted(r.text for r in corpus.collect())
+    assert texts == ["alpha content", "beta content", "gamma content"]
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 11}
+    ledger = spark.read.parquet(f"{out}/digest_ledger")
+    assert ledger.distinct().count() == 3
