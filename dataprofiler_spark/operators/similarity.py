@@ -10,6 +10,8 @@ partitions of a centroid-partitioned table.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -754,3 +756,112 @@ def _arrow_pair_scorer(threshold: float):
                 )
 
     return gen
+
+
+@dataclass
+class PCAModel:
+    """Fitted PCA: row-vector components (k × dim), population mean, and
+    per-component explained variance (descending)."""
+
+    mean: list[float]
+    components: list[list[float]]
+    explained_variance: list[float]
+    whiten: bool = False
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k: int = 8,
+    whiten: bool = False,
+) -> PCAModel:
+    """Fit PCA over an embedding column with ONE distributed pass of
+    partial moments: each Arrow batch contributes (n, Σx, ΣxxT) via a
+    NumPy GEMM (X.T @ X — the gotcha-35 regime where the Arrow kernel is
+    the scale path: the d² cross-moment matrix cannot be expressed as a
+    hash aggregate without a d²-per-row explode), the driver merges the
+    partition partials (a few hundred rows of d+d² doubles) and runs the
+    d×d eigendecomposition locally — the standard big-data PCA shape
+    (moments are associative ⇒ merge-safe, same family as
+    operators/incremental.py partials).
+
+    Returns the model only; projection is `pca_project` (map-side)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    out_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, out_schema).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T  # k × dim rows
+    ev = np.maximum(eigvals[order], 0.0)
+    return PCAModel(
+        mean=mean.tolist(),
+        components=comps.tolist(),
+        explained_variance=ev.tolist(),
+        whiten=whiten,
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project onto the fitted components — pure whole-stage-codegen
+    arithmetic, zero shuffle: each output component is a literal-weighted
+    sum of element_at terms (plain expressions, NOT an interpreted HOF
+    fold — gotcha 15/33), centered with the model mean; whiten divides by
+    σ. The components ride in the plan as literals (k·dim doubles — fine
+    for k·dim ≲ 10⁴; larger models should broadcast + Arrow-GEMM like
+    batch_topk's backend)."""
+    import math
+
+    comps = []
+    for i, w in enumerate(model.components):
+        term = None
+        for j, wj in enumerate(w):
+            if wj == 0.0:
+                continue
+            t = (F.element_at(F.col(vec_col), j + 1) - F.lit(model.mean[j])) * F.lit(wj)
+            term = t if term is None else term + t
+        c = term if term is not None else F.lit(0.0)
+        if model.whiten:
+            sd = math.sqrt(model.explained_variance[i]) or 1.0
+            c = c / F.lit(sd)
+        comps.append(c.cast("double"))
+    return df.withColumn(out_col, F.array(*comps))

@@ -3220,6 +3220,74 @@ def hashed_classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataF
     return hashed_linear_score(docs)
 
 
+@register(
+    "pca_embeddings_tolerance",
+    """SELECT COUNT(*) AS n_vecs, TRUE AS var_monotone,
+       TRUE AS proj_var_matches, TRUE AS offdiag_ok
+FROM embeddings""",
+)
+def pca_embeddings_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus (one distributed moment pass + driver
+    eigh + map-side literal projection), verified tolerance-style
+    (gotcha 19): the projected corpus must have per-component variance
+    equal to the model's eigenvalues (1e-6 rel), descending order, and
+    ~zero cross-component covariance — properties that fail loudly if the
+    moment merge, the eigendecomposition, or the projection drifts.
+    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.similarity import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = 8
+    m = pca_fit(emb, k=k)
+    proj = pca_project(emb, m)
+    comp = [F.element_at("pca", i + 1).alias(f"c{i}") for i in range(k)]
+    staged = proj.select(*comp)
+    var_ok = [
+        (
+            F.abs(F.var_pop(f"c{i}") - F.lit(m.explained_variance[i]))
+            <= F.lit(max(m.explained_variance[i] * 1e-6, 1e-9))
+        )
+        for i in range(k)
+    ]
+    off_pairs = [(0, 1), (0, k - 1), (k // 2, k // 2 + 1)]
+    off_ok = [
+        (
+            F.abs(F.covar_pop(f"c{i}", f"c{j}"))
+            <= F.lit(
+                max(
+                    1e-6
+                    * (m.explained_variance[i] * m.explained_variance[j]) ** 0.5,
+                    1e-9,
+                )
+            )
+        )
+        for i, j in off_pairs
+    ]
+    monotone = all(
+        m.explained_variance[i] >= m.explained_variance[i + 1] - 1e-12
+        for i in range(k - 1)
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[v.alias(f"__v{i}") for i, v in enumerate(var_ok)],
+        *[o.alias(f"__o{i}") for i, o in enumerate(off_ok)],
+    )
+    vand = F.lit(True)
+    for i in range(len(var_ok)):
+        vand = vand & F.col(f"__v{i}")
+    oand = F.lit(True)
+    for i in range(len(off_ok)):
+        oand = oand & F.col(f"__o{i}")
+    return agg.select(
+        "n_vecs",
+        F.lit(monotone).alias("var_monotone"),
+        vand.alias("proj_var_matches"),
+        oand.alias("offdiag_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

@@ -444,3 +444,41 @@ def test_batch_topk_arrow_schema_follows_input_types(spark):
     e = dict(batch_topk(corpus, queries, k=2).dtypes)
     a = dict(batch_topk(corpus, queries, k=2, backend="arrow").dtypes)
     assert e == a  # backend is a performance knob, not a schema change
+
+
+def test_pca_fit_matches_numpy_and_whiten(spark):
+    """Distributed moment-merge PCA must equal the local numpy eigh on the
+    same data; whitened projection has unit variance per component."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 6)) @ np.diag([5, 3, 2, 1, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    m = pca_fit(df, k=4)
+    Xc = X - X.mean(axis=0)
+    w, v = np.linalg.eigh((Xc.T @ Xc) / len(X))
+    assert np.allclose(sorted(w)[::-1][:4], m.explained_variance, rtol=1e-8)
+
+    P = np.asarray([r.pca for r in pca_project(df, m).collect()])
+    assert np.allclose(P.var(axis=0), m.explained_variance, rtol=1e-6)
+
+    mw = pca_fit(df, k=4, whiten=True)
+    Pw = np.asarray([r.pca for r in pca_project(df, mw).collect()])
+    assert np.allclose(Pw.var(axis=0), np.ones(4), rtol=1e-6)
+
+
+def test_pca_project_no_shuffle(spark):
+    """Projection must stay a pure map-side projection — no exchange."""
+    from dataprofiler_spark.operators.similarity import PCAModel, pca_project
+
+    df = spark.range(10).select(
+        "id", F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    )
+    m = PCAModel(mean=[0.0, 0.0], components=[[1.0, 0.0]], explained_variance=[1.0])
+    plan = pca_project(df, m)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
