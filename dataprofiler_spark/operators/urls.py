@@ -243,3 +243,37 @@ def domain_cap_sample(
         hashed, [domain_col], [F.col("__h"), F.col(key_col)], cap, rank_col=rank_col
     )
     return out.drop("__h")
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    mode: str = "remove",
+) -> DataFrame:
+    """Drop (or flag, mode="flag") documents whose registered domain is in
+    a blocklist — the UT1/adult/spam-list gate every crawl pipeline runs.
+    `blocklist` has one `domain` column (eTLD+1, as produced by
+    `registered_domain`). Broadcast anti-join on the derived domain: the
+    corpus never shuffles, the blocklist (10^4–10^6 narrow rows) ships to
+    every task. mode="flag" appends `blocked:boolean` instead of
+    filtering (for funnel accounting)."""
+    from pyspark.sql.functions import broadcast
+
+    if mode not in ("remove", "flag"):
+        raise ValueError(f"mode must be 'remove' or 'flag', got {mode!r}")
+    # NOTE: "__host" would collide with the normalizer's internal staging
+    # column (which it drops) — use a distinct name
+    normed = with_normalized_url(df, url_col, "__nu", host_col="__bl_host")
+    staged = normed.withColumn("__dom", registered_domain("__bl_host")).drop(
+        "__nu", "__bl_host"
+    )
+    bl = broadcast(blocklist.select(F.col("domain").alias("__dom")).distinct())
+    if mode == "remove":
+        return staged.join(bl, on="__dom", how="anti").drop("__dom")
+    flagged = staged.join(
+        bl.withColumn("__blk", F.lit(True)), on="__dom", how="left"
+    )
+    return flagged.withColumn("blocked", F.coalesce(F.col("__blk"), F.lit(False))).drop(
+        "__dom", "__blk"
+    )

@@ -123,3 +123,25 @@ def test_normalized_url_is_pure_projection(spark):
     df = spark.createDataFrame([("https://a.com/x",)], "url string")
     plan = with_normalized_url(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_filter_blocked_domains_remove_and_flag(spark):
+    from dataprofiler_spark.operators.urls import filter_blocked_domains
+
+    docs = spark.createDataFrame(
+        [(1, "https://spam.example.co.uk/x"),
+         (2, "https://www.good.com/y?utm_source=a"),
+         (3, "http://sub.spam.example.co.uk:80/z")],
+        "doc_id long, url string",
+    )
+    # eTLD+1 of spam.example.co.uk (and of sub.spam.example.co.uk) is
+    # example.co.uk — blocklists are keyed at the registered domain
+    bl = spark.createDataFrame([("example.co.uk",)], "domain string")
+    kept = filter_blocked_domains(docs, bl).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {2}
+    flags = {r.doc_id: r.blocked
+             for r in filter_blocked_domains(docs, bl, mode="flag").collect()}
+    assert flags == {1: True, 2: False, 3: True}
+    # original columns intact, staging columns gone
+    out = filter_blocked_domains(docs, bl)
+    assert out.columns == ["doc_id", "url"]
