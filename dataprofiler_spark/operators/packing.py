@@ -195,3 +195,63 @@ def chunk_windows(
 def _nonempty_word(w: Column) -> Column:
     # module-level HOF lambda (gotcha 4)
     return w != ""
+
+
+def materialize_packed_sequences(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    chunk_tokens: int = 1024,
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Materialize the actual packed training table from per-document
+    token arrays: concat-then-chunk along the deterministic `order_col`
+    stream, emitting one row per chunk — ([group,] chunk_id, n_tokens,
+    tokens) with every chunk exactly `chunk_tokens` long except the final
+    partial (padded to full length with `pad_id` when given).
+
+    This is the end product the rest of the pipeline exists for; its
+    shape is the honest minimum: packing REQUIRES regrouping tokens
+    across document boundaries, so the one shuffle here carries every
+    token exactly once as a narrow (chunk, pos, token) row — map-side
+    explode, hash-partition on chunk, collect exactly `chunk_tokens`
+    tokens per chunk (a fixed bound, so no aggregation-buffer skew).
+    Chunk offsets come from pack_chunks' per-group cumsum window
+    (per-group = the scale path; a global order would serialize the
+    cumsum through one task)."""
+    keys = [group_col] if group_col else []
+    staged = df.withColumn("__nt", F.size(F.col(tokens_col)))
+    packed = pack_chunks(staged, "__nt", chunk_tokens, order_col, group_col)
+    b = F.lit(int(chunk_tokens))
+    exploded = packed.select(
+        *keys,
+        "stream_offset",
+        F.posexplode(F.col(tokens_col)).alias("__i", "__tok"),
+    ).select(
+        *keys,
+        (F.col("stream_offset") + F.col("__i")).alias("__pos"),
+        "__tok",
+    )
+    grouped = (
+        exploded.withColumn("chunk_id", F.floor(F.col("__pos") / b))
+        .groupBy(*keys, "chunk_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((F.col("__pos") % b).alias("p"), F.col("__tok").alias("t")))
+                ),
+                lambda x: x["t"],
+            ).alias("tokens")
+        )
+    )
+    out = grouped.withColumn("n_tokens", F.size("tokens"))
+    if pad_id is not None:
+        out = out.withColumn(
+            "tokens",
+            F.concat(
+                "tokens",
+                F.array_repeat(F.lit(int(pad_id)), (b - F.col("n_tokens")).cast("int")),
+            ),
+        )
+    return out.select(*keys, "chunk_id", "n_tokens", "tokens")

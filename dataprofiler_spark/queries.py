@@ -3288,6 +3288,62 @@ def pca_embeddings_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "packed_sequences_documents",
+    """WITH tk AS (SELECT doc_id, source,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                        w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) % 50257) AS toks
+       FROM documents),
+c AS (SELECT doc_id, source, toks,
+        SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - len(toks) AS off
+      FROM tk),
+e AS (SELECT source, off + i - 1 AS pos, tok FROM (
+        SELECT source, off, unnest(toks) AS tok,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM c)),
+g AS (SELECT source, CAST(pos // 64 AS BIGINT) AS chunk_id,
+             COUNT(*) AS n_tokens,
+             array_to_string(list(tok ORDER BY pos), ',') AS tokens_csv
+      FROM e GROUP BY source, pos // 64)
+SELECT source, chunk_id, n_tokens, tokens_csv FROM g""",
+)
+def packed_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END PRODUCT of the pipeline: the materialized packed training
+    table — per-source concat-then-chunk streams of 64-token chunks over
+    word-id token arrays (md5 word ids so the oracle replays the whole
+    thing: tokenize → cumsum offsets → token-level explode → chunk
+    regroup → in-chunk order). Token payloads compare as CSV strings
+    (engine-portable array stringification). LOCAL-ONLY TAIL entry
+    (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.packing import materialize_packed_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(F.split(F.col("text"), " "), _nonempty_w),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % 50257,
+    )
+    staged = docs.select("doc_id", "source", toks.alias("tokens"))
+    out = materialize_packed_sequences(
+        staged, chunk_tokens=64, group_col="source"
+    )
+    return out.select(
+        "source",
+        "chunk_id",
+        "n_tokens",
+        F.array_join(F.transform("tokens", _tok_str), ",").alias("tokens_csv"),
+    )
+
+
+def _nonempty_w(w: Column) -> Column:
+    # module-level HOF lambdas (gotcha 4)
+    return w != ""
+
+
+def _tok_str(t: Column) -> Column:
+    return t.cast("string")
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

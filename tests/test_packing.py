@@ -120,3 +120,41 @@ def test_chunk_windows_empty_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_windows(df, window=4, stride=5)
+
+
+def test_materialize_packed_sequences_exact_chunks(spark):
+    """Chunk contents must be the exact concat-then-chunk stream: docs
+    concatenated in key order, sliced every B tokens; boundary-spanning
+    docs split across chunks; final partial chunk short (or padded)."""
+    from dataprofiler_spark.operators.packing import materialize_packed_sequences
+
+    rows = [(1, "s", [1, 2, 3]), (2, "s", [4, 5]), (3, "s", [6, 7, 8, 9]),
+            (4, "t", [10])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    out = {(r.source, r.chunk_id): (r.n_tokens, r.tokens)
+           for r in materialize_packed_sequences(
+               df, chunk_tokens=4, group_col="source").collect()}
+    assert out == {
+        ("s", 0): (4, [1, 2, 3, 4]),
+        ("s", 1): (4, [5, 6, 7, 8]),
+        ("s", 2): (1, [9]),
+        ("t", 0): (1, [10]),
+    }
+    padded = {(r.source, r.chunk_id): r.tokens
+              for r in materialize_packed_sequences(
+                  df, chunk_tokens=4, group_col="source", pad_id=0).collect()}
+    assert padded[("s", 2)] == [9, 0, 0, 0] and padded[("t", 0)] == [10, 0, 0, 0]
+    # every padded chunk is exactly B long
+    assert all(len(t) == 4 for t in padded.values())
+
+
+def test_materialize_packed_skips_empty_docs(spark):
+    from dataprofiler_spark.operators.packing import materialize_packed_sequences
+
+    df = spark.createDataFrame(
+        [(1, [7, 8]), (2, []), (3, [9])], "doc_id long, tokens array<int>"
+    )
+    out = {r.chunk_id: r.tokens
+           for r in materialize_packed_sequences(df, chunk_tokens=2).collect()}
+    # empty doc occupies no stream space: 7,8 | 9
+    assert out == {0: [7, 8], 1: [9]}
