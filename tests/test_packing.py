@@ -158,3 +158,39 @@ def test_materialize_packed_skips_empty_docs(spark):
            for r in materialize_packed_sequences(df, chunk_tokens=2).collect()}
     # empty doc occupies no stream space: 7,8 | 9
     assert out == {0: [7, 8], 1: [9]}
+
+
+def test_bpe_to_packed_sequences_composition(spark):
+    """End-to-end product drive: train BPE on the corpus, Arrow-encode
+    every document, map tokens to ids, materialize packed chunks. Token
+    mass is conserved and every chunk is full except each group's final
+    partial — the documents->training-batches path in one flow."""
+    from dataprofiler_spark.operators.bpe import bpe_encode_udf, train_bpe
+    from dataprofiler_spark.operators.packing import materialize_packed_sequences
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(120)
+    )
+    merges = train_bpe(docs, num_merges=30)
+    enc = bpe_encode_udf(merges)
+    toks = docs.withColumn("toks", enc("text")).withColumn(
+        "tokens",
+        F.transform("toks", lambda t: (F.xxhash64(t) % 50257).cast("int")),
+    )
+    total = toks.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    packed = materialize_packed_sequences(
+        toks.select("doc_id", "source", "tokens"),
+        chunk_tokens=256,
+        group_col="source",
+    )
+    rows = packed.collect()
+    assert sum(r.n_tokens for r in rows) == total
+    last = {}
+    for r in rows:
+        last[r.source] = max(last.get(r.source, -1), r.chunk_id)
+    for r in rows:
+        if r.chunk_id < last[r.source]:
+            assert r.n_tokens == 256
+        assert len(r.tokens) == r.n_tokens
