@@ -865,3 +865,166 @@ def pca_project(
             c = c / F.lit(sd)
         comps.append(c.cast("double"))
     return df.withColumn(out_col, F.array(*comps))
+
+
+@dataclass
+class PQModel:
+    """Product-quantization codebook: `m` subspaces × `num_codes`
+    centroids × (dim/m) floats. Codes are 0-based subspace-local."""
+
+    m: int
+    dsub: int
+    centroids: list[list[list[float]]]
+
+
+def _pq_lit_centroids(cents: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in sub])
+            for sub in cents
+        ]
+    )
+
+
+def _pq_code_expr(subvec: Column, sub_col: Column, cents: list[list[list[float]]]) -> Column:
+    """0-based nearest-centroid code for one (sub_id, subvec) row: the
+    codebook rides as a plan literal (m·K·dsub doubles ≲ 10⁴ — no join,
+    no shuffle); distances are an interpreted HOF fold over K candidates
+    (K·dsub ≈ 10² mults/row; a GEMM backend à la _assign_gemm is the
+    production knob if encode ever dominates)."""
+    cands = F.element_at(_pq_lit_centroids(cents), (sub_col + 1).cast("int"))
+
+    def _d2(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(subvec, c, _sq_diff), F.lit(0.0), _acc_add
+        )
+
+    dists = F.transform(cands, _d2)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _sq_diff(a: Column, b: Column) -> Column:
+    # module-level HOF lambdas (gotcha 4)
+    return (a - b) * (a - b)
+
+
+def _acc_add(acc: Column, x: Column) -> Column:
+    return acc + x
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    num_codes: int = 16,
+    refine_sweeps: int = 1,
+    dim: int | None = None,
+) -> PQModel:
+    """Train a PQ codebook: split each vector into `m` contiguous
+    subspaces and k-means each subspace to `num_codes` centroids. Seeds =
+    the vectors with the smallest ids (ivf_build's deterministic
+    convention); every refine sweep runs ALL subspaces in ONE distributed
+    pass (explode to (sub_id, subvec), assign against the literal
+    codebook, per-(sub, code, dim) mean via hash aggregate) and collects
+    only the m·K·dsub dimension means (≈10³ rows) to the driver."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seed_rows = df.orderBy(id_col).limit(num_codes).select(vec_col).collect()
+    if len(seed_rows) < num_codes:
+        raise ValueError("pq_train: fewer vectors than num_codes")
+    cents = [
+        [[float(x) for x in r[0][j * dsub : (j + 1) * dsub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    for _ in range(refine_sweeps):
+        exploded = (
+            df.select(F.explode(subs).alias("e"))
+            .select(F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+            .withColumn("code", _pq_code_expr(F.col("sv"), F.col("sub"), cents))
+        )
+        means = (
+            exploded.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        new = [[list(c) for c in sub] for sub in cents]  # empty codes keep seeds
+        acc: dict[tuple[int, int], list[float]] = {}
+        for r in means:
+            acc.setdefault((r["sub"], r["code"]), [0.0] * dsub)[r["pos"]] = r["mv"]
+        for (j, c), v in acc.items():
+            new[j][c] = v
+        cents = new
+    return PQModel(m=m, dsub=dsub, centroids=cents)
+
+
+def pq_encode(
+    df: DataFrame,
+    model: PQModel,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as `m` subspace codes (array<int>) — pure
+    map-side projection against the literal codebook, zero shuffle.
+    Storage: m·log2(K) bits/vector (m=8, K=16 → 4 bytes) vs 4·dim bytes
+    raw — the memory side of the ANN scale path."""
+    codes = [
+        _pq_code_expr(
+            F.slice(F.col(vec_col), j * model.dsub + 1, model.dsub),
+            F.lit(j),
+            model.centroids,
+        )
+        for j in range(model.m)
+    ]
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_search(
+    encoded: DataFrame,
+    model: PQModel,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the driver builds
+    the m×K table of squared distances from each query SUBSPACE to each
+    centroid; per row the approximate distance is m table lookups + adds
+    (plain codegen arithmetic — no vector math touches the corpus), then
+    TakeOrderedAndProject. Returns (id, adc_dist) ascending."""
+    table = [
+        [
+            sum(
+                (query_vec[j * model.dsub + t] - c[t]) ** 2
+                for t in range(model.dsub)
+            )
+            for c in model.centroids[j]
+        ]
+        for j in range(model.m)
+    ]
+    lit_t = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in table])
+    dist = None
+    for j in range(model.m):
+        term = F.element_at(
+            F.element_at(lit_t, j + 1),
+            (F.element_at(F.col(codes_col), j + 1) + 1).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

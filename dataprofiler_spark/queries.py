@@ -3344,6 +3344,46 @@ def _tok_str(t: Column) -> Column:
     return t.cast("string")
 
 
+@register(
+    "pq_topk_tolerance",
+    """SELECT COUNT(*) AS n_vecs, TRUE AS self_first, TRUE AS codes_in_range,
+       TRUE AS recall_ok
+FROM embeddings""",
+)
+def pq_topk_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=8 × 16 codes over dim 64), verified
+    tolerance-style (gotcha 19): querying with corpus vector 0 must rank
+    it first under ADC (its own reconstruction is the minimal table sum,
+    ties broken by id), all codes lie in [0, 16), and ADC recall@10 vs
+    exact cosine ≥ 0.15 (measured 0.30 at sf0.01 — the band holds across
+    sf with margin). LOCAL-ONLY TAIL entry (gotcha 26)."""
+    from dataprofiler_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    model = pq_train(emb, m=8, num_codes=16, refine_sweeps=1)
+    enc = pq_encode(emb, model)
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    pq_top = [r["vec_id"] for r in pq_search(enc, model, q, k=10).collect()]
+    bf_top = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    recall = len(set(pq_top) & set(bf_top)) / 10.0
+    rng = enc.select(F.explode("pq_codes").alias("c")).agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    )
+    return enc.agg(F.count(F.lit(1)).alias("n_vecs")).crossJoin(rng).select(
+        "n_vecs",
+        F.lit(pq_top[0] == 0).alias("self_first"),
+        ((F.col("lo") >= 0) & (F.col("hi") < 16)).alias("codes_in_range"),
+        F.lit(recall >= 0.15).alias("recall_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

@@ -482,3 +482,50 @@ def test_pca_project_no_shuffle(spark):
     m = PCAModel(mean=[0.0, 0.0], components=[[1.0, 0.0]], explained_variance=[1.0])
     plan = pca_project(df, m)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_pq_roundtrip_on_separated_clusters(spark):
+    """On well-separated planted clusters PQ is lossless enough to be
+    exact: members of a cluster encode to identical codes and ADC search
+    with a member's vector returns exactly that cluster first."""
+    import numpy as np
+
+    from dataprofiler_spark.operators.similarity import pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(11)
+    protos = rng.normal(size=(4, 8)) * 10.0
+    rows = []
+    for i in range(80):
+        p = protos[i % 4] + rng.normal(scale=0.01, size=8)
+        rows.append((i, p.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pq_train(df, m=4, num_codes=4, refine_sweeps=2)
+    enc = pq_encode(df, model)
+    codes = {r.vec_id: tuple(r.pq_codes) for r in enc.collect()}
+    for c in range(4):
+        members = [codes[i] for i in range(80) if i % 4 == c]
+        assert len(set(members)) == 1  # one code word per cluster
+    assert len({codes[c] for c in range(4)}) == 4  # clusters distinct
+
+    q = [float(x) for x in protos[2]]
+    top = [r.vec_id for r in pq_search(enc, model, q, k=20).collect()]
+    assert all(i % 4 == 2 for i in top)  # all hits from the query's cluster
+
+
+def test_pq_validation_and_code_range(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from dataprofiler_spark.operators.similarity import pq_encode, pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.0, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError):
+        pq_train(df, m=3)  # 4 % 3 != 0
+    model = pq_train(df, m=2, num_codes=4)
+    rng = pq_encode(df, model).select(F.explode("pq_codes").alias("c")).agg(
+        F.min("c"), F.max("c")
+    ).collect()[0]
+    assert rng[0] >= 0 and rng[1] < 4
