@@ -180,6 +180,15 @@ def chunk_windows(
             F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
         ).alias("chunk_start"),
     )
+    # drop strict-suffix chunks: once a chunk reaches the end of the doc,
+    # every later start would emit a pure subset of it (wasted index
+    # size + self-competing retrieval candidates). Keep start s iff the
+    # PREVIOUS chunk (s - stride) did not already cover to the end, i.e.
+    # s + window - stride < n; start 0 always survives.
+    exploded = exploded.filter(
+        (F.col("chunk_start") == 0)
+        | (F.col("chunk_start") + F.lit(int(window) - int(stride)) < F.col("__n"))
+    )
     return exploded.select(
         key_col,
         "chunk_start",

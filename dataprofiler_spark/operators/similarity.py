@@ -769,6 +769,19 @@ class PCAModel:
     whiten: bool = False
 
 
+def _infer_vec_dim(df: DataFrame, vec_col: str, op: str) -> int:
+    """Probe the first row's vector length for dim=None callers, with a
+    clear validation error on an empty frame or a NULL leading vector
+    (first()[0] would otherwise surface as an obscure TypeError)."""
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"{op}: cannot infer vector dim — input is empty or the first "
+            f"'{vec_col}' is NULL; pass dim= explicitly or clean the input"
+        )
+    return len(head[0])
+
+
 def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -791,7 +804,7 @@ def pca_fit(
     from pyspark.sql import types as T
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_vec_dim(df, vec_col, "pca_fit")
     out_schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -929,7 +942,7 @@ def pq_train(
     codebook, per-(sub, code, dim) mean via hash aggregate) and collects
     only the m·K·dsub dimension means (≈10³ rows) to the driver."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_vec_dim(df, vec_col, "pq_train")
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m

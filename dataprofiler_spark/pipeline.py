@@ -293,6 +293,7 @@ RESERVED_CURATION_COLS = (
     "n_chars_calc", "n_words", "mean_word_len", "distinct_word_ratio",
     "stopword_ratio", "fingerprint", "split",
     "__pd_text", "__pd_removed", "__rs_text", "__rs_removed",
+    "__url_keep", "__model_score", "__model_pass",
 )
 
 
@@ -358,10 +359,17 @@ def curate_corpus(
             .agg(F.min(cfg.key_col).alias("__usk"))
             .select(F.col("norm_url").alias("__unu"), "__usk")
         )
+        # eqNullSafe: NULL-url docs form their own group and keep exactly
+        # one survivor (matching url_dedup's groupBy semantics) instead of
+        # all failing a null-unsafe equality. Survivor choice is
+        # key-deterministic (min key), NOT quality-aware — quality isn't
+        # computed yet at this stage (that's the point: collapse refetches
+        # before paying any text cost); content-level quality-first
+        # survivorship is the fingerprint stage's job downstream.
         docs = (
             docs.join(
                 usurv,
-                (F.col("norm_url") == F.col("__unu"))
+                F.col("norm_url").eqNullSafe(F.col("__unu"))
                 & (F.col(cfg.key_col) == F.col("__usk")),
                 "left",
             )
@@ -404,6 +412,17 @@ def curate_corpus(
             .drop("__rs_text")
         )
         span_removed = "__rs_removed"
+
+    if cfg.dedup_paragraphs or cfg.remove_spans:
+        # `docs` fans out below (the surv aggregate + join both re-derive
+        # `staged`, and the optional model gate scores `docs` again):
+        # without materialization the cleanup window+join subtree — the
+        # most expensive stage of the pipeline — would execute 2-3× per
+        # action. localCheckpoint(eager=False) dedups the upstream plan
+        # and lets the ContextCleaner free the blocks (gotcha 24); this
+        # frame is NARROW (one row per doc), so gotcha-36's
+        # materialization-direction rule is satisfied.
+        docs = docs.localCheckpoint(eager=False)
 
     staged = quality_features(docs, cfg.text_col)
     q_pass = (F.col("n_words") >= cfg.min_words) & (

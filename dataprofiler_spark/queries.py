@@ -3106,7 +3106,7 @@ nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
 st AS (SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 8)) AS chunk_start FROM nz)
 SELECT doc_id, chunk_start, least(12, n - chunk_start) AS n_tokens,
        array_to_string(ws[chunk_start + 1 : chunk_start + 12], ' ') AS chunk_text
-FROM st""",
+FROM st WHERE chunk_start = 0 OR chunk_start + 12 - 8 < n""",
 )
 def chunk_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping chunking (12-word windows, hop 8): pure

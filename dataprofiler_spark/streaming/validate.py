@@ -21,6 +21,7 @@ implementation of the check semantics (no batch/stream divergence).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -390,7 +391,12 @@ def ingest_dedup_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         try:
             ledger = spark.read.parquet(ledger_dir)
-        except Exception:
+        except AnalysisException:
+            # first batch only: the ledger dir does not exist yet. Any
+            # OTHER read failure (FS hiccup, corrupt footer, permissions)
+            # must fail the batch — falling back to an empty ledger would
+            # re-ingest previously-seen content under a new batch_id,
+            # polluting the corpus permanently with no error surfaced.
             ledger = spark.createDataFrame([], "digest string")
         fresh = dedup_against_history(batch_df, ledger, cols, key_col)
         survivors = batch_df.join(

@@ -88,8 +88,10 @@ def test_batch_padding_stats_exact_and_bucketed_win(spark):
 
 
 def test_chunk_windows_exact_slices(spark):
-    """Window 4 / stride 3: starts 0,3,6,... chunk text and n_tokens match
-    hand-computed slices; the tail chunk is short, never empty."""
+    """Window 4 / stride 3: starts 0,3,... chunk text and n_tokens match
+    hand-computed slices; a start whose chunk would be a strict suffix of
+    the previous chunk (start 6 here: 'w6' ⊂ 'w3 w4 w5 w6') is dropped —
+    standard splitter semantics, no self-competing retrieval chunks."""
     from dataprofiler_spark.operators.packing import chunk_windows
 
     text = "w0 w1 w2 w3 w4 w5 w6"  # 7 words
@@ -102,7 +104,25 @@ def test_chunk_windows_exact_slices(spark):
     assert got == [
         (0, 4, "w0 w1 w2 w3"),
         (3, 4, "w3 w4 w5 w6"),
-        (6, 1, "w6"),
+    ]
+
+
+def test_chunk_windows_tail_kept_when_new_content(spark):
+    """8 words, window 4 / stride 3: chunk at start 6 carries words the
+    previous chunk did not reach (w7) — kept, short, never empty."""
+    from dataprofiler_spark.operators.packing import chunk_windows
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7"  # 8 words
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_windows(df, window=4, stride=3).collect(),
+        key=lambda r: r.chunk_start,
+    )
+    got = [(r.chunk_start, r.n_tokens, r.chunk_text) for r in rows]
+    assert got == [
+        (0, 4, "w0 w1 w2 w3"),
+        (3, 4, "w3 w4 w5 w6"),
+        (6, 2, "w6 w7"),
     ]
 
 
