@@ -187,3 +187,51 @@ def assign_sequential_ids(
         )
         .drop("__bucket", "__proxy")
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    key_col: str,
+    seed: int = 0,
+    num_shards: int = 256,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic distributed corpus shuffle — the training-order
+    randomizer: every row gets a (shard, pos) address such that reading
+    shards in order, rows in pos order, yields a pseudo-random global
+    permutation that is (a) fully determined by (key, seed), independent
+    of input partitioning/row order, (b) different per seed (epoch
+    reshuffles = new seed, no data movement until the write), and
+    (c) computed with NO global sort: shard assignment is a map-side
+    hash, intra-shard order is a window partitioned BY SHARD, so each
+    task sorts ~n/num_shards rows (the assign_sequential_ids principle:
+    a global `ORDER BY rand()` plans an Exchange SinglePartition — one
+    task sorting 10^12 rows).
+
+    Write `partitionBy(shard)` and the training reader streams shards
+    sequentially — the standard sharded-shuffle shape (a deterministic
+    re-keying, not Spark's own shuffle).
+
+    portable=True derives shard and order from md5 so a DuckDB oracle
+    replays the exact permutation; portable=False swaps in xxhash64
+    (cheaper per row — the production choice). Ties on the 60-bit order
+    hash break by key, so the permutation is total iff keys are unique."""
+    key = F.col(key_col)
+    salted = F.concat_ws("\x1f", key.cast("string"), F.lit(str(int(seed))))
+    if portable:
+        h = F.md5(salted)
+        order_h = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        shard_h = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    else:
+        order_h = F.xxhash64(salted)
+        shard_h = F.xxhash64(salted, F.lit(1))
+    staged = df.withColumn(shard_col, F.pmod(shard_h, F.lit(int(num_shards))))
+    # order within the shard by an INDEPENDENT hash half: decorrelates
+    # intra-shard order from the shard congruence class
+    staged = staged.withColumn("__ord", order_h)
+    w = Window.partitionBy(shard_col).orderBy("__ord", key_col)
+    return staged.withColumn(
+        pos_col, (F.row_number().over(w) - 1).cast("long")
+    ).drop("__ord")

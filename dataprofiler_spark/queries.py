@@ -3384,6 +3384,70 @@ def pq_topk_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_history_bloom_documents",
+    """WITH hist AS (SELECT DISTINCT md5(substr(text, 1, 20)) AS digest
+                 FROM documents WHERE doc_id % 3 = 0),
+newb AS (SELECT doc_id, md5(substr(text, 1, 20)) AS digest
+         FROM documents WHERE doc_id % 3 <> 0),
+coll AS (SELECT digest, MIN(doc_id) AS survivor_doc_id, COUNT(*) AS batch_copies
+         FROM newb GROUP BY digest)
+SELECT digest, survivor_doc_id, batch_copies FROM coll
+WHERE digest NOT IN (SELECT digest FROM hist)""",
+)
+def dedup_history_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered history dedup, adjudicated against the PLAIN
+    exact-dedup oracle (same fixture as dedup_against_history_documents):
+    the bloom fast path must be result-IDENTICAL — no false negatives by
+    construction, false positives resolved by the exact anti-join. At the
+    10^12-digest ledger design point the bloom (one broadcast bitmap,
+    probed map-side) replaces the daily ledger re-shuffle for the
+    mostly-new bulk of each crawl batch. LOCAL-ONLY TAIL entry (harvest
+    window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import (
+        content_hash,
+        dedup_against_history_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring("text", 1, 20)
+    hist = docs.filter(F.col("doc_id") % 3 == 0).select(
+        content_hash(prefix).alias("digest")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", prefix.alias("prefix")
+    )
+    return dedup_against_history_bloom(new, hist, ["prefix"], "doc_id")
+
+
+@register(
+    "shuffle_corpus_documents",
+    """WITH h AS (SELECT doc_id,
+            md5(doc_id::VARCHAR || chr(31) || '7') AS hx FROM documents),
+hh AS (SELECT doc_id,
+              CAST('0x' || substr(hx, 1, 15) AS BIGINT) AS order_h,
+              CAST('0x' || substr(hx, 16, 15) AS BIGINT) % 16 AS shard
+       FROM h)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY order_h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM hh""",
+)
+def shuffle_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed corpus shuffle (training-order
+    randomization): (shard, pos) addresses forming a seeded pseudo-random
+    global permutation with NO single-task sort — shard is a map-side
+    hash, intra-shard rank is a window partitioned by shard. The DuckDB
+    oracle replays the md5-derived permutation bit-for-bit. LOCAL-ONLY
+    TAIL entry (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.ordering import shuffle_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_corpus(
+        docs.select("doc_id"), "doc_id", seed=7, num_shards=16
+    ).select("doc_id", "shard", "pos")
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

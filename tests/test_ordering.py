@@ -87,3 +87,37 @@ def test_string_keys_prefix_proxy_edge_cases(spark):
     assert "SinglePartition" not in plan
     got = {r.k: r.seq_id for r in out.collect()}
     assert got == {k: i for i, k in enumerate(keys)}
+
+
+def test_shuffle_corpus_permutation_properties(spark):
+    """Deterministic sharded shuffle: (a) positions are contiguous per
+    shard, (b) same (key, seed) -> identical addresses regardless of
+    input order, (c) a different seed yields a different permutation,
+    (d) no single-task global sort in the plan."""
+    from dataprofiler_spark.operators.ordering import shuffle_corpus
+
+    keys = [(f"doc-{i:05d}",) for i in range(500)]
+    df = spark.createDataFrame(keys, "k string")
+    out = shuffle_corpus(df, "k", seed=3, num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = out.collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert all(sorted(v) == list(range(len(v))) for v in by_shard.values())
+
+    # input order/partitioning cannot influence the addresses
+    df_rev = spark.createDataFrame(list(reversed(keys)), "k string").repartition(13)
+    again = {r.k: (r.shard, r.pos) for r in shuffle_corpus(df_rev, "k", seed=3, num_shards=8).collect()}
+    assert again == {r.k: (r.shard, r.pos) for r in rows}
+
+    other = {r.k: (r.shard, r.pos) for r in shuffle_corpus(df, "k", seed=4, num_shards=8).collect()}
+    assert other != again
+
+    # portable and xx64 modes both yield valid (if different) permutations
+    fast = shuffle_corpus(df, "k", seed=3, num_shards=8, portable=False).collect()
+    fs: dict[int, list[int]] = {}
+    for r in fast:
+        fs.setdefault(r.shard, []).append(r.pos)
+    assert all(sorted(v) == list(range(len(v))) for v in fs.values())
