@@ -195,3 +195,77 @@ def temperature_targets(
         "n_rows",
         F.round(w / tot, 6).alias("target_frac"),
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    key_col: str = "doc_id",
+    num_buckets: int = 64,
+    flag_col: str = "selected",
+    sample_error: float = 0.001,
+) -> DataFrame:
+    """Flag the highest-quality documents whose tokens fit a global
+    training budget: `selected` = the doc lies in the maximal prefix of
+    the (score DESC, key ASC) order whose cumulative `tokens_col` stays
+    ≤ `budget` (whole documents only — the boundary-crossing doc is NOT
+    taken, so the budget is never exceeded).
+
+    The naive plan — ORDER BY score DESC + a global cumulative-sum
+    window — is an Exchange SinglePartition: one task sorts and scans
+    the entire corpus (the exact scale killer ordering.assign_sequential_ids
+    exists to avoid, with the 40M-row 3.4× A/B in BENCH/BASELINE.md).
+    Same cure, weighted: score-range bucketing makes the cumsum exact
+    with every sort bounded to ~n/num_buckets rows:
+
+    1. approxQuantile cuts on score — any sketch error skews bucket
+       SIZES, never selection (ranges stay disjoint + ordered);
+    2. one hash aggregate of token mass per bucket → driver running
+       offsets (≤ num_buckets scalars): each bucket knows exactly how
+       many tokens precede it in the global descending order;
+    3. cumsum window partitioned BY BUCKET over (score DESC, key) +
+       the bucket's offset = the exact global running total.
+
+    Deterministic iff `key_col` is unique (the usual tie rule). NULL
+    score or tokens raise — a doc with no score has no place in a
+    quality order (mirror assign_sequential_ids' NULL contract)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    score, toks = F.col(score_col), F.col(tokens_col)
+    nulls = df.filter(score.isNull() | toks.isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(
+            f"select_token_budget: NULL {score_col}/{tokens_col} values have "
+            "no place in a quality order — filter or impute them first"
+        )
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(score_col, probs, sample_error)))
+    # bucket 0 = HIGHEST scores (descending global order): the bucket
+    # index is the number of cuts STRICTLY ABOVE the score, so s1 > s2
+    # ⟹ bucket(s1) ≤ bucket(s2) — ranges disjoint + order-consistent.
+    # Boolean-cast sum stays codegen'd (gotcha 15); ties around a cut
+    # only shift bucket sizes.
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (score < F.lit(c)).cast("int")
+    staged = df.withColumn("__b", bucket)
+    mass = {
+        r["__b"]: r["m"]
+        for r in staged.groupBy("__b").agg(F.sum(toks.cast("long")).alias("m")).collect()
+    }
+    offsets, run = {}, 0
+    for b in sorted(mass):
+        offsets[b] = run
+        run += mass[b]
+    off = F.lit(0)
+    for b, o in offsets.items():
+        off = F.when(F.col("__b") == b, F.lit(o)).otherwise(off)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc(score_col), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = off + F.sum(toks.cast("long")).over(w)
+    return staged.withColumn(flag_col, running <= F.lit(int(budget))).drop("__b")

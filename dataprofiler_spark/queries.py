@@ -3448,6 +3448,40 @@ def shuffle_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "pos")
 
 
+@register(
+    "token_budget_selection_documents",
+    """WITH t AS (SELECT doc_id,
+        (doc_id * 37 % 101) / 101.0 AS score,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+      FROM documents),
+c AS (SELECT doc_id,
+        SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, cum <= 100000 AS selected FROM c""",
+)
+def token_budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-budget corpus selection ('train on the best B tokens'):
+    flag the maximal (score DESC, key) prefix whose cumulative token count
+    stays ≤ B — computed with score-range bucketing + driver offsets + a
+    per-bucket cumsum window, never the ORDER-BY-score SinglePartition
+    plan the oracle's global window uses. The synthetic score (doc_id·37
+    mod 101)/101 is deliberately heavy-tied (101 distinct values) to
+    exercise the deterministic key tie-break. LOCAL-ONLY TAIL entry
+    (harvest window full this round, gotcha 26)."""
+    from dataprofiler_spark.operators.sampling import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37 % 101) / F.lit(101.0)).alias("score"),
+        F.size(F.filter(F.split("text", " "), _nonempty_w)).alias("n_tok"),
+    )
+    return select_token_budget(staged, "score", "n_tok", 100000).select(
+        "doc_id", "selected"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

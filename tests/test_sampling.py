@@ -147,3 +147,44 @@ def test_temperature_targets(spark):
     assert abs(flat["small"] - 0.5) < 0.02  # near-uniform
     with _pytest.raises(ValueError):
         temperature_targets(corpus, "source", 0.0)
+
+
+def test_select_token_budget_exact_vs_reference(spark):
+    """Selection must equal the Python-reference ordered prefix for
+    several budgets, including heavy score ties broken by key, with no
+    single-task global sort in the plan."""
+    import random
+
+    from dataprofiler_spark.operators.sampling import select_token_budget
+
+    random.seed(11)
+    rows = [(i, round(random.random(), 4), random.randint(10, 99)) for i in range(800)]
+    # quantized scores -> many exact ties
+    df = spark.createDataFrame(rows, "doc_id bigint, score double, n_tok bigint")
+    for budget in (0, 5000, 10**7):
+        out = select_token_budget(df, "score", "n_tok", budget, num_buckets=8)
+        got = {r.doc_id: r.selected for r in out.collect()}
+        cum, want = 0, {}
+        for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += t
+            want[i] = cum <= budget
+        assert got == want, budget
+    plan = (
+        select_token_budget(df, "score", "n_tok", 5000, num_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_select_token_budget_null_and_validation(spark):
+    import pytest as _pytest
+
+    from dataprofiler_spark.operators.sampling import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 10), (2, None, 10)], "doc_id bigint, score double, n_tok bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        select_token_budget(df, "score", "n_tok", 100).collect()
+    with _pytest.raises(ValueError, match="budget"):
+        select_token_budget(df.filter("score is not null"), "score", "n_tok", -1)
