@@ -31,6 +31,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from dataprofiler_spark import get_spark  # noqa: E402
 from dataprofiler_spark.operators.dedup import (  # noqa: E402
+    content_hash,
+    dedup_against_history_bloom,
     dedup_clusters,
     lsh_candidate_pairs,
     minhash_band_frame,
@@ -50,7 +52,11 @@ from dataprofiler_spark.operators.drift import (  # noqa: E402
     ks_statistic,
     token_frequency,
 )
-from dataprofiler_spark.operators.ordering import assign_sequential_ids  # noqa: E402
+from dataprofiler_spark.operators.ordering import (  # noqa: E402
+    assign_sequential_ids,
+    shuffle_corpus,
+)
+from dataprofiler_spark.operators.sampling import select_token_budget  # noqa: E402
 from dataprofiler_spark.operators.packing import packing_stats  # noqa: E402
 from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
@@ -254,6 +260,30 @@ def main() -> None:
             ).count(),
             "hashed_classifier": lambda: hashed_linear_score(dc)
             .agg(F.avg("quality_score"), F.count("*")).collect(),
+            # round-4 closing ops: bloom-prefiltered ledger dedup (probe is
+            # k broadcast joins, map-side; only the maybe-seen sliver hits
+            # the exact anti-join); deterministic sharded shuffle
+            # (production xxhash64 mode); exact token-budget selection
+            # (bucketed-offset cumsum, no global sort)
+            "bloom_history_dedup": lambda: dedup_against_history_bloom(
+                dc.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text"),
+                dc.filter(F.col("doc_id") % 3 == 0).select(
+                    content_hash(F.col("text")).alias("digest")
+                ),
+                ["text"], "doc_id",
+            ).count(),
+            "shuffle_corpus": lambda: shuffle_corpus(
+                dc.select("doc_id"), "doc_id", seed=1, num_shards=64,
+                portable=False,
+            ).agg(F.max("pos"), F.count("*")).collect(),
+            "token_budget_select": lambda: select_token_budget(
+                dc.select(
+                    "doc_id",
+                    (F.pmod(F.col("doc_id") * 37, F.lit(101)) / 101.0).alias("score"),
+                    token_count("text").alias("n_tok"),
+                ),
+                "score", "n_tok", 1_000_000,
+            ).filter(F.col("selected")).count(),
         }
 
     def _paragraph_dedup(dc):
