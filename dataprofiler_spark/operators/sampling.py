@@ -234,12 +234,6 @@ def select_token_budget(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     score, toks = F.col(score_col), F.col(tokens_col)
-    nulls = df.filter(score.isNull() | toks.isNull()).limit(1).count()
-    if nulls:
-        raise ValueError(
-            f"select_token_budget: NULL {score_col}/{tokens_col} values have "
-            "no place in a quality order — filter or impute them first"
-        )
     probs = [i / num_buckets for i in range(1, num_buckets)]
     cuts = sorted(set(df.stat.approxQuantile(score_col, probs, sample_error)))
     # bucket 0 = HIGHEST scores (descending global order): the bucket
@@ -250,11 +244,23 @@ def select_token_budget(
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (score < F.lit(c)).cast("int")
-    staged = df.withColumn("__b", bucket)
+    # NULL score/tokens route to a NULL bucket so the (already required)
+    # mass aggregate detects them without a separate validation scan —
+    # the assign_sequential_ids NULL contract at zero extra passes
+    staged = df.withColumn(
+        "__b", F.when(score.isNotNull() & toks.isNotNull(), bucket)
+    )
     mass = {
         r["__b"]: r["m"]
-        for r in staged.groupBy("__b").agg(F.sum(toks.cast("long")).alias("m")).collect()
+        for r in staged.groupBy("__b")
+        .agg(F.coalesce(F.sum(toks.cast("long")), F.count(F.lit(1))).alias("m"))
+        .collect()
     }
+    if None in mass:
+        raise ValueError(
+            f"select_token_budget: NULL {score_col}/{tokens_col} values have "
+            "no place in a quality order — filter or impute them first"
+        )
     offsets, run = {}, 0
     for b in sorted(mass):
         offsets[b] = run
