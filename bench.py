@@ -56,12 +56,18 @@ from dataprofiler_spark.operators.ordering import (  # noqa: E402
     assign_sequential_ids,
     shuffle_corpus,
 )
-from dataprofiler_spark.operators.sampling import select_token_budget  # noqa: E402
+from dataprofiler_spark.operators.sampling import (  # noqa: E402
+    dsir_log_ratios,
+    dsir_resample,
+    dsir_score,
+    select_token_budget,
+)
 from dataprofiler_spark.operators.packing import packing_stats  # noqa: E402
 from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
 from dataprofiler_spark.operators.textstats import (  # noqa: E402
     hashed_linear_score,
+    threshold_sweep,
     token_count,
     unigram_logprob,
 )
@@ -284,7 +290,26 @@ def main() -> None:
                 ),
                 "score", "n_tok", 1_000_000,
             ).filter(F.col("selected")).count(),
+            # DSIR importance resampling: two explode+hash-agg corpus
+            # passes fit the bucket log-ratio table (broadcast-sized),
+            # one scoring pass sums ratios per doc, Gumbel top-k via
+            # TakeOrderedAndProject
+            "dsir_select": lambda: _dsir_select(dc),
+            # quality-threshold calibration sweep: 21 thresholds x 4
+            # confusion cells = 84 conditional sums in ONE hash aggregate
+            "threshold_sweep": lambda: threshold_sweep(
+                hashed_linear_score(dc).withColumn(
+                    "y", F.col("doc_id") % 3 == 0
+                ),
+                "quality_score", "y",
+            ).collect(),
         }
+
+    def _dsir_select(dc):
+        target = dc.filter(F.col("doc_id") % 7 == 0)
+        raw = dc.filter(F.col("doc_id") % 7 != 0)
+        model = dsir_log_ratios(target, raw, n_buckets=1 << 16)
+        return dsir_resample(dsir_score(raw, model), 1000, salt="b").count()
 
     def _paragraph_dedup(dc):
         nxt = dc.select((F.col("doc_id") - F.lit(1)).alias("doc_id"), F.col("text").alias("text2"))

@@ -15,6 +15,9 @@ the split column is a partition-pruning-friendly literal.
 
 from __future__ import annotations
 
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,3 +278,163 @@ def select_token_budget(
     )
     running = off + F.sum(toks.cast("long")).over(w)
     return staged.withColumn(flag_col, running <= F.lit(int(budget))).drop("__b")
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+# distribution looks like a small TARGET corpus. The standard
+# domain-targeted pre-training-data selection op (used for The Pile →
+# domain subsets, and by several open data recipes).
+#
+# Three composable stages, all deterministic and SQL-replayable:
+#   dsir_log_ratios  — fit two hashed bag-of-words models, emit per-bucket
+#                      log(p_target/p_raw) (a broadcast-sized table);
+#   dsir_score       — per-document log importance weight = Σ_word ratio;
+#   dsir_resample    — Gumbel top-k over the weights with hash-derived
+#                      noise (the paper's sampling-without-replacement).
+# --------------------------------------------------------------------------
+
+
+def _word_bucket(w: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket for a word: first 7 hex chars of md5 → long,
+    mod n_buckets — the same portable expression as
+    textstats.hashed_linear_score (oracle replays it verbatim)."""
+    return F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % n_buckets
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, out: str) -> DataFrame:
+    words = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("__w")
+    )
+    return words.groupBy(_word_bucket(F.col("__w"), n_buckets).alias("bucket")).agg(
+        F.count(F.lit(1)).alias(out)
+    )
+
+
+@dataclass
+class DsirModel:
+    """Fitted DSIR importance model: `ratios` is a ≤ n_buckets-row frame
+    (bucket:long, log_ratio:double); `oov_log_ratio` is the smoothed ratio
+    for buckets unseen in BOTH corpora (a constant)."""
+
+    ratios: DataFrame
+    oov_log_ratio: float
+    n_buckets: int
+    target_tokens: int
+    raw_tokens: int
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    alpha: float = 1.0,
+) -> DsirModel:
+    """Fit the DSIR importance model: hashed unigram counts per corpus →
+    per-bucket log((cnt_t + α)/(T_t + αB)) − log((cnt_r + α)/(T_r + αB))
+    (add-α smoothed bag-of-words log-likelihood ratio).
+
+    Scale shape: each corpus contributes ONE explode → hash-aggregate pass
+    (map-side combine; the shuffle carries ≤ n_buckets narrow rows per
+    corpus, regardless of corpus size). The counts frames are
+    localCheckpoint'ed (gotcha 24) because each is consumed twice (total +
+    join) — without it the totals aggregate would re-run the corpus scan
+    (gotcha 16). The ratio table is bucket-bounded: broadcast-sized by
+    construction, never corpus-sized. The two `.collect()`s are one scalar
+    each (documented aggregate-sized driver transfer)."""
+    tc = _bucket_counts(target, text_col, n_buckets, "cnt_t").localCheckpoint(
+        eager=False
+    )
+    rc = _bucket_counts(raw, text_col, n_buckets, "cnt_r").localCheckpoint(
+        eager=False
+    )
+    t_total = int(tc.agg(F.sum("cnt_t")).collect()[0][0] or 0)
+    r_total = int(rc.agg(F.sum("cnt_r")).collect()[0][0] or 0)
+    b = float(n_buckets)
+    t_den = t_total + alpha * b
+    r_den = r_total + alpha * b
+    ratios = tc.join(rc, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(alpha)) / F.lit(t_den))
+            - F.log(
+                (F.coalesce(F.col("cnt_r"), F.lit(0)) + F.lit(alpha)) / F.lit(r_den)
+            )
+        ).alias("log_ratio"),
+    )
+    oov = math.log(alpha / t_den) - math.log(alpha / r_den)
+    return DsirModel(ratios, oov, n_buckets, t_total, r_total)
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DsirModel,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    logw_col: str = "log_weight",
+) -> DataFrame:
+    """Per-document log importance weight: Σ over the doc's words of the
+    bucket log-ratio (OOV buckets get the model's smoothed constant).
+    Returns (key, logw rounded 6dp) — one row per input row.
+
+    Shape: explode_outer words (empty docs stay, weight 0 — a doc with no
+    text is mixture-neutral, surfaced not dropped) → broadcast join on the
+    bucket-bounded ratio table → hash-aggregate sum per key. The shuffle
+    carries (key, partial sum) after map-side combine."""
+    words = df.select(
+        F.col(key_col),
+        F.explode_outer(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("__w"),
+    )
+    staged = words.withColumn(
+        "__bucket",
+        F.when(F.col("__w").isNotNull(), _word_bucket(F.col("__w"), model.n_buckets)),
+    )
+    joined = staged.join(
+        F.broadcast(model.ratios.withColumnRenamed("bucket", "__bucket")),
+        "__bucket",
+        "left",
+    )
+    contrib = F.when(F.col("__w").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("log_ratio"), F.lit(model.oov_log_ratio))
+    )
+    return (
+        joined.groupBy(key_col)
+        .agg(F.round(F.sum(contrib), 6).alias(logw_col))
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    k: int,
+    logw_col: str = "log_weight",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Gumbel top-k resampling: score = log_weight +
+    Gumbel(0,1) noise derived from md5(salt || key); the top k scores are
+    an exact sample-without-replacement from softmax(log_weight) (the
+    Gumbel-max trick DSIR prescribes). Pure function of (key, salt) —
+    rerun-stable across partitionings and cluster sizes, and the noise is
+    SQL-reproducible (same md5 → uniform → −ln(−ln u) chain in DuckDB).
+
+    The selection orders by the 6dp-ROUNDED score with a key tie-break so
+    both engines agree on the boundary regardless of float summation
+    order; `orderBy().limit(k)` compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort (scale-safe top-k)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    key = F.col(key_col)
+    # uniform in (0,1): 60-bit md5 prefix, offset by 0.5 so u∉{0,1}
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    scored = df.withColumn("__g", F.round(F.col(logw_col) + gumbel, 6))
+    return scored.orderBy(F.desc("__g"), key.asc()).limit(k).drop("__g")

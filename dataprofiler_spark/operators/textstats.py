@@ -581,3 +581,70 @@ def hashed_linear_score(
 def _nonempty(w: Column) -> Column:
     # module-level HOF lambda (gotcha 4)
     return w != ""
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """Quality-filter calibration: confusion counts + precision/recall/F1
+    at each candidate threshold (predict positive iff score ≥ t) — the
+    sweep a corpus team runs against a labeled sample before picking the
+    classifier cut for a filtering pass (FineWeb-Edu-style "keep if
+    score ≥ 3" decisions).
+
+    ONE corpus pass for the whole grid: every (threshold, cell) is a
+    conditional sum in a single hash aggregate (map-side combined; the
+    shuffle carries one partial row per task), then the 1×(4·|grid|) row
+    is unpivoted with `stack` — never a per-threshold scan, never a
+    grid×rows explode. Rows with NULL score or label carry no signal for
+    a cut decision and are excluded (count them upstream if they matter).
+    Ratios are NULL (not 0) when undefined, rounded 6dp."""
+    thresholds = (
+        [round(i / 20, 2) for i in range(21)] if thresholds is None else thresholds
+    )
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s, y = F.col(score_col), F.col(label_col).cast("boolean")
+    scored = df.filter(s.isNotNull() & y.isNotNull())
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = s >= F.lit(float(t))
+        aggs += [
+            F.sum((pred & y).cast("long")).alias(f"__tp_{i}"),
+            F.sum((pred & ~y).cast("long")).alias(f"__fp_{i}"),
+            F.sum((~pred & y).cast("long")).alias(f"__fn_{i}"),
+            F.sum((~pred & ~y).cast("long")).alias(f"__tn_{i}"),
+        ]
+    row = scored.agg(*aggs)
+    cells = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), __tp_{i}, __fp_{i}, __fn_{i}, __tn_{i}"
+        for i, t in enumerate(thresholds)
+    )
+    unpivoted = row.select(
+        F.expr(
+            f"stack({len(thresholds)}, {cells}) AS (threshold, tp, fp, fn, tn)"
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    # empty input: sums are NULL — pin counts to 0 so the grid still
+    # comes back (ratios stay NULL via the 0 denominators)
+    counts = unpivoted.select(
+        "threshold",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("tp", "fp", "fn", "tn")],
+    )
+    prec = tp / F.nullif(tp + fp, F.lit(0))
+    rec = tp / F.nullif(tp + fn, F.lit(0))
+    f1 = 2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+    return counts.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -3482,6 +3482,116 @@ def token_budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _dsir_sql(n_buckets: int = 1 << 12, alpha: float = 1.0, k: int = 100) -> str:
+    two60 = float(1 << 60)
+    return f"""WITH w AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents),
+b AS (SELECT doc_id,
+        CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets} AS bucket
+      FROM w),
+tc AS (SELECT bucket, COUNT(*) AS cnt_t FROM b WHERE doc_id % 7 = 0 GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS cnt_r FROM b WHERE doc_id % 7 <> 0 GROUP BY bucket),
+tt AS (SELECT COALESCE(SUM(cnt_t), 0) + {alpha} * {n_buckets} AS den FROM tc),
+rt AS (SELECT COALESCE(SUM(cnt_r), 0) + {alpha} * {n_buckets} AS den FROM rc),
+ratios AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+        ln((COALESCE(cnt_t, 0) + {alpha}) / tt.den)
+      - ln((COALESCE(cnt_r, 0) + {alpha}) / rt.den) AS lr
+      FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+      CROSS JOIN tt CROSS JOIN rt),
+docw AS (SELECT d.doc_id, ROUND(COALESCE(SUM(ratios.lr), 0), 6) AS log_weight
+      FROM documents d
+      LEFT JOIN b ON b.doc_id = d.doc_id
+      LEFT JOIN ratios ON ratios.bucket = b.bucket
+      WHERE d.doc_id % 7 <> 0
+      GROUP BY d.doc_id),
+g AS (SELECT doc_id, log_weight,
+        ROUND(log_weight + -ln(-ln(
+          (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) + 0.5) / {two60})), 6) AS gs
+      FROM docw)
+SELECT doc_id, log_weight FROM g ORDER BY gs DESC, doc_id LIMIT {k}"""
+
+
+@register("dsir_selection_documents", _dsir_sql())
+def dsir_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): fit hashed
+    bag-of-words models on a target slice (doc_id%7=0) vs the raw rest,
+    score each raw doc with the summed per-bucket log-likelihood ratio,
+    and Gumbel-top-k select 100 docs — sampling-without-replacement from
+    softmax(log weight), noise derived from md5('dsir'||doc_id) so both
+    engines replay it bit-for-bit. Selection compares the 6dp-ROUNDED
+    Gumbel score with a doc_id tie-break (cross-engine float-sum-order
+    safety). LOCAL-ONLY TAIL entry (harvest window full this round,
+    gotcha 26)."""
+    from dataprofiler_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_resample,
+        dsir_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    model = dsir_log_ratios(target, raw, n_buckets=1 << 12)
+    return dsir_resample(dsir_score(raw, model), 100, salt="dsir")
+
+
+def _threshold_sweep_sql(n_buckets: int = 1 << 18, seed: int = 42) -> str:
+    from dataprofiler_spark.operators.dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(1, seed)[0]
+    grid = ", ".join(str(round(i / 20, 2)) for i in range(21))
+    return f"""WITH w AS (SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       FROM documents),
+wt AS (SELECT doc_id,
+         ((CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets}) * {a} + {b})
+           % {_MERSENNE} / ({_MERSENNE} / 2.0) - 1.0 AS wt
+       FROM w),
+m AS (SELECT doc_id, AVG(wt) AS m FROM wt GROUP BY doc_id),
+s AS (SELECT d.doc_id,
+        CASE WHEN m.m IS NULL THEN NULL
+             ELSE ROUND(1.0 / (1.0 + exp(-m.m)), 6) END AS score,
+        (d.doc_id % 3 = 0) AS y
+      FROM documents d LEFT JOIN m USING (doc_id)),
+f AS (SELECT * FROM s WHERE score IS NOT NULL),
+g AS (SELECT unnest([{grid}]) AS threshold),
+c AS (SELECT g.threshold,
+        CAST(SUM(CASE WHEN f.score >= g.threshold AND f.y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN f.score >= g.threshold AND NOT f.y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN f.score < g.threshold AND f.y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN f.score < g.threshold AND NOT f.y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM f CROSS JOIN g GROUP BY g.threshold)
+SELECT threshold, tp, fp, fn, tn,
+       ROUND(tp / NULLIF(tp + fp, 0), 6) AS precision,
+       ROUND(tp / NULLIF(tp + fn, 0), 6) AS recall,
+       ROUND(2.0 * (tp / NULLIF(tp + fp, 0)) * (tp / NULLIF(tp + fn, 0))
+             / NULLIF((tp / NULLIF(tp + fp, 0)) + (tp / NULLIF(tp + fn, 0)), 0), 6) AS f1
+FROM c"""
+
+
+@register("threshold_sweep_documents", _threshold_sweep_sql())
+def threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration sweep: confusion counts +
+    precision/recall/F1 at 21 candidate thresholds over the hashed-
+    classifier score (label = doc_id%3=0 fixture) — ONE hash-aggregate
+    pass for the whole grid (84 conditional sums), unpivoted with stack;
+    never a per-threshold scan. NULL-score (empty) docs are excluded on
+    both sides. LOCAL-ONLY TAIL entry (harvest window full this round,
+    gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import (
+        hashed_linear_score,
+        threshold_sweep,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).withColumn(
+        "y", F.col("doc_id") % 3 == 0
+    )
+    return threshold_sweep(scored, "quality_score", "y")
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
 #

@@ -188,3 +188,95 @@ def test_select_token_budget_null_and_validation(spark):
         select_token_budget(df, "score", "n_tok", 100).collect()
     with _pytest.raises(ValueError, match="budget"):
         select_token_budget(df.filter("score is not null"), "score", "n_tok", -1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _naive_dsir(target_texts, raw_texts, n_buckets, alpha=1.0):
+    """Reference DSIR model + scorer in plain Python (hashlib md5)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % n_buckets
+
+    def words(t):
+        return [w for w in t.split(" ") if w != ""]
+
+    tc = Counter(bucket(w) for t in target_texts for w in words(t))
+    rc = Counter(bucket(w) for t in raw_texts for w in words(t))
+    t_den = sum(tc.values()) + alpha * n_buckets
+    r_den = sum(rc.values()) + alpha * n_buckets
+    ratios = {
+        b: math.log((tc.get(b, 0) + alpha) / t_den)
+        - math.log((rc.get(b, 0) + alpha) / r_den)
+        for b in set(tc) | set(rc)
+    }
+    oov = math.log(alpha / t_den) - math.log(alpha / r_den)
+
+    def score(t):
+        return round(sum(ratios.get(bucket(w), oov) for w in words(t)), 6)
+
+    return ratios, oov, score
+
+
+def test_dsir_lockstep_vs_naive(spark):
+    from dataprofiler_spark.operators.sampling import dsir_log_ratios, dsir_score
+
+    target_texts = ["spark shuffle engine", "engine spark  codegen", "shuffle plan"]
+    raw_texts = ["cat dog", "dog  bird spark", "", "fish cat cat", "plan bird"]
+    nb = 64
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(raw_texts)], "doc_id long, text string"
+    )
+    model = dsir_log_ratios(target, raw, n_buckets=nb)
+    ratios, oov, score = _naive_dsir(target_texts, raw_texts, nb)
+    assert model.oov_log_ratio == pytest.approx(oov)
+    got = {r.bucket: r.log_ratio for r in model.ratios.collect()}
+    assert set(got) == set(ratios)
+    for b, lr in ratios.items():
+        assert got[b] == pytest.approx(lr)
+    scored = {r.doc_id: r.log_weight for r in dsir_score(raw, model).collect()}
+    assert scored == {i: score(t) for i, t in enumerate(raw_texts)}
+    # the empty doc is present and mixture-neutral
+    assert scored[2] == 0.0
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from dataprofiler_spark.operators.sampling import (
+        dsir_log_ratios,
+        dsir_resample,
+        dsir_score,
+    )
+
+    rows = [
+        (i, ("spark data engine pipeline " if i % 3 == 0 else "cat dog bird fish ") * 3 + f"tok{i}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 30))
+    raw = df.filter((F.col("doc_id") % 3 != 0) | (F.col("doc_id") >= 30))
+    model = dsir_log_ratios(target, raw, n_buckets=1 << 10)
+    scored = dsir_score(raw, model)
+    sel = dsir_resample(scored, 10, salt="s")
+    picked = sorted(r.doc_id for r in sel.collect())
+    # every selected doc is target-like: the importance gap (≈ +4 vs −53
+    # log-weight) dwarfs Gumbel noise
+    assert picked == [i for i in range(30, 60) if i % 3 == 0]
+    # deterministic across partitionings
+    again = sorted(
+        r.doc_id for r in dsir_resample(scored.repartition(13), 10, salt="s").collect()
+    )
+    assert picked == again
+    # k ≥ rows keeps everything; k=0 keeps nothing
+    assert dsir_resample(scored, 10_000).count() == raw.count()
+    assert dsir_resample(scored, 0).count() == 0
+    with pytest.raises(ValueError):
+        dsir_resample(scored, -1)

@@ -368,3 +368,45 @@ def test_hashed_linear_score_trained_weight_table(spark):
            for r in hashed_linear_score(df, weights=weights).collect()}
     assert out[1] == round(1 / (1 + math.exp(-(2.0 + 2.0 - 1.0) / 3)), 6)
     assert out[2] == 0.5  # OOV-only doc: mean weight 0 -> sigmoid(0)
+
+
+def test_threshold_sweep_lockstep_and_nulls(spark):
+    from dataprofiler_spark.operators.textstats import threshold_sweep
+
+    rows = [(i / 10.0, i % 2 == 0) for i in range(10)] + [
+        (None, True),
+        (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    out = {
+        r.threshold: r
+        for r in threshold_sweep(df, "score", "y", [0.0, 0.35, 0.8]).collect()
+    }
+    data = [(s, y) for s, y in rows if s is not None and y is not None]
+    for t in (0.0, 0.35, 0.8):
+        tp = sum(1 for s, y in data if s >= t and y)
+        fp = sum(1 for s, y in data if s >= t and not y)
+        fn = sum(1 for s, y in data if s < t and y)
+        tn = sum(1 for s, y in data if s < t and not y)
+        r = out[t]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+        assert r.precision == pytest.approx(tp / (tp + fp)) if tp + fp else r.precision is None
+        assert r.recall == pytest.approx(tp / (tp + fn)) if tp + fn else r.recall is None
+    # perfect-classifier sanity: f1 = 1 where the cut separates the labels
+    sep = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.1, False)], "score double, y boolean"
+    )
+    r = threshold_sweep(sep, "score", "y", [0.5]).collect()[0]
+    assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0)
+
+
+def test_threshold_sweep_empty_and_validation(spark):
+    from dataprofiler_spark.operators.textstats import threshold_sweep
+
+    df = spark.createDataFrame([], "score double, y boolean")
+    rows = threshold_sweep(df, "score", "y", [0.2, 0.7]).collect()
+    assert {r.threshold for r in rows} == {0.2, 0.7}
+    assert all((r.tp, r.fp, r.fn, r.tn) == (0, 0, 0, 0) for r in rows)
+    assert all(r.precision is None and r.recall is None and r.f1 is None for r in rows)
+    with pytest.raises(ValueError):
+        threshold_sweep(df, "score", "y", [])
