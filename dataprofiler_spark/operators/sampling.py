@@ -24,15 +24,21 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000  # split resolution: 0.01%
 
 
+def _md5_prefix_long(key: Column, salt: str, n_hex: int) -> Column:
+    """First `n_hex` hex chars of md5(salt || key) as a long — the ONE
+    copy of the module's portable hash chain (every oracle replays
+    `CAST('0x' || substr(md5(...), 1, n) AS BIGINT)` against it)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, n_hex), 16, 10
+    ).cast("long")
+
+
 def hash_bucket(key: str | Column, salt: str = "") -> Column:
     """Deterministic bucket in [0, 10000): first 15 hex chars of
     md5(salt || key) mod 10000. The salt decorrelates independent splits
     over the same key (e.g. a second holdout)."""
     key_col = F.col(key) if isinstance(key, str) else key
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 15), 16, 10
-    ).cast("long")
-    return (h % BUCKETS).cast("int")
+    return (_md5_prefix_long(key_col, salt, 15) % BUCKETS).cast("int")
 
 
 def hash_split(
@@ -297,10 +303,13 @@ def select_token_budget(
 
 
 def _word_bucket(w: Column, n_buckets: int) -> Column:
-    """Hashed-feature bucket for a word: first 7 hex chars of md5 → long,
-    mod n_buckets — the same portable expression as
-    textstats.hashed_linear_score (oracle replays it verbatim)."""
-    return F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % n_buckets
+    """Hashed-feature bucket for a word — the shared expression in
+    textstats.hashed_word_bucket (ONE Python copy; both the classifier
+    and DSIR oracles replay it verbatim). Lazy import: textstats never
+    imports sampling, so no cycle."""
+    from dataprofiler_spark.operators.textstats import hashed_word_bucket
+
+    return hashed_word_bucket(w, n_buckets)
 
 
 def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, out: str) -> DataFrame:
@@ -430,11 +439,13 @@ def dsir_resample(
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     key = F.col(key_col)
-    # uniform in (0,1): 60-bit md5 prefix, offset by 0.5 so u∉{0,1}
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
-    ).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+    # uniform in (0,1): 52-bit md5 prefix (13 hex), offset by 0.5 so
+    # u∉{0,1}. 52 bits is EXACT in a double — a 60-bit prefix rounds
+    # values near 2^60 up to 2^60, making u == 1.0 and gumbel NULL in
+    # Spark / a hard ln(0) error in the DuckDB replay (~2^-54 per row,
+    # nonzero at the corpus design scale).
+    h = _md5_prefix_long(key, salt, 13).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
     gumbel = -F.log(-F.log(u))
-    scored = df.withColumn("__g", F.round(F.col(logw_col) + gumbel, 6))
-    return scored.orderBy(F.desc("__g"), key.asc()).limit(k).drop("__g")
+    scored = df.withColumn("__dsir_g", F.round(F.col(logw_col) + gumbel, 6))
+    return scored.orderBy(F.desc("__dsir_g"), key.asc()).limit(k).drop("__dsir_g")

@@ -515,6 +515,15 @@ def vocab_rank_drift(
     )
 
 
+def hashed_word_bucket(w: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket for a word: first 7 hex chars of md5 → long,
+    mod n_buckets. The ONE Python copy of the expression — the hashed
+    classifier, the DSIR model (sampling.py), and both of their DuckDB
+    oracles replay it verbatim, so any change must land here and in the
+    `CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % n` SQL together."""
+    return F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % n_buckets
+
+
 def hashed_linear_score(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -549,11 +558,9 @@ def hashed_linear_score(
             F.filter(F.split(F.col(text_col), " "), _nonempty)
         ).alias("__w"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__w")), 1, 7), 16, 10).cast("long")
-        % n_buckets
+    staged = words.withColumn(
+        "__bucket", hashed_word_bucket(F.col("__w"), n_buckets)
     )
-    staged = words.withColumn("__bucket", bucket)
     if weights is not None:
         from pyspark.sql.functions import broadcast
 

@@ -3483,7 +3483,7 @@ def token_budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def _dsir_sql(n_buckets: int = 1 << 12, alpha: float = 1.0, k: int = 100) -> str:
-    two60 = float(1 << 60)
+    two52 = float(1 << 52)
     return f"""WITH w AS (SELECT doc_id,
         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
       FROM documents),
@@ -3507,8 +3507,8 @@ docw AS (SELECT d.doc_id, ROUND(COALESCE(SUM(ratios.lr), 0), 6) AS log_weight
       GROUP BY d.doc_id),
 g AS (SELECT doc_id, log_weight,
         ROUND(log_weight + -ln(-ln(
-          (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15)
-             AS BIGINT) + 0.5) / {two60})), 6) AS gs
+          (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 13)
+             AS BIGINT) + 0.5) / {two52})), 6) AS gs
       FROM docw)
 SELECT doc_id, log_weight FROM g ORDER BY gs DESC, doc_id LIMIT {k}"""
 
