@@ -355,6 +355,10 @@ def dsir_log_ratios(
     (gotcha 16). The ratio table is bucket-bounded: broadcast-sized by
     construction, never corpus-sized. The two `.collect()`s are one scalar
     each (documented aggregate-sized driver transfer)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     tc = _bucket_counts(target, text_col, n_buckets, "cnt_t").localCheckpoint(
         eager=False
     )

@@ -280,3 +280,22 @@ def test_dsir_upweights_target_like_docs(spark):
     assert dsir_resample(scored, 0).count() == 0
     with pytest.raises(ValueError):
         dsir_resample(scored, -1)
+
+
+def test_dsir_empty_target_and_validation(spark):
+    from dataprofiler_spark.operators.sampling import dsir_log_ratios, dsir_score
+
+    raw = spark.createDataFrame(
+        [(1, "cat dog"), (2, "")], "doc_id long, text string"
+    )
+    empty = raw.filter("doc_id < 0")
+    # empty target corpus: every bucket ratio is the uniform-smoothing
+    # log(alpha/(alpha*B)) vs raw — finite, no division by zero
+    model = dsir_log_ratios(empty, raw, n_buckets=16)
+    assert model.target_tokens == 0
+    scores = {r.doc_id: r.log_weight for r in dsir_score(raw, model).collect()}
+    assert scores[2] == 0.0 and scores[1] is not None
+    with pytest.raises(ValueError):
+        dsir_log_ratios(empty, raw, alpha=0.0)
+    with pytest.raises(ValueError):
+        dsir_log_ratios(empty, raw, n_buckets=1)
