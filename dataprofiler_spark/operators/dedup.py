@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.functions.expressions import words as _ws_words
+
 # 31-bit Mersenne prime for the minhash universal-hash family: with
 # x, a, b < 2^31 the product a·x stays under 2^62 — no int64 overflow
 # inside Spark OR DuckDB (both use Java/C++ 64-bit signed math).
@@ -104,7 +106,7 @@ def word_shingles(text_col: str | Column, k: int = 3, pre_split: bool = False) -
     if pre_split:
         words = text_col if isinstance(text_col, Column) else F.col(text_col)
     else:
-        words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+        words = _ws_words(text_col)
     n = F.size(words)
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, i + j) for j in range(k)]
@@ -179,7 +181,7 @@ def minhash_band_frame(
     function (CLAUDE.md gotcha 8)."""
     rows_per_band = num_hashes // bands
 
-    words = F.split(F.col(text_col), " ")
+    words = _ws_words(F.col(text_col))
     staged = (
         df.select(F.col(key_col).alias("key"), words.alias("__words"))
         .select(
@@ -285,7 +287,7 @@ def ngram_jaccard_pairs(
     OUT (None) must be explicit. Note the dropped hot shingles also leave
     the |A|/|B| set sizes, so Jaccard values shift slightly vs uncapped —
     the standard approximation trade, disclosed."""
-    words = F.split(F.col(text_col), " ")
+    words = _ws_words(F.col(text_col))
     sh = (
         df.select(F.col(key_col).alias("key"), words.alias("__words"))
         .select("key", F.explode(word_shingles(F.col("__words"), shingle_k, pre_split=True)).alias("s"))
@@ -661,7 +663,7 @@ def simhash(text_col: str | Column, bits: int = 60, portable: bool = True) -> Co
     all inside whole-stage codegen, no Python."""
     if portable and bits > 60:
         raise ValueError("simhash: bits must be <= 60 (portable hash width)")
-    words = F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
+    words = _ws_words(text_col)
     zero = F.array_repeat(F.lit(0), bits)
 
     # Hash in a SEPARATE transform stage: the fold below references the
@@ -755,9 +757,7 @@ def simhash_near_dup_pairs(
     bits = 60
     words = df.select(
         F.col(key_col).alias("key"),
-        F.explode(
-            F.split(text_col if isinstance(text_col, Column) else F.col(text_col), " ")
-        ).alias("w"),
+        F.explode(_ws_words(text_col)).alias("w"),
     )
     hashed = words.select(
         "key", (_token_long_hash(F.col("w")) if portable else F.xxhash64("w")).alias("h")
@@ -909,7 +909,7 @@ def remove_duplicated_spans(
     rebuild fold into ONE per-document aggregate over coverage-flagged
     word rows (no base re-scan, no left-join of two per-doc frames);
     the only collect_list is a document's own words."""
-    words_arr = F.filter(F.split(F.col(text_col), " "), _nonempty)
+    words_arr = _ws_words(F.col(text_col))
     staged = df.select(F.col(key_col), words_arr.alias("__ws")).localCheckpoint(
         eager=False
     )

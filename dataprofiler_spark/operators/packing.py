@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.functions.expressions import words as _ws_words
+
 
 def pack_chunks(
     df: DataFrame,
@@ -170,7 +172,7 @@ def chunk_windows(
     if not (0 < stride <= window):
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
     staged = df.withColumn(
-        "__ws", F.filter(F.split(F.col(text_col), " "), _nonempty_word)
+        "__ws", _ws_words(F.col(text_col))
     ).withColumn("__n", F.size("__ws"))
     exploded = staged.filter(F.col("__n") > 0).select(
         F.col(key_col),
@@ -199,11 +201,6 @@ def chunk_windows(
             F.slice(F.col("__ws"), F.col("chunk_start") + 1, F.lit(int(window))), " "
         ).alias("chunk_text"),
     )
-
-
-def _nonempty_word(w: Column) -> Column:
-    # module-level HOF lambda (gotcha 4)
-    return w != ""
 
 
 def materialize_packed_sequences(

@@ -21,6 +21,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.functions.expressions import words as _ws_words
+
 BUCKETS = 10_000  # split resolution: 0.01%
 
 
@@ -313,11 +315,7 @@ def _word_bucket(w: Column, n_buckets: int) -> Column:
 
 
 def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, out: str) -> DataFrame:
-    words = df.select(
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-        ).alias("__w")
-    )
+    words = df.select(F.explode(_ws_words(F.col(text_col))).alias("__w"))
     return words.groupBy(_word_bucket(F.col("__w"), n_buckets).alias("bucket")).agg(
         F.count(F.lit(1)).alias(out)
     )
@@ -400,9 +398,7 @@ def dsir_score(
     carries (key, partial sum) after map-side combine."""
     words = df.select(
         F.col(key_col),
-        F.explode_outer(
-            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-        ).alias("__w"),
+        F.explode_outer(_ws_words(F.col(text_col))).alias("__w"),
     )
     staged = words.withColumn(
         "__bucket",

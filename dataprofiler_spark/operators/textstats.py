@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataprofiler_spark.functions.expressions import words
+
 # Minimal per-language marker sets for the n-gram/stopword heuristic.
 # Real corpora would load fastText-style models; the *operator shape*
 # (score per language → argmax with deterministic tie-break) is the point.
@@ -25,19 +27,18 @@ LANG_MARKERS = {
 
 def token_count(text_col: str | Column) -> Column:
     """Whitespace token count (the 'token counting' baseline; a BPE-ish
-    estimate adds ceil(chars/4) blending, see bpe_token_estimate)."""
-    c = text_col if isinstance(text_col, Column) else F.col(text_col)
-    return F.size(F.split(c, " "))
+    estimate adds ceil(chars/4) blending, see bpe_token_estimate).
+    Whitespace-robust: runs of \\s count as one separator, empty docs
+    count 0 (expressions.words)."""
+    return F.size(words(text_col))
 
 
 def bpe_token_estimate(text_col: str | Column) -> Column:
     """BPE-ish token estimate without a tokenizer: one token per word piece
     of ≤4 chars — ceil(len(word)/4) summed over words. Deterministic,
     portable to SQL (matches GPT-style ~4 chars/token heuristic)."""
-    c = text_col if isinstance(text_col, Column) else F.col(text_col)
-    words = F.split(c, " ")
     return F.aggregate(
-        words,
+        words(text_col),
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
     )
@@ -46,20 +47,28 @@ def bpe_token_estimate(text_col: str | Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: length, word count, mean word length,
     distinct-word ratio, stopword ratio — the standard cheap quality
-    filters (C4/Gopher-style) as pure column math."""
-    words = F.split(F.col(text_col), " ")
-    n_words = F.size(words)
+    filters (C4/Gopher-style) as pure column math.
+
+    Tokenization is whitespace-robust (expressions.words): n_words can be
+    0 for empty/whitespace-only docs, so every ratio nullif-guards its
+    denominator (NULL, matching DuckDB's /0) instead of erroring under
+    ANSI. mean_word_len sums actual word lengths (len of the ''-joined
+    words) rather than assuming single-space separators."""
+    staged = df.withColumn("__qf_words", words(F.col(text_col)))
+    ws = F.col("__qf_words")
+    n_words = F.size(ws)
+    n = F.nullif(n_words, F.lit(0))
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
-    return df.withColumns(
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, w)))
+    return staged.withColumns(
         {
             "n_chars_calc": F.length(text_col).cast("long"),
             "n_words": n_words.cast("long"),
-            "mean_word_len": F.round((F.length(text_col) - (n_words - 1)) / n_words, 6),
-            "distinct_word_ratio": F.round(F.size(F.array_distinct(words)) / n_words, 6),
-            "stopword_ratio": F.round(n_stop / n_words, 6),
+            "mean_word_len": F.round(F.length(F.concat_ws("", ws)) / n, 6),
+            "distinct_word_ratio": F.round(F.size(F.array_distinct(ws)) / n, 6),
+            "stopword_ratio": F.round(n_stop / n, 6),
         }
-    )
+    ).drop("__qf_words")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,14 +88,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language heuristic: per-language hit counts over the
     token array → argmax with deterministic tie-break (lang code asc),
     'und' when nothing matches. Pure expressions (one pass, no shuffle)."""
-    words = F.split(F.col(text_col), " ")
+    ws = words(F.col(text_col))
     def _marker_filter(markers: tuple[str, ...]):
         arr = F.array(*[F.lit(m) for m in markers])
         return lambda w: F.array_contains(arr, w)
 
     scores = [
         F.struct(
-            (-F.size(F.filter(words, _marker_filter(markers)))).alias("neg_hits"),
+            (-F.size(F.filter(ws, _marker_filter(markers)))).alias("neg_hits"),
             F.lit(code).alias("lang"),
         )
         for code, markers in sorted(LANG_MARKERS.items())
@@ -107,15 +116,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure array expressions, no shuffle: the words array is materialized as
     a column so the bigram transform doesn't re-evaluate the split per
-    element (CLAUDE.md gotcha 8). Empty pseudo-tokens from consecutive /
-    leading / trailing spaces are filtered (gotcha 25) — otherwise ''
-    counts as a duplicate 'word' and enters bigrams, inflating both
+    element (CLAUDE.md gotcha 8). Tokenization is whitespace-robust with
+    empty pseudo-tokens filtered (gotchas 25 / VERDICT r4 #1) — otherwise
+    '' counts as a duplicate 'word' and enters bigrams, inflating both
     fractions purely from formatting."""
-    staged = df.withColumn(
-        "__words", F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    )
-    words = F.col("__words")
-    n = F.size(words)
+    staged = df.withColumn("__words", words(F.col(text_col)))
+    ws = F.col("__words")
+    n = F.size(ws)
     bigrams = F.when(
         n >= 2,
         F.expr(
@@ -128,7 +135,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.withColumns(
         {
             "dup_word_frac": F.round(
-                F.when(n > 0, 1.0 - F.size(F.array_distinct(words)) / n).otherwise(0.0), 6
+                F.when(n > 0, 1.0 - F.size(F.array_distinct(ws)) / n).otherwise(0.0), 6
             ),
             "dup_bigram_frac": F.round(
                 F.when(nb > 0, 1.0 - F.size(F.array_distinct("__bigrams")) / nb).otherwise(0.0),
@@ -154,14 +161,14 @@ def vocabulary_stats(
     """Per-group vocabulary statistics: total words, distinct words
     (vocabulary size), and type-token ratio — the corpus-diversity metric
     a training mix is balanced on. Explode collapses map-side for the
-    total; the distinct is one exact count-distinct per group. Empty
-    pseudo-tokens are filtered (gotcha 25) so word totals don't shift
-    with whitespace formatting."""
+    total; the distinct is one exact count-distinct per group. Tokenization
+    is whitespace-robust with empty pseudo-tokens filtered (gotcha 25) so
+    word totals don't shift with whitespace formatting."""
     group_by = group_by or []
-    words = df.select(
-        *group_by, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    return words.groupBy(*group_by).agg(
+    word_rows = df.select(
+        *group_by, F.explode(words(F.col(text_col))).alias("w")
+    )
+    return word_rows.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias("total_words"),
         F.count_distinct("w").alias("vocab_size"),
         F.round(F.count_distinct("w") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
@@ -176,10 +183,8 @@ def unigram_vocab(
     bounded vocabulary (map-side partials collapse the explosion).
     Materialize/store it once per corpus snapshot; scoring batches then
     broadcast it."""
-    words = df.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    word_rows = df.select(F.explode(words(F.col(text_col))).alias("w"))
+    counts = word_rows.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
     return counts
@@ -212,11 +217,11 @@ def unigram_logprob(
     # empty pseudo-tokens from consecutive whitespace are not words: they
     # must not enter the vocab or a doc's word count (a formatting
     # artifact would shift the fluency score)
-    words = df.select(
-        key_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    word_rows = df.select(
+        key_col, F.explode(words(F.col(text_col))).alias("w")
+    )
     scored = (
-        words.join(F.broadcast(vocab), "w", "left")
+        word_rows.join(F.broadcast(vocab), "w", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             key_col,
@@ -257,11 +262,11 @@ def tfidf_keywords(
     over (doc) — state per task is one counter. Ties break by word for
     determinism/oracle parity."""
     n_docs = df.count()  # count-star: column-pruned/metadata, no explode
-    words = df.select(
-        key_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    word_rows = df.select(
+        key_col, F.explode(words(F.col(text_col))).alias("w")
+    )
     tf = (
-        words.groupBy(key_col, "w")
+        word_rows.groupBy(key_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
@@ -417,16 +422,13 @@ def boilerplate_ngram_stats(
     aggregate and the per-doc join consume it (gotchas 16/24)."""
     from dataprofiler_spark.operators.dedup import word_shingles
 
-    # empty pseudo-tokens filtered BEFORE shingling (gotcha 25) so spans
-    # here are the SAME spans remove_duplicated_spans removes — the stats
-    # and the acting operator must agree on what is boilerplate
+    # whitespace-robust tokenization with empty pseudo-tokens filtered
+    # BEFORE shingling (gotcha 25) so spans here are the SAME spans
+    # remove_duplicated_spans removes — the stats and the acting operator
+    # must agree on what is boilerplate
     staged = df.select(
         F.col(key_col),
-        word_shingles(
-            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
-            shingle_k,
-            pre_split=True,
-        ).alias("__sh"),
+        word_shingles(words(F.col(text_col)), shingle_k, pre_split=True).alias("__sh"),
     )
     sh = (
         staged.select(
@@ -552,13 +554,11 @@ def hashed_linear_score(
     (no non-empty words, gotcha 25) score NULL, surfaced not dropped."""
     from dataprofiler_spark.operators.dedup import _MERSENNE, _minhash_params
 
-    words = df.select(
+    word_rows = df.select(
         F.col(key_col),
-        F.explode_outer(
-            F.filter(F.split(F.col(text_col), " "), _nonempty)
-        ).alias("__w"),
+        F.explode_outer(words(F.col(text_col))).alias("__w"),
     )
-    staged = words.withColumn(
+    staged = word_rows.withColumn(
         "__bucket", hashed_word_bucket(F.col("__w"), n_buckets)
     )
     if weights is not None:
@@ -585,11 +585,6 @@ def hashed_linear_score(
     )
 
 
-def _nonempty(w: Column) -> Column:
-    # module-level HOF lambda (gotcha 4)
-    return w != ""
-
-
 def threshold_sweep(
     df: DataFrame,
     score_col: str,
@@ -609,11 +604,19 @@ def threshold_sweep(
     grid×rows explode. Rows with NULL score or label carry no signal for
     a cut decision and are excluded (count them upstream if they matter).
     Ratios are NULL (not 0) when undefined, rounded 6dp."""
+    import math
+
     thresholds = (
         [round(i / 20, 2) for i in range(21)] if thresholds is None else thresholds
     )
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
+    bad = [t for t in thresholds if not math.isfinite(t)]
+    if bad:
+        # nan/inf interpolate into the stack() expr as invalid SQL literals
+        raise ValueError(f"thresholds must be finite, got {bad}")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError("duplicate thresholds would emit duplicate grid rows")
     s, y = F.col(score_col), F.col(label_col).cast("boolean")
     scored = df.filter(s.isNotNull() & y.isNotNull())
     aggs = []

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from dataprofiler_spark.operators.profile import ProfileConfig, profile
 from dataprofiler_spark.oracle import profile_sql
+from dataprofiler_spark.functions.expressions import words
 from dataprofiler_spark.sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -235,7 +236,7 @@ def _duck_minhash_cte(num_hashes: int, seed: int = 42, source: str = "documents"
         f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_P31})) AS s{i}"
         for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
     )
-    return f"""w AS (SELECT doc_id, string_split(text,' ') AS ws FROM {source}),
+    return f"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM {source}),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
          generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
@@ -382,7 +383,7 @@ def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs_documents",
-    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
 sh_all AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
         generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        ELSE [array_to_string(ws, ' ')] END) AS s FROM w),
@@ -476,8 +477,8 @@ def embedding_sim_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_counts_documents",
-    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-  CAST(list_aggregate(list_transform(string_split(text, ' '),
+    """SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+  CAST(list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
        w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_tokens_bpe
 FROM documents""",
 )
@@ -511,7 +512,7 @@ def _lang_id_sql() -> str:
         f"""SELECT doc_id, '{code}' AS lang, len(list_filter(ws, x -> list_contains({list(markers)!r}, x))) AS h FROM w"""
         for code, markers in sorted(LANG_MARKERS.items())
     )
-    return f"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    return f"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
 hits AS ({hit_selects}),
 ranked AS (SELECT doc_id, lang, h,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn FROM hits)
@@ -531,13 +532,15 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_documents",
-    """SELECT doc_id,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-  ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS distinct_word_ratio,
-  ROUND(len(list_filter(string_split(text, ' '),
+    """WITH w AS (SELECT doc_id,
+  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents)
+SELECT doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_word_ratio,
+  ROUND(len(list_filter(ws,
         x -> list_contains(['the','and','of','to','value','table','row'], x))) * 1.0
-        / len(string_split(text, ' ')), 6) AS stopword_ratio
-FROM documents""",
+        / len(ws), 6) AS stopword_ratio
+FROM w""",
 )
 def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataprofiler_spark.operators.textstats import quality_features
@@ -555,7 +558,7 @@ def _simhash_pairs_sql(bits: int = 60, max_hamming: int = 3) -> str:
     complete for hamming ≤ 3 of 4 chunks, so the results must be equal."""
     csel = ", ".join(f"SUM(((hv >> {b}) & 1) * 2 - 1) AS c{b}" for b in range(bits))
     ssel = " + ".join(f"CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
-    return f"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS wd FROM documents),
+    return f"""WITH w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS wd FROM documents),
 h AS (SELECT doc_id, CAST('0x' || substr(md5(wd),1,15) AS BIGINT) AS hv FROM w),
 c AS (SELECT doc_id, {csel} FROM h GROUP BY doc_id),
 s AS (SELECT doc_id, CAST({ssel} AS BIGINT) AS sh FROM c)
@@ -1289,8 +1292,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_SQL = """WITH q AS (
   SELECT doc_id, lang, text,
-    len(string_split(text, ' ')) AS n_words,
-    ROUND(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 6) AS dwr
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+    ROUND(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1.0 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 6) AS dwr
   FROM documents),
 quality AS (SELECT * FROM q WHERE n_words >= 10 AND dwr >= 0.3),
 fp AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint FROM quality),
@@ -1306,7 +1309,7 @@ counts AS (
   LEFT JOIN kept k ON k.doc_id = i.doc_id
   GROUP BY i.lang),
 toks AS (
-  SELECT lang, CAST(SUM(CAST(list_aggregate(list_transform(string_split(text, ' '),
+  SELECT lang, CAST(SUM(CAST(list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
        w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT)) AS BIGINT) AS kept_tokens_bpe
   FROM kept GROUP BY lang)
 SELECT c.lang, c.n_input, c.n_quality, c.n_kept, COALESCE(t.kept_tokens_bpe, 0) AS kept_tokens_bpe
@@ -1591,7 +1594,7 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "repetition_quality_documents",
     """WITH w AS (SELECT doc_id,
-        list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents),
+        list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws FROM documents),
 b AS (SELECT doc_id, ws,
         CASE WHEN len(ws) >= 2 THEN list_transform(
           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
@@ -1616,7 +1619,7 @@ def _contamination_sql(shingle_k: int = 5, mod: int = 41) -> str:
     # shingle → portable 60-bit md5-prefix hash, mirrored from the engine;
     # benchmark membership is the deterministic doc_id % mod split
     shingle = " || ' ' || ".join(f"ws[i + {j}]" for j in range(shingle_k))
-    return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    return f"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= {shingle_k} THEN list_distinct(list_transform(
          generate_series(1, len(ws) - {shingle_k - 1}), i -> {shingle}))
        ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
@@ -1747,7 +1750,7 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_stats_by_source",
-    """WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    """WITH w0 AS (SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents),
 w AS (SELECT * FROM w0 WHERE w <> '')
 SELECT source, COUNT(*) AS total_words, COUNT(DISTINCT w) AS vocab_size,
   ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 6) AS type_token_ratio
@@ -2030,7 +2033,7 @@ def sequential_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "packing_plan_documents",
     """WITH d AS (
-  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+  SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok FROM documents
 ), c AS (
   SELECT source, n_tok,
     SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -2285,13 +2288,13 @@ def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob_documents",
     """WITH vocab AS (
   SELECT w, COUNT(*) AS cnt FROM (
-    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents)
   WHERE w <> '' GROUP BY w
 ), t AS (
   SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab
 ), words AS (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents)
   WHERE w <> ''
 ), s AS (
   SELECT doc_id,
@@ -2358,7 +2361,7 @@ def join_estimate_events_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "tfidf_keywords_documents",
     """WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents
 ), wf AS (
   SELECT doc_id, w, COUNT(*) AS tf FROM words WHERE w <> '' GROUP BY doc_id, w
 ), dfq AS (
@@ -2388,7 +2391,7 @@ def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "batch_padding_documents",
     """WITH d AS (
-  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+  SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok FROM documents
 ), bkt AS (
   SELECT source, doc_id, n_tok, FLOOR(n_tok / 50) AS bucket FROM d
 ), batched AS (
@@ -2599,9 +2602,9 @@ def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_funnel_documents",
     """WITH s AS (
   SELECT doc_id,
-    len(string_split(text, ' ')) AS nw,
-    ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
-          / len(string_split(text, ' ')), 6) AS dr,
+    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
+    ROUND(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1.0
+          / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 6) AS dr,
     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket,
     (length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
@@ -2668,8 +2671,7 @@ def paragraph_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence rule must strip the second copy. The oracle replays
     split/first-occurrence/reassembly on paragraph TEXT; the engine
     decides on xxhash64 digests — same answer, digests never ride the
-    dedup shuffle as text at scale. Holds a HARVEST-WINDOW slot this
-    round (rotated into _PROVEN_REFILL, gotcha 26)."""
+    dedup shuffle as text at scale. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import paragraph_dedup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2726,8 +2728,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 5 == 0 vector gets a 2x-scaled copy (same direction, cos = 1)
     at id+100000 — the min-id rule must keep each original and drop its
     copy, while the natural corpus (max pair cos 0.51) survives intact.
-    Holds a HARVEST-WINDOW slot this round (rotated into _PROVEN_REFILL,
-    gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -2751,7 +2752,7 @@ def _times_two(x):
 @register(
     "zipf_fit_documents",
     """WITH words AS (
-  SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  SELECT w FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents)
   WHERE w <> ''),
 counts AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
 top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 1000),
@@ -2766,9 +2767,8 @@ FROM a""",
 )
 def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit over the documents corpus word-frequency head — the
-    corpus-quality diagnostic (slope ≈ -1 on natural text). Holds a
-    HARVEST-WINDOW slot this round (rotated into _PROVEN_REFILL,
-    gotcha 26)."""
+    corpus-quality diagnostic (slope ≈ -1 on natural text). Window membership: see
+    _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.textstats import zipf_fit
 
     return zipf_fit(load_table(spark, sf_dir, "documents"))
@@ -2794,8 +2794,7 @@ def paragraph_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> Data
     two-doc-window corpus: every text occurs as a paragraph in two docs,
     so exact paragraph copies must collide in every band. Same bit-exact
     minhash SQL replay as the document-level entry, run at paragraph
-    granularity through the parameterized CTE source. LOCAL-ONLY TAIL
-    entry (harvest window full this round, gotcha 26)."""
+    granularity through the parameterized CTE source. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import paragraph_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2812,7 +2811,7 @@ def paragraph_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> Data
 
 @register(
     "remove_duplicated_spans_documents",
-    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
            FROM documents),
 spbase AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 3)) AS start, ws
            FROM w WHERE len(ws) >= 3),
@@ -2839,8 +2838,7 @@ def remove_duplicated_spans_documents(spark: SparkSession, sf_dir: str) -> DataF
     """C4-style duplicated-span removal over the documents corpus (hot
     3-grams in > 2 docs dropped with overlap-merged coverage). The
     engine decides on xxhash64 span digests; the oracle replays on span
-    TEXT. LOCAL-ONLY TAIL entry (harvest window full this round,
-    gotcha 26)."""
+    TEXT. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import remove_duplicated_spans
 
     return remove_duplicated_spans(
@@ -2864,7 +2862,7 @@ SELECT column_name, value, cnt, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5""
 def frequent_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 most frequent values of the lang and source columns — the
     classic profiler 'common values' panel, one scan + skew-safe top-k.
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.profile import frequent_values
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2873,11 +2871,11 @@ def frequent_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_rank_drift_split",
-    """WITH wa AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 0),
+    """WITH wa AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents WHERE doc_id % 2 = 0),
 ca AS (SELECT w, COUNT(*) AS cnt FROM wa WHERE w <> '' GROUP BY w),
 ta AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank_a
        FROM (SELECT w, cnt FROM ca ORDER BY cnt DESC, w LIMIT 1000)),
-wb AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 1),
+wb AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents WHERE doc_id % 2 = 1),
 cb AS (SELECT w, COUNT(*) AS cnt FROM wb WHERE w <> '' GROUP BY w),
 tb AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank_b
        FROM (SELECT w, cnt FROM cb ORDER BY cnt DESC, w LIMIT 1000)),
@@ -2895,7 +2893,7 @@ def vocab_rank_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary rank drift between the even/odd doc_id halves of the
     corpus: top-1000 vocab overlap + Pearson of shared words' own ranks
     (order-based token-frequency drift next to the mass-based PSI).
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.textstats import vocab_rank_drift
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2906,7 +2904,7 @@ def vocab_rank_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "boilerplate_ngrams_documents",
-    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
            FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
          generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
@@ -2926,9 +2924,8 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus-level boilerplate exposure (fraction of the
     doc's distinct 3-gram shingles seen in > 2 documents). The engine
     decides on xxhash64 shingle digests; the oracle replays on shingle
-    TEXT — same answer, digests never shuffle as text at scale. Holds a
-    HARVEST-WINDOW slot this round (rotated into _PROVEN_REFILL,
-    gotcha 26)."""
+    TEXT — same answer, digests never shuffle as text at scale. Window membership: see
+    _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
 
     return boilerplate_ngram_stats(load_table(spark, sf_dir, "documents"))
@@ -3027,8 +3024,7 @@ def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip, tracking-param filter + sort) stage by stage in SQL, so any
     normalizer drift breaks parity. One hash aggregate over narrow rows
     (survivor key rides in the min buffer) — the 10^11-record crawl-dedup
-    shape. LOCAL-ONLY TAIL entry (harvest window full this round,
-    gotcha 26)."""
+    shape. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.urls import url_dedup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3090,7 +3086,7 @@ def duplication_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     20-char content-prefix digest (same group key as
     dedup_exact_prefix_groups) — downweight duplicates instead of
     dropping them, so each distinct content contributes unit loss mass.
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import duplication_weights
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3100,7 +3096,7 @@ def duplication_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "chunk_overlap_documents",
-    """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
            FROM documents),
 nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
 st AS (SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 8)) AS chunk_start FROM nz)
@@ -3111,8 +3107,7 @@ FROM st WHERE chunk_start = 0 OR chunk_start + 12 - 8 < n""",
 def chunk_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping chunking (12-word windows, hop 8): pure
     map-side sequence+slice explode, no shuffle — a 100-TB chunking run
-    is exactly one scan. LOCAL-ONLY TAIL entry (harvest window full this
-    round, gotcha 26)."""
+    is exactly one scan. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.packing import chunk_windows
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3136,7 +3131,7 @@ def dedup_against_history_documents(spark: SparkSession, sf_dir: str) -> DataFra
     within-batch collapse + digest-only anti-join — history text never
     re-read. 20-char prefix digest manufactures cross-snapshot collisions
     at test scale (same convention as dedup_exact_prefix_groups).
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import content_hash, dedup_against_history
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3172,7 +3167,7 @@ def near_dup_history_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     historical MinHash band ledger (doc_id%3=0, minhash_band_frame) —
     bit-exact signature replay in SQL, history pre-aggregated to one row
     per band bucket before the join (hot-bucket explosion guard).
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import (
         minhash_band_frame,
         near_dup_against_history,
@@ -3193,7 +3188,7 @@ def _hashed_linear_score_sql(n_buckets: int = 1 << 18, seed: int = 42) -> str:
 
     a, b = _minhash_params(1, seed)[0]
     return f"""WITH w AS (SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
        FROM documents),
 wt AS (SELECT doc_id,
          ((CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets}) * {a} + {b})
@@ -3212,8 +3207,7 @@ def hashed_classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataF
     classifier over hashed unigram features with seeded-LCG demo weights —
     the oracle replays tokenize → md5 bucket → LCG weight → mean → sigmoid
     end to end, verifying the exact feature plumbing a trained weight
-    table would ride on. LOCAL-ONLY TAIL entry (harvest window full this
-    round, gotcha 26)."""
+    table would ride on. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.textstats import hashed_linear_score
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3233,7 +3227,7 @@ def pca_embeddings_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal to the model's eigenvalues (1e-6 rel), descending order, and
     ~zero cross-component covariance — properties that fail loudly if the
     moment merge, the eigendecomposition, or the projection drifts.
-    LOCAL-ONLY TAIL entry (harvest window full this round, gotcha 26)."""
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.similarity import pca_fit, pca_project
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -3291,7 +3285,7 @@ def pca_embeddings_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "packed_sequences_documents",
     """WITH tk AS (SELECT doc_id, source,
-         list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
                         w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) % 50257) AS toks
        FROM documents),
 c AS (SELECT doc_id, source, toks,
@@ -3314,13 +3308,12 @@ def packed_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-id token arrays (md5 word ids so the oracle replays the whole
     thing: tokenize → cumsum offsets → token-level explode → chunk
     regroup → in-chunk order). Token payloads compare as CSV strings
-    (engine-portable array stringification). LOCAL-ONLY TAIL entry
-    (harvest window full this round, gotcha 26)."""
+    (engine-portable array stringification). Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.packing import materialize_packed_sequences
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.transform(
-        F.filter(F.split(F.col("text"), " "), _nonempty_w),
+        words("text"),
         lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long") % 50257,
     )
     staged = docs.select("doc_id", "source", toks.alias("tokens"))
@@ -3333,11 +3326,6 @@ def packed_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.array_join(F.transform("tokens", _tok_str), ",").alias("tokens_csv"),
     )
-
-
-def _nonempty_w(w: Column) -> Column:
-    # module-level HOF lambdas (gotcha 4)
-    return w != ""
 
 
 def _tok_str(t: Column) -> Column:
@@ -3356,7 +3344,7 @@ def pq_topk_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     it first under ADC (its own reconstruction is the minimal table sum,
     ties broken by id), all codes lie in [0, 16), and ADC recall@10 vs
     exact cosine ≥ 0.15 (measured 0.30 at sf0.01 — the band holds across
-    sf with margin). LOCAL-ONLY TAIL entry (gotcha 26)."""
+    sf with margin). Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.similarity import (
         brute_force_topk,
         pq_encode,
@@ -3402,8 +3390,7 @@ def dedup_history_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     construction, false positives resolved by the exact anti-join. At the
     10^12-digest ledger design point the bloom (one broadcast bitmap,
     probed map-side) replaces the daily ledger re-shuffle for the
-    mostly-new bulk of each crawl batch. LOCAL-ONLY TAIL entry (harvest
-    window full this round, gotcha 26)."""
+    mostly-new bulk of each crawl batch. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.dedup import (
         content_hash,
         dedup_against_history_bloom,
@@ -3452,7 +3439,7 @@ def shuffle_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_budget_selection_documents",
     """WITH t AS (SELECT doc_id,
         (doc_id * 37 % 101) / 101.0 AS score,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok
       FROM documents),
 c AS (SELECT doc_id,
         SUM(n_tok) OVER (ORDER BY score DESC, doc_id
@@ -3467,15 +3454,14 @@ def token_budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFr
     per-bucket cumsum window, never the ORDER-BY-score SinglePartition
     plan the oracle's global window uses. The synthetic score (doc_id·37
     mod 101)/101 is deliberately heavy-tied (101 distinct values) to
-    exercise the deterministic key tie-break. LOCAL-ONLY TAIL entry
-    (harvest window full this round, gotcha 26)."""
+    exercise the deterministic key tie-break. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.sampling import select_token_budget
 
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         ((F.col("doc_id") * 37 % 101) / F.lit(101.0)).alias("score"),
-        F.size(F.filter(F.split("text", " "), _nonempty_w)).alias("n_tok"),
+        F.size(words("text")).alias("n_tok"),
     )
     return select_token_budget(staged, "score", "n_tok", 100000).select(
         "doc_id", "selected"
@@ -3485,7 +3471,7 @@ def token_budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFr
 def _dsir_sql(n_buckets: int = 1 << 12, alpha: float = 1.0, k: int = 100) -> str:
     two52 = float(1 << 52)
     return f"""WITH w AS (SELECT doc_id,
-        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
       FROM documents),
 b AS (SELECT doc_id,
         CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets} AS bucket
@@ -3522,8 +3508,7 @@ def dsir_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     softmax(log weight), noise derived from md5('dsir'||doc_id) so both
     engines replay it bit-for-bit. Selection compares the 6dp-ROUNDED
     Gumbel score with a doc_id tie-break (cross-engine float-sum-order
-    safety). LOCAL-ONLY TAIL entry (harvest window full this round,
-    gotcha 26)."""
+    safety). Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.sampling import (
         dsir_log_ratios,
         dsir_resample,
@@ -3543,7 +3528,7 @@ def _threshold_sweep_sql(n_buckets: int = 1 << 18, seed: int = 42) -> str:
     a, b = _minhash_params(1, seed)[0]
     grid = ", ".join(str(round(i / 20, 2)) for i in range(21))
     return f"""WITH w AS (SELECT doc_id,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
        FROM documents),
 wt AS (SELECT doc_id,
          ((CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets}) * {a} + {b})
@@ -3558,11 +3543,11 @@ s AS (SELECT d.doc_id,
 f AS (SELECT * FROM s WHERE score IS NOT NULL),
 g AS (SELECT unnest([{grid}]) AS threshold),
 c AS (SELECT g.threshold,
-        CAST(SUM(CASE WHEN f.score >= g.threshold AND f.y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        CAST(SUM(CASE WHEN f.score >= g.threshold AND NOT f.y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        CAST(SUM(CASE WHEN f.score < g.threshold AND f.y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        CAST(SUM(CASE WHEN f.score < g.threshold AND NOT f.y THEN 1 ELSE 0 END) AS BIGINT) AS tn
-      FROM f CROSS JOIN g GROUP BY g.threshold)
+        CAST(COALESCE(SUM(CASE WHEN f.score >= g.threshold AND f.y THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+        CAST(COALESCE(SUM(CASE WHEN f.score >= g.threshold AND NOT f.y THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+        CAST(COALESCE(SUM(CASE WHEN f.score < g.threshold AND f.y THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+        CAST(COALESCE(SUM(CASE WHEN f.score < g.threshold AND NOT f.y THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+      FROM g LEFT JOIN f ON TRUE GROUP BY g.threshold)
 SELECT threshold, tp, fp, fn, tn,
        ROUND(tp / NULLIF(tp + fp, 0), 6) AS precision,
        ROUND(tp / NULLIF(tp + fn, 0), 6) AS recall,
@@ -3578,8 +3563,7 @@ def threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier score (label = doc_id%3=0 fixture) — ONE hash-aggregate
     pass for the whole grid (84 conditional sums), unpivoted with stack;
     never a per-threshold scan. NULL-score (empty) docs are excluded on
-    both sides. LOCAL-ONLY TAIL entry (harvest window full this round,
-    gotcha 26)."""
+    both sides. Window membership: see _HARVEST_FIRST (gotcha 26)."""
     from dataprofiler_spark.operators.textstats import (
         hashed_linear_score,
         threshold_sweep,
@@ -3593,88 +3577,93 @@ def threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r3 action 1).
+# Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r4 action 1).
 #
 # The driver evaluates registry entries IN REGISTRATION ORDER under a run
-# budget that reached exactly HARVEST_BUDGET entries in rounds 2 and 3 —
-# entries past the window get NO external CORRECTNESS row no matter how
-# good their local parity is. Rounds must therefore ROTATE coverage: the
-# round-4 window leads with the 31 entries rounds 1–3 never got harvested
-# (plus the new string-id clustering entry), then refills with the
-# highest-value already-proven entries. Everything stays in the registry —
-# the local parity suite (tests/test_oracle_parity.py) still checks all of
-# it every round; this list only decides who gets the DRIVER's adjudication.
-# test_registry_budget.py pins the window so a new entry can't silently
-# push a never-harvested one out.
+# budget (exactly HARVEST_BUDGET entries in rounds 2-4) — entries past the
+# window get NO external CORRECTNESS row no matter how good their local
+# parity is. The ROUND-5 window: (1) the 19 entries with no driver row
+# through round 4 (the round-4 data-selection surface), then (2) the 20
+# previously-green entries whose OPERATOR OR ORACLE changed this round
+# (whitespace-robust tokenization touched every word-level query — their
+# r1-r4 green rows no longer attest the current code), then (3) 11 §2-core
+# flagships. Everything stays in the registry — the local parity suite
+# (tests/test_oracle_parity.py) still checks all 105 every round; this
+# list only decides who gets the DRIVER's adjudication.
+# test_registry_budget.py pins the invariants (window == declared list,
+# exact budget, no dupes, never-harvested lead) so a new entry must
+# consciously take a slot or join the local-only tail.
 # --------------------------------------------------------------------------
 
 HARVEST_BUDGET = 50
 
-# entries with no driver CORRECTNESS row through round 3, in round-3
-# registration order — these MUST land in the round-4 window
-_NEVER_HARVESTED_R3 = [
-    "quantiles_lineitem_by_returnflag",
-    "event_value_deltas",
-    "repetition_quality_documents",
-    "contamination_documents",
-    "entropy_source_by_lang",
-    "daily_anomalies_events",
-    "json_extract_events",
-    "corr_lineitem_by_returnflag",
-    "stratified_sample_documents",
-    "vocab_stats_by_source",
-    "incremental_median_nchars",
-    "skew_report_documents_by_source",
-    "pii_summary_documents",
-    "ks_nchars_split",
-    "jsd_nchars_split",
-    "robust_anomalies_events",
-    "sequential_ids_documents",
-    "packing_plan_documents",
-    "mix_sample_documents",
-    "snapshot_diff_documents",
-    "wasserstein_nchars_split",
-    "cdc_apply_documents",
-    "unigram_logprob_documents",
-    "join_estimate_events_selfjoin",
-    "tfidf_keywords_documents",
-    "batch_padding_documents",
-    "temperature_mix_documents",
-    "cusum_shift_events",
-    "seasonal_anomalies_events",
-    "script_profile_documents",
-    "curation_funnel_documents",
+# (1) entries with no driver CORRECTNESS row through round 4, in round-4
+# registration order — these MUST lead the round-5 window
+_NEVER_HARVESTED = [
+    "paragraph_near_dup_pairs_documents",
+    "remove_duplicated_spans_documents",
+    "frequent_values_documents",
+    "vocab_rank_drift_split",
+    "url_dedup_documents",
+    "domain_cap_sample_documents",
+    "duplication_weights_documents",
+    "chunk_overlap_documents",
+    "dedup_against_history_documents",
+    "near_dup_history_documents",
+    "hashed_classifier_score_documents",
+    "pca_embeddings_tolerance",
+    "packed_sequences_documents",
+    "pq_topk_tolerance",
+    "dedup_history_bloom_documents",
+    "shuffle_corpus_documents",
+    "token_budget_selection_documents",
+    "dsir_selection_documents",
+    "threshold_sweep_documents",
 ]
 
-# window fill to exactly HARVEST_BUDGET: this round's NEW oracle-backed
-# operators first (paragraph dedup, SemDeDup, zipf, boilerplate — never
-# driver-adjudicated), then already-proven flagship entries worth
-# re-adjudicating. Four proven entries (profile_orders, growth_alerts,
-# token_counts, latest_event) rotated OUT to the local-only tail — they
-# hold green driver rows from rounds 1-3.
-_PROVEN_REFILL = [
-    "dedup_clusters_string_ids",  # new this round (string-key CC fix)
-    "paragraph_dedup_documents",  # new this round (C4 line dedup)
-    "semantic_dedup_embeddings",  # new this round (SemDeDup)
-    "zipf_fit_documents",  # new this round
-    "boilerplate_ngrams_documents",  # new this round
+# (2) green in r1-r4 but CHANGED this round: every word-level operator and
+# its oracle switched to whitespace-robust tokenization
+# (expressions.words / WORDS_SQL) — the old driver rows attest the old
+# tokenizer, so these re-enter the window
+_CHANGED_THIS_ROUND = [
+    "token_counts_documents",
+    "text_quality_documents",
+    "lang_id_documents",
+    "repetition_quality_documents",
+    "contamination_documents",
+    "vocab_stats_by_source",
+    "unigram_logprob_documents",
+    "tfidf_keywords_documents",
+    "zipf_fit_documents",
+    "boilerplate_ngrams_documents",
+    "minhash_lsh_pairs_documents",
+    "dedup_clusters_documents",
+    "dedup_clusters_string_ids",
+    "simhash_near_dup_documents",
+    "ngram_jaccard_pairs_documents",
+    "edit_distance_near_pairs",
+    "packing_plan_documents",
+    "batch_padding_documents",
+    "curation_funnel_documents",
+    "corpus_curation_summary",
+]
+
+# (3) §2-core flagships re-adjudicated every round
+_CORE_REFILL = [
     "profile_documents",
     "profile_lineitem_by_returnflag",
     "uniqueness_duplicates_orders_custkey",
     "ri_orphans_orders_customer",
-    "minhash_lsh_pairs_documents",
-    "dedup_clusters_documents",
-    "simhash_near_dup_documents",
-    "ngram_jaccard_pairs_documents",
+    "profile_compare_envs",
+    "psi_chi2_nchars_split",
+    "histogram_n_chars",
     "knn_cosine_top10",
     "ivf_topk_full_probe",
     "embedding_near_dup_lsh",
     "incremental_profile_merge_documents",
-    "psi_chi2_nchars_split",
-    "profile_compare_envs",
 ]
 
-_HARVEST_FIRST = _NEVER_HARVESTED_R3 + _PROVEN_REFILL
+_HARVEST_FIRST = _NEVER_HARVESTED + _CHANGED_THIS_ROUND + _CORE_REFILL
 
 
 def _apply_harvest_order() -> None:
@@ -3682,6 +3671,7 @@ def _apply_harvest_order() -> None:
         f"harvest window must be exactly {HARVEST_BUDGET} entries, "
         f"got {len(_HARVEST_FIRST)}"
     )
+    assert len(set(_HARVEST_FIRST)) == len(_HARVEST_FIRST), "duplicate window entries"
     missing = [n for n in _HARVEST_FIRST if n not in _REGISTRY]
     assert not missing, f"harvest list names unknown entries: {missing}"
     head = set(_HARVEST_FIRST)

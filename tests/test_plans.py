@@ -498,3 +498,25 @@ def test_dsir_and_threshold_sweep_plan_shapes(spark):
     assert sp.count("Scan parquet") == 1
     assert "SortAggregate" not in sp and "Expand" not in sp
     assert "EvalPython" not in sp
+
+
+def test_ks_wasserstein_single_shuffle_grouped_window(spark):
+    """VERDICT r4 #6: the exact-KS / W1 tagged-union merge must stay ONE
+    shuffle (union -> single hash aggregate over (group, value)) and the
+    cumulative window must partition BY GROUP — a SinglePartition window
+    would funnel the whole corpus's distinct values through one task at
+    scale. Expected shape: exactly 2 Exchanges (the merge agg + the
+    group-keyed window), zero SinglePartition stages, and no
+    full-outer-join merge (the 3-shuffle shape this replaced)."""
+    from dataprofiler_spark.operators.drift import ks_statistic, wasserstein_1d
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    for op in (ks_statistic, wasserstein_1d):
+        p = plan_of(op(base, cur, "n_chars", group_col="source"))
+        assert "SinglePartition" not in p, p
+        assert p.count("Exchange hashpartitioning") == 2, p
+        # window partitions by the group key
+        assert "windowspecdefinition(source" in p, p
+        assert "FullOuter" not in p and "SortMergeJoin" not in p, p

@@ -28,16 +28,23 @@ def test_every_entry_has_callable_and_oracle():
             )
 
 
-def test_harvest_window_is_pinned():
-    """The first HARVEST_BUDGET registered entries are exactly the
-    documented window — adding an entry without updating the window (a
-    conscious trade of a slot) fails here instead of silently pushing a
-    never-harvested entry past the driver budget."""
+def test_harvest_window_invariants():
+    """Pin the INVARIANTS, not a frozen roster (VERDICT r4 next-round #1):
+    the first HARVEST_BUDGET registered entries are exactly the declared
+    window, the never-harvested backlog leads it, the budget is exact, and
+    there are no duplicates — adding an entry without updating the window
+    (a conscious trade of a slot) fails here instead of silently pushing a
+    never-harvested entry past the driver budget. The window CONTENT lives
+    in queries.py (one place to rotate per round)."""
     names = list(q.queries())
     assert len(q._HARVEST_FIRST) == q.HARVEST_BUDGET
     assert names[: q.HARVEST_BUDGET] == q._HARVEST_FIRST
-    # the round-3 never-harvested backlog leads the window
-    assert names[: len(q._NEVER_HARVESTED_R3)] == q._NEVER_HARVESTED_R3
+    # the never-harvested backlog leads the window
+    assert names[: len(q._NEVER_HARVESTED)] == q._NEVER_HARVESTED
+    # the three segments partition the window
+    assert q._HARVEST_FIRST == (
+        q._NEVER_HARVESTED + q._CHANGED_THIS_ROUND + q._CORE_REFILL
+    )
 
 
 def test_no_duplicate_window_names():

@@ -81,7 +81,7 @@ def test_cli_end_to_end_subprocess(tmp_path):
         capture_output=True,
         text=True,
         cwd="/root/repo",
-        timeout=300,
+        timeout=900,
     )
     assert out.returncode == 1, out.stderr[-2000:]
     summary = json.loads(out.stdout.strip().splitlines()[-1])
@@ -99,7 +99,7 @@ def test_cli_baseline_drift_cycle(tmp_path):
     ]
     out = subprocess.run(
         base + ["--synthetic-rows", "2000", "--write-baseline", str(tmp_path / "bl")],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert (tmp_path / "bl" / "n_tok_hist").exists()
@@ -107,7 +107,7 @@ def test_cli_baseline_drift_cycle(tmp_path):
 
     out2 = subprocess.run(
         base + ["--synthetic-rows", "2000", "--drift", "--baseline", str(tmp_path / "bl")],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
     )
     summary = json.loads(out2.stdout.strip().splitlines()[-1])
     # same snapshot: drift passes; only empty_src row-count check fails
@@ -133,7 +133,7 @@ def test_cli_multi_table_config_isolation(spark, tmp_path):
             "--config", str(tmp_path / "conf.json"), "--validate",
             "--master", "local[4]", "--shuffle-partitions", "4",
         ],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
     )
     lines = [json.loads(l) for l in out.stdout.strip().splitlines() if l.startswith("{")]
     run_summary = next(l for l in lines if l.get("run_summary"))
@@ -154,7 +154,7 @@ def test_cli_suggest_and_enforce_expectations(tmp_path):
          "--synthetic-rows", "2000", "--data-profile",
          "--suggest-expectations", suite_file, "--output-file",
          str(tmp_path / "prof.txt"), *common],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
     )
     assert gen.returncode == 0, gen.stderr[-2000:]
     suite = json.load(open(suite_file))
@@ -165,7 +165,7 @@ def test_cli_suggest_and_enforce_expectations(tmp_path):
         [sys.executable, "-m", "dataprofiler_spark.cli",
          "--synthetic-rows", "2000", "--validate",
          "--expectations", suite_file, *common],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
     )
     # clean data: the ONLY failing check is the registered-but-empty
     # partition's row_count_gt_0 (by fixture design) — every generated
@@ -177,7 +177,7 @@ def test_cli_suggest_and_enforce_expectations(tmp_path):
         [sys.executable, "-m", "dataprofiler_spark.cli",
          "--synthetic-rows", "2000", "--synthetic-violations", "--validate",
          "--expectations", suite_file, *common],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
     )
     assert bad.returncode == 1
     summary_bad = json.loads(bad.stdout.strip().splitlines()[-1])

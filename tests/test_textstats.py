@@ -410,3 +410,11 @@ def test_threshold_sweep_empty_and_validation(spark):
     assert all(r.precision is None and r.recall is None and r.f1 is None for r in rows)
     with pytest.raises(ValueError):
         threshold_sweep(df, "score", "y", [])
+    # non-finite thresholds would interpolate invalid SQL literals into
+    # stack(); duplicates would emit duplicate grid rows — both rejected
+    with pytest.raises(ValueError, match="finite"):
+        threshold_sweep(df, "score", "y", [0.2, float("nan")])
+    with pytest.raises(ValueError, match="finite"):
+        threshold_sweep(df, "score", "y", [float("inf")])
+    with pytest.raises(ValueError, match="duplicate"):
+        threshold_sweep(df, "score", "y", [0.2, 0.2])
