@@ -120,7 +120,15 @@ def snapshot_from_path(path: str, part_prefix: str | None = None) -> Snapshot:
     `<col>=<value>` subdirectory is a partition whose lineage token
     fingerprints ITS files only. `part_prefix` (e.g. "source") restricts
     to that partition column's dirs; files outside any partition dir
-    fingerprint under the "" partition."""
+    fingerprint under the "" partition.
+
+    LAYOUT-SENSITIVE by design: the token is a file fingerprint, so a
+    compaction (same rows rewritten into fewer files) flips it and forces
+    re-validation — sound (never skips changed data) but wasteful. When
+    the table format attests data identity across rewrites, evolve the
+    snapshot with snapshot_append/snapshot_compact/snapshot_overwrite
+    (Iceberg operation semantics) instead of re-walking the path; or
+    verify identity exactly with content_lineage (one narrow scan)."""
     part_lineage: dict[str, str] = {}
     loose: list[str] = []
     if os.path.isdir(path):
@@ -163,3 +171,89 @@ def input_fingerprint(path: str) -> str:
     import hashlib
 
     return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot evolution (Iceberg operation semantics) — VERDICT r4 #5.
+#
+# `snapshot_from_path` fingerprints FILES (mtime+size), so a compaction —
+# a rewrite of the same rows into fewer files — flips every rewritten
+# partition's token and forces spurious re-validation. That is sound
+# (never skips changed data) but wasteful: Iceberg distinguishes the two
+# cases in snapshot metadata (`operation: append/replace/overwrite`), and
+# a `replace` (compaction) preserves DATA identity. These helpers model
+# that: a production integration would map Iceberg's snapshot log onto
+# them 1:1; path-based deployments can either accept the re-validation
+# cost or verify data identity exactly with `content_lineage` (one narrow
+# scan, layout-invariant).
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_id(partition_lineage: dict[str, str]) -> str:
+    import hashlib
+
+    return hashlib.md5(
+        "|".join(f"{p}={t}" for p, t in sorted(partition_lineage.items())).encode()
+    ).hexdigest()
+
+
+def snapshot_append(parent: Snapshot, partition: str, files_token: str) -> Snapshot:
+    """Iceberg `append` to one partition: its lineage token evolves as a
+    hash chain over (old token, appended-files token) — the partition
+    re-validates; every other partition's token (and skip) is untouched."""
+    import hashlib
+
+    lineage = dict(parent.partition_lineage)
+    old = lineage.get(partition, "")
+    lineage[partition] = hashlib.md5(f"{old}+{files_token}".encode()).hexdigest()
+    return Snapshot(snapshot_id=_snapshot_id(lineage), partition_lineage=lineage)
+
+
+def snapshot_compact(parent: Snapshot, partitions: list[str] | None = None) -> Snapshot:
+    """Iceberg `replace` (compaction): files are rewritten, DATA identity
+    is unchanged — per-partition lineage tokens carry over verbatim, so a
+    resumed run still skips every previously-validated partition. The
+    snapshot_id is content-addressed over the (unchanged) tokens and
+    therefore also unchanged: two table states with identical data
+    identity are the same snapshot for validation purposes. `partitions`
+    is accepted for API symmetry/documentation; compaction never touches
+    lineage regardless."""
+    _ = partitions
+    lineage = dict(parent.partition_lineage)
+    return Snapshot(snapshot_id=_snapshot_id(lineage), partition_lineage=lineage)
+
+
+def snapshot_overwrite(parent: Snapshot, partition: str, files_token: str) -> Snapshot:
+    """Iceberg `overwrite` of one partition: data identity is replaced —
+    a fresh token derived from the new files only (NOT chained from the
+    old token), so the partition re-validates."""
+    import hashlib
+
+    lineage = dict(parent.partition_lineage)
+    lineage[partition] = hashlib.md5(f"overwrite:{files_token}".encode()).hexdigest()
+    return Snapshot(snapshot_id=_snapshot_id(lineage), partition_lineage=lineage)
+
+
+def content_lineage(df, cols: list[str] | None = None) -> str:
+    """EXACT layout-invariant data-identity token: one aggregate over the
+    frame — SUM(xxhash64(row) :: decimal(38,0)) plus the row count. The
+    decimal sum is order-independent and multiset-correct (duplicate rows
+    count; xor would cancel pairs) and cannot overflow under ANSI
+    (gotcha 2): 10^14 rows x 2^63 ≈ 9.2e32 « 1e38. A compaction (same
+    rows, different files) produces the identical token; any row change
+    flips it. Cost: one narrow scan — the exact-verification fallback
+    when no table format attests data identity; Iceberg deployments get
+    the same answer for free from snapshot metadata (snapshot_compact)."""
+    from pyspark.sql import functions as F
+
+    use = cols if cols is not None else df.columns
+    agg = df.select(
+        F.xxhash64(*[F.col(c) for c in use]).cast("decimal(38,0)").alias("__h")
+    ).agg(
+        F.coalesce(F.sum("__h"), F.lit(0).cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    row = agg.collect()[0]
+    import hashlib
+
+    return hashlib.md5(f"{row['s']}:{row['n']}".encode()).hexdigest()

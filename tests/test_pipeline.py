@@ -437,3 +437,81 @@ def test_curate_with_url_dedup_and_model_gate(spark):
     kept = {r.doc_id for r in res.curated.collect()}
     assert kept == {1, 4}
     assert "url" in res.curated.columns and "norm_url" not in res.curated.columns
+
+
+def test_snapshot_ops_replay_append_compact_overwrite(spark, tmp_path):
+    """Iceberg-operation simulation (VERDICT r4 #5): replay an
+    append → compact → overwrite sequence against the manifest skip
+    logic. Compaction (file rewrite, same data) must NOT invalidate any
+    partition — the case the file-fingerprint lineage of
+    snapshot_from_path gets wastefully wrong — while append and
+    overwrite invalidate exactly the touched partition."""
+    from dataprofiler_spark.plans.manifest import (
+        PartitionRecord,
+        Snapshot,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_overwrite,
+    )
+
+    snap0 = Snapshot(
+        snapshot_id="", partition_lineage={"web": "t-web", "books": "t-books", "code": "t-code"}
+    )
+    man = Manifest(str(tmp_path / "m"))
+    for p, tok in snap0.partition_lineage.items():
+        man.record(PartitionRecord(p, "validated", tok, 100))
+    assert man.validated_partitions_for(snap0) == {"web", "books", "code"}
+
+    # append to web: only web re-validates
+    snap1 = snapshot_append(snap0, "web", "files-batch-2")
+    assert man.validated_partitions_for(snap1) == {"books", "code"}
+    assert snap1.snapshot_id != snap0.snapshot_id
+    man.record(PartitionRecord("web", "validated", snap1.partition_lineage["web"], 150))
+
+    # compaction: every skip survives, nothing re-validates
+    snap2 = snapshot_compact(snap1)
+    assert man.validated_partitions_for(snap2) == {"web", "books", "code"}
+    assert snap2.partition_lineage == snap1.partition_lineage
+
+    # overwrite books: exactly books re-validates, and the fresh token is
+    # NOT the append-chain evolution of the old one
+    snap3 = snapshot_overwrite(snap2, "books", "rewrite-1")
+    assert man.validated_partitions_for(snap3) == {"web", "code"}
+    assert snap3.partition_lineage["books"] != snapshot_append(
+        snap2, "books", "rewrite-1"
+    ).partition_lineage["books"]
+
+    # same data identity == same snapshot id (content-addressed)
+    assert snapshot_compact(snap3).snapshot_id == snap3.snapshot_id
+
+
+def test_content_lineage_survives_physical_compaction(spark, tmp_path):
+    """content_lineage is layout-invariant and data-sensitive: rewriting
+    a parquet partition's files (real compaction: many files → one)
+    keeps the token; changing one row flips it; the file-fingerprint
+    lineage flips on compaction (documented waste)."""
+    from dataprofiler_spark.plans.manifest import content_lineage, input_fingerprint
+
+    inp = str(tmp_path / "t")
+    df = gen_sequences(spark, 2_000).filter(F.col("source") == "web")
+    df.repartition(8).write.parquet(inp)  # 8 files
+
+    before_content = content_lineage(spark.read.parquet(inp))
+    before_files = input_fingerprint(inp)
+
+    # physical compaction: same rows, one file
+    compacted = str(tmp_path / "t2")
+    spark.read.parquet(inp).coalesce(1).write.parquet(compacted)
+    assert content_lineage(spark.read.parquet(compacted)) == before_content
+    assert input_fingerprint(compacted) != before_files  # the wasteful case
+
+    # a one-row change flips the content token
+    mutated = spark.read.parquet(compacted).withColumn(
+        "n_tok",
+        F.when(F.col("doc_id") == df.select(F.min("doc_id")).collect()[0][0],
+               F.col("n_tok") + 1).otherwise(F.col("n_tok")),
+    )
+    assert content_lineage(mutated) != before_content
+    # duplicate rows are multiset-visible (xor-style digests would cancel)
+    doubled = spark.read.parquet(compacted).unionAll(spark.read.parquet(compacted))
+    assert content_lineage(doubled) != before_content
