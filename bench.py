@@ -62,10 +62,14 @@ from dataprofiler_spark.operators.sampling import (  # noqa: E402
     dsir_score,
     select_token_budget,
 )
-from dataprofiler_spark.operators.packing import packing_stats  # noqa: E402
+from dataprofiler_spark.operators.packing import (  # noqa: E402
+    packing_stats,
+    packing_sweep,
+)
 from dataprofiler_spark.operators.diff import diff_summary  # noqa: E402
 from dataprofiler_spark.operators.pii import pii_summary  # noqa: E402
 from dataprofiler_spark.operators.textstats import (  # noqa: E402
+    bigram_logprob,
     hashed_linear_score,
     threshold_sweep,
     token_count,
@@ -309,6 +313,15 @@ def main() -> None:
                 ),
                 "quality_score", "y",
             ).collect(),
+            # round-5 ops: context-length packing sweep (one cumsum window,
+            # per-size conditional sums, stack unpivot); bigram LM fluency
+            # (pair explode + shuffle-side bigram join + broadcast context)
+            "packing_sweep": lambda: packing_sweep(
+                dc.select("source", "doc_id", token_count("text").alias("n_tok")),
+                "n_tok", [256, 1024, 4096], "doc_id", "source",
+            ).collect(),
+            "bigram_logprob": lambda: bigram_logprob(dc)
+            .agg(F.avg("mean_logprob"), F.count("*")).collect(),
         }
 
     def _paragraph_dedup(dc):

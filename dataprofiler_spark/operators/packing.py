@@ -261,3 +261,84 @@ def materialize_packed_sequences(
             ),
         )
     return out.select(*keys, "chunk_id", "n_tokens", "tokens")
+
+
+def packing_sweep(
+    df: DataFrame,
+    tokens_col: str | Column,
+    chunk_sizes: list[int],
+    order_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Context-length calibration: packing_stats for a GRID of chunk
+    sizes in ONE corpus pass — the sweep a pretraining team runs before
+    fixing the context window (fill factor and boundary-split cost vs
+    512/1k/2k/4k/8k). Returns one row per (group?, chunk_tokens):
+    (chunk_tokens, n_docs, total_tokens, n_chunks, docs_split, mean_fill,
+    tail_waste_tokens) — identical semantics to packing_stats at each
+    size (asserted by test).
+
+    Scale shape (the threshold_sweep pattern): the cumulative stream
+    offset is computed ONCE (it is size-independent — one window per
+    group, the same shuffle packing_stats already pays), then every
+    (size, docs_split) cell is a conditional sum in a single hash
+    aggregate; the per-size chunk math (ceil/fill/waste) is pure
+    projection AFTER a `stack` unpivot of the 1-row-per-group frame.
+    Never a per-size scan, never a grid×rows explode."""
+    import math
+
+    if not chunk_sizes:
+        raise ValueError("chunk_sizes must be non-empty")
+    bad = [b for b in chunk_sizes if not isinstance(b, int) or b <= 0 or not math.isfinite(b)]
+    if bad:
+        raise ValueError(f"chunk_sizes must be positive ints, got {bad}")
+    if len(set(chunk_sizes)) != len(chunk_sizes):
+        raise ValueError("duplicate chunk_sizes would emit duplicate grid rows")
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        *keys,
+        tok.cast("long").alias("__tok"),
+        F.sum(tok).over(w).cast("long").alias("__cum"),
+    )
+    start = F.col("__cum") - F.col("__tok")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("__tok"), F.lit(0)).cast("long").alias("total_tokens"),
+    ]
+    for i, b in enumerate(chunk_sizes):
+        lit_b = F.lit(int(b))
+        split_b = (F.col("__tok") > 0) & (
+            F.floor(start / lit_b) != F.floor((F.col("__cum") - 1) / lit_b)
+        )
+        aggs.append(
+            F.coalesce(F.sum(split_b.cast("long")), F.lit(0)).alias(f"__split_{i}")
+        )
+    row = staged.groupBy(*keys).agg(*aggs)
+    cells = ", ".join(
+        f"CAST({int(b)} AS BIGINT), __split_{i}" for i, b in enumerate(chunk_sizes)
+    )
+    unpivoted = row.select(
+        *keys,
+        "n_docs",
+        "total_tokens",
+        F.expr(f"stack({len(chunk_sizes)}, {cells}) AS (chunk_tokens, docs_split)"),
+    )
+    total, b = F.col("total_tokens"), F.col("chunk_tokens")
+    n_chunks = F.ceil(total / b)
+    return unpivoted.select(
+        *keys,
+        "chunk_tokens",
+        "n_docs",
+        "total_tokens",
+        n_chunks.cast("long").alias("n_chunks"),
+        "docs_split",
+        # all-empty group: 0 chunks -> fill undefined (NULL, ANSI-safe)
+        F.round(F.when(n_chunks > 0, total / (n_chunks * b)), 6).alias("mean_fill"),
+        (n_chunks * b - total).cast("long").alias("tail_waste_tokens"),
+    )

@@ -658,3 +658,92 @@ def threshold_sweep(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def bigram_vocab(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus bigram counts (w1, w2, cnt) over adjacent word pairs —
+    the conditional table bigram_logprob scores against. ONE scan: the
+    pairs are a per-row transform over the materialized words array
+    (gotcha 8), exploded into a hash aggregate (map-side combine). The
+    bigram vocabulary is larger than the unigram one (up to V² in
+    theory, ~linear in corpus tokens in practice) — prune with
+    `min_count` before storing/joining at scale."""
+    staged = df.withColumn("__bv_ws", words(F.col(text_col)))
+    pairs = staged.filter(F.size("__bv_ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__bv_ws) - 1), "
+                "i -> struct(element_at(__bv_ws, i) AS w1, "
+                "element_at(__bv_ws, i + 1) AS w2))"
+            )
+        ).alias("__p")
+    )
+    counts = pairs.groupBy(
+        F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    return counts
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability + perplexity — the
+    CCNet-style fluency score one order above unigram_logprob: word
+    SEQUENCES that are improbable under the corpus bigram model (shuffled
+    text, keyword-stuffed spam, wrong-language interleaving) score low
+    even when every individual word is common. Smoothing:
+    logp(w2 | w1) = ln((c(w1,w2) + α) / (c(w1) + α·(V+1))) with V = the
+    corpus unigram vocabulary size; unseen pairs and unseen contexts both
+    get finite mass. Documents with < 2 words have no bigrams and are
+    absent from the output (surface them with a left join upstream).
+
+    Scale shape: the bigram table is NOT broadcast (unlike the unigram
+    table it is not vocabulary-bounded — it grows ~linearly with corpus
+    tokens): scored pairs join it SHUFFLE-side on the pair key, both
+    sides narrow (gotcha 9 family: the pair rows carry two words + a
+    count, never document text). Context counts (unigram, bounded) and
+    the V scalar ARE broadcast. One corpus scan per table build + one
+    scoring scan; store the tables per snapshot in production instead of
+    self-scoring."""
+    uni = unigram_vocab(df, text_col)
+    bi = bigram_vocab(df, text_col)
+    v = uni.agg(F.count(F.lit(1)).alias("__v"))
+    staged = df.withColumn("__bl_ws", words(F.col(text_col)))
+    doc_pairs = staged.filter(F.size("__bl_ws") >= 2).select(
+        F.col(key_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__bl_ws) - 1), "
+                "i -> struct(element_at(__bl_ws, i) AS w1, "
+                "element_at(__bl_ws, i + 1) AS w2))"
+            )
+        ).alias("__p"),
+    ).select(key_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    ctx = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("__c1"))
+    scored = (
+        doc_pairs.join(bi.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            key_col,
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+                / (
+                    F.coalesce(F.col("__c1"), F.lit(0))
+                    + F.lit(alpha) * (F.col("__v") + 1)
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        F.round(F.exp(-F.avg("__lp")), 4).alias("perplexity"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -236,7 +236,7 @@ def _duck_minhash_cte(num_hashes: int, seed: int = 42, source: str = "documents"
         f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {_P31})) AS s{i}"
         for i, (a, b) in enumerate(_minhash_params(num_hashes, seed))
     )
-    return f"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM {source}),
+    return f"""w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM {source}),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
          generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
@@ -383,7 +383,7 @@ def edit_distance_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs_documents",
-    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
 sh_all AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
         generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        ELSE [array_to_string(ws, ' ')] END) AS s FROM w),
@@ -477,8 +477,8 @@ def embedding_sim_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_counts_documents",
-    """SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
-  CAST(list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+    """SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens,
+  CAST(list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
        w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_tokens_bpe
 FROM documents""",
 )
@@ -512,7 +512,7 @@ def _lang_id_sql() -> str:
         f"""SELECT doc_id, '{code}' AS lang, len(list_filter(ws, x -> list_contains({list(markers)!r}, x))) AS h FROM w"""
         for code, markers in sorted(LANG_MARKERS.items())
     )
-    return f"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+    return f"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
 hits AS ({hit_selects}),
 ranked AS (SELECT doc_id, lang, h,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn FROM hits)
@@ -533,7 +533,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_documents",
     """WITH w AS (SELECT doc_id,
-  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents)
+  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents)
 SELECT doc_id,
   CAST(len(ws) AS BIGINT) AS n_words,
   ROUND(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_word_ratio,
@@ -558,7 +558,7 @@ def _simhash_pairs_sql(bits: int = 60, max_hamming: int = 3) -> str:
     complete for hamming ≤ 3 of 4 chunks, so the results must be equal."""
     csel = ", ".join(f"SUM(((hv >> {b}) & 1) * 2 - 1) AS c{b}" for b in range(bits))
     ssel = " + ".join(f"CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
-    return f"""WITH w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS wd FROM documents),
+    return f"""WITH w AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wd FROM documents),
 h AS (SELECT doc_id, CAST('0x' || substr(md5(wd),1,15) AS BIGINT) AS hv FROM w),
 c AS (SELECT doc_id, {csel} FROM h GROUP BY doc_id),
 s AS (SELECT doc_id, CAST({ssel} AS BIGINT) AS sh FROM c)
@@ -1292,8 +1292,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_SQL = """WITH q AS (
   SELECT doc_id, lang, text,
-    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
-    ROUND(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1.0 / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 6) AS dwr
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words,
+    ROUND(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) * 1.0 / len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 6) AS dwr
   FROM documents),
 quality AS (SELECT * FROM q WHERE n_words >= 10 AND dwr >= 0.3),
 fp AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint FROM quality),
@@ -1309,7 +1309,7 @@ counts AS (
   LEFT JOIN kept k ON k.doc_id = i.doc_id
   GROUP BY i.lang),
 toks AS (
-  SELECT lang, CAST(SUM(CAST(list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+  SELECT lang, CAST(SUM(CAST(list_aggregate(list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
        w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT)) AS BIGINT) AS kept_tokens_bpe
   FROM kept GROUP BY lang)
 SELECT c.lang, c.n_input, c.n_quality, c.n_kept, COALESCE(t.kept_tokens_bpe, 0) AS kept_tokens_bpe
@@ -1594,7 +1594,7 @@ def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "repetition_quality_documents",
     """WITH w AS (SELECT doc_id,
-        list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws FROM documents),
+        list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws FROM documents),
 b AS (SELECT doc_id, ws,
         CASE WHEN len(ws) >= 2 THEN list_transform(
           generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
@@ -1619,7 +1619,7 @@ def _contamination_sql(shingle_k: int = 5, mod: int = 41) -> str:
     # shingle → portable 60-bit md5-prefix hash, mirrored from the engine;
     # benchmark membership is the deterministic doc_id % mod split
     shingle = " || ' ' || ".join(f"ws[i + {j}]" for j in range(shingle_k))
-    return f"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws FROM documents),
+    return f"""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= {shingle_k} THEN list_distinct(list_transform(
          generate_series(1, len(ws) - {shingle_k - 1}), i -> {shingle}))
        ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
@@ -1750,7 +1750,7 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_stats_by_source",
-    """WITH w0 AS (SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents),
+    """WITH w0 AS (SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents),
 w AS (SELECT * FROM w0 WHERE w <> '')
 SELECT source, COUNT(*) AS total_words, COUNT(DISTINCT w) AS vocab_size,
   ROUND(COUNT(DISTINCT w) * 1.0 / COUNT(*), 6) AS type_token_ratio
@@ -2033,7 +2033,7 @@ def sequential_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "packing_plan_documents",
     """WITH d AS (
-  SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok FROM documents
+  SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok FROM documents
 ), c AS (
   SELECT source, n_tok,
     SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -2288,13 +2288,13 @@ def cdc_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob_documents",
     """WITH vocab AS (
   SELECT w, COUNT(*) AS cnt FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents)
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents)
   WHERE w <> '' GROUP BY w
 ), t AS (
   SELECT SUM(cnt) AS n, COUNT(*) AS v FROM vocab
 ), words AS (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents)
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents)
   WHERE w <> ''
 ), s AS (
   SELECT doc_id,
@@ -2361,7 +2361,7 @@ def join_estimate_events_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "tfidf_keywords_documents",
     """WITH words AS (
-  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents
 ), wf AS (
   SELECT doc_id, w, COUNT(*) AS tf FROM words WHERE w <> '' GROUP BY doc_id, w
 ), dfq AS (
@@ -2391,7 +2391,7 @@ def tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "batch_padding_documents",
     """WITH d AS (
-  SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok FROM documents
+  SELECT source, doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok FROM documents
 ), bkt AS (
   SELECT source, doc_id, n_tok, FLOOR(n_tok / 50) AS bucket FROM d
 ), batched AS (
@@ -2602,9 +2602,9 @@ def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_funnel_documents",
     """WITH s AS (
   SELECT doc_id,
-    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS nw,
-    ROUND(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) * 1.0
-          / len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 6) AS dr,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS nw,
+    ROUND(len(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) * 1.0
+          / len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 6) AS dr,
     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bucket,
     (length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
@@ -2752,7 +2752,7 @@ def _times_two(x):
 @register(
     "zipf_fit_documents",
     """WITH words AS (
-  SELECT w FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents)
+  SELECT w FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents)
   WHERE w <> ''),
 counts AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
 top AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 1000),
@@ -2811,7 +2811,7 @@ def paragraph_near_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> Data
 
 @register(
     "remove_duplicated_spans_documents",
-    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
            FROM documents),
 spbase AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 3)) AS start, ws
            FROM w WHERE len(ws) >= 3),
@@ -2871,11 +2871,11 @@ def frequent_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_rank_drift_split",
-    """WITH wa AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents WHERE doc_id % 2 = 0),
+    """WITH wa AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents WHERE doc_id % 2 = 0),
 ca AS (SELECT w, COUNT(*) AS cnt FROM wa WHERE w <> '' GROUP BY w),
 ta AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank_a
        FROM (SELECT w, cnt FROM ca ORDER BY cnt DESC, w LIMIT 1000)),
-wb AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w FROM documents WHERE doc_id % 2 = 1),
+wb AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w FROM documents WHERE doc_id % 2 = 1),
 cb AS (SELECT w, COUNT(*) AS cnt FROM wb WHERE w <> '' GROUP BY w),
 tb AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank_b
        FROM (SELECT w, cnt FROM cb ORDER BY cnt DESC, w LIMIT 1000)),
@@ -2904,7 +2904,7 @@ def vocab_rank_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "boilerplate_ngrams_documents",
-    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
            FROM documents),
 sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
          generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
@@ -3096,7 +3096,7 @@ def duplication_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "chunk_overlap_documents",
-    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
            FROM documents),
 nz AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
 st AS (SELECT doc_id, ws, n, unnest(generate_series(0, n - 1, 8)) AS chunk_start FROM nz)
@@ -3188,7 +3188,7 @@ def _hashed_linear_score_sql(n_buckets: int = 1 << 18, seed: int = 42) -> str:
 
     a, b = _minhash_params(1, seed)[0]
     return f"""WITH w AS (SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
        FROM documents),
 wt AS (SELECT doc_id,
          ((CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets}) * {a} + {b})
@@ -3285,7 +3285,7 @@ def pca_embeddings_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "packed_sequences_documents",
     """WITH tk AS (SELECT doc_id, source,
-         list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+         list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
                         w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) % 50257) AS toks
        FROM documents),
 c AS (SELECT doc_id, source, toks,
@@ -3439,7 +3439,7 @@ def shuffle_corpus_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_budget_selection_documents",
     """WITH t AS (SELECT doc_id,
         (doc_id * 37 % 101) / 101.0 AS score,
-        len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tok
+        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
       FROM documents),
 c AS (SELECT doc_id,
         SUM(n_tok) OVER (ORDER BY score DESC, doc_id
@@ -3471,7 +3471,7 @@ def token_budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFr
 def _dsir_sql(n_buckets: int = 1 << 12, alpha: float = 1.0, k: int = 100) -> str:
     two52 = float(1 << 52)
     return f"""WITH w AS (SELECT doc_id,
-        unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+        unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
       FROM documents),
 b AS (SELECT doc_id,
         CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets} AS bucket
@@ -3528,7 +3528,7 @@ def _threshold_sweep_sql(n_buckets: int = 1 << 18, seed: int = 42) -> str:
     a, b = _minhash_params(1, seed)[0]
     grid = ", ".join(str(round(i / 20, 2)) for i in range(21))
     return f"""WITH w AS (SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS word
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
        FROM documents),
 wt AS (SELECT doc_id,
          ((CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % {n_buckets}) * {a} + {b})
@@ -3574,6 +3574,91 @@ def threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y", F.col("doc_id") % 3 == 0
     )
     return threshold_sweep(scored, "quality_score", "y")
+
+
+_PACKING_SWEEP_SQL = """WITH t AS (
+  SELECT source, doc_id,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT source, tok,
+    SUM(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS total_tokens,
+    CAST(SUM(CASE WHEN tok > 0 AND (cum - tok) // 64 <> (cum - 1) // 64 THEN 1 ELSE 0 END) AS BIGINT) AS s64,
+    CAST(SUM(CASE WHEN tok > 0 AND (cum - tok) // 256 <> (cum - 1) // 256 THEN 1 ELSE 0 END) AS BIGINT) AS s256,
+    CAST(SUM(CASE WHEN tok > 0 AND (cum - tok) // 1024 <> (cum - 1) // 1024 THEN 1 ELSE 0 END) AS BIGINT) AS s1024
+  FROM c GROUP BY source),
+u AS (
+  SELECT source, n_docs, total_tokens, CAST(64 AS BIGINT) AS chunk_tokens, s64 AS docs_split FROM g
+  UNION ALL
+  SELECT source, n_docs, total_tokens, CAST(256 AS BIGINT), s256 FROM g
+  UNION ALL
+  SELECT source, n_docs, total_tokens, CAST(1024 AS BIGINT), s1024 FROM g)
+SELECT source, chunk_tokens, n_docs, total_tokens,
+  CAST(CEIL(total_tokens * 1.0 / chunk_tokens) AS BIGINT) AS n_chunks,
+  docs_split,
+  ROUND(CASE WHEN total_tokens > 0
+        THEN total_tokens * 1.0 / (CAST(CEIL(total_tokens * 1.0 / chunk_tokens) AS BIGINT) * chunk_tokens) END, 6) AS mean_fill,
+  CAST(CAST(CEIL(total_tokens * 1.0 / chunk_tokens) AS BIGINT) * chunk_tokens - total_tokens AS BIGINT) AS tail_waste_tokens
+FROM u"""
+
+
+@register("packing_sweep_documents", _PACKING_SWEEP_SQL)
+def packing_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length calibration sweep: packing_stats at 64/256/1024
+    tokens per chunk in ONE corpus pass — the size-independent stream
+    cumsum is computed once per source, every (size, docs_split) cell is
+    a conditional sum in a single hash aggregate, and the per-size chunk
+    math is pure projection after a stack unpivot (the threshold_sweep
+    pattern applied to packing). Window membership: see _HARVEST_FIRST
+    (gotcha 26)."""
+    from dataprofiler_spark.operators.packing import packing_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", "doc_id", F.size(words("text")).alias("n_tok")
+    )
+    return packing_sweep(staged, "n_tok", [64, 256, 1024], "doc_id", "source")
+
+
+_BIGRAM_LP_SQL = """WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents),
+uni AS (SELECT wu AS w, COUNT(*) AS cnt
+  FROM (SELECT unnest(ws) AS wu FROM w) GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM uni),
+pairs AS (SELECT doc_id,
+    unnest(ws[1:len(ws) - 1]) AS w1,
+    unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2),
+bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+scored AS (SELECT p.doc_id,
+    ln((COALESCE(b.c12, 0) + 0.5) / (COALESCE(u.cnt, 0) + 0.5 * (v.v + 1))) AS lp
+  FROM pairs p
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.w = p.w1
+  CROSS JOIN v)
+SELECT doc_id, ROUND(AVG(lp), 6) AS mean_logprob,
+  ROUND(exp(-AVG(lp)), 4) AS perplexity,
+  CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM scored GROUP BY doc_id"""
+
+
+@register("bigram_logprob_documents", _BIGRAM_LP_SQL)
+def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram fluency: mean log P(w2|w1) + perplexity per
+    document under the corpus's own Laplace-smoothed bigram model —
+    sequence-level badness (shuffled text, keyword stuffing) that
+    unigram_logprob cannot see. The bigram table is joined SHUFFLE-side
+    (it is not vocabulary-bounded; only the unigram context table and
+    the V scalar broadcast). Oracle replays the pair extraction with the
+    lockstep-unnest trick (gotcha 37: ws[1:n-1] zips with ws[2:n]).
+    Window membership: see _HARVEST_FIRST (gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
 
 
 # --------------------------------------------------------------------------

@@ -214,3 +214,48 @@ def test_bpe_to_packed_sequences_composition(spark):
         if r.chunk_id < last[r.source]:
             assert r.n_tokens == 256
         assert len(r.tokens) == r.n_tokens
+
+
+def test_packing_sweep_matches_packing_stats_per_size(spark):
+    """One-pass sweep == per-size packing_stats, size by size."""
+    from dataprofiler_spark.operators.packing import packing_stats, packing_sweep
+
+    rows = [(i, f"s{i % 3}", 10 + (i * 7) % 50) for i in range(200)] + [
+        (900, "s0", 0),  # zero-token doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, n_tok bigint")
+    sizes = [32, 128, 512]
+    sweep = {
+        (r.source, r.chunk_tokens): r
+        for r in packing_sweep(df, "n_tok", sizes, "doc_id", "source").collect()
+    }
+    for b in sizes:
+        for r in packing_stats(df, "n_tok", b, "doc_id", "source").collect():
+            s = sweep[(r.source, b)]
+            assert (s.n_docs, s.total_tokens, s.n_chunks, s.docs_split) == (
+                r.n_docs, r.total_tokens, r.n_chunks, r.docs_split
+            ), (r.source, b)
+            assert s.mean_fill == r.mean_fill and s.tail_waste_tokens == r.tail_waste_tokens
+    assert len(sweep) == 3 * len(sizes)
+
+
+def test_packing_sweep_validation_and_empty(spark):
+    import pytest as _pytest
+
+    from dataprofiler_spark.operators.packing import packing_sweep
+
+    df = spark.createDataFrame([], "doc_id bigint, n_tok bigint")
+    with _pytest.raises(ValueError, match="non-empty"):
+        packing_sweep(df, "n_tok", [])
+    with _pytest.raises(ValueError, match="positive"):
+        packing_sweep(df, "n_tok", [0, 64])
+    with _pytest.raises(ValueError, match="duplicate"):
+        packing_sweep(df, "n_tok", [64, 64])
+    # global group (no group_col), empty input: one row per size with
+    # zero counts and NULL fill (ANSI-safe)
+    rows = packing_sweep(df, "n_tok", [64, 256]).collect()
+    assert {r.chunk_tokens for r in rows} == {64, 256}
+    assert all(
+        (r.n_docs, r.total_tokens, r.docs_split, r.mean_fill) == (0, 0, 0, None)
+        for r in rows
+    )

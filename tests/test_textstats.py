@@ -418,3 +418,42 @@ def test_threshold_sweep_empty_and_validation(spark):
         threshold_sweep(df, "score", "y", [float("inf")])
     with pytest.raises(ValueError, match="duplicate"):
         threshold_sweep(df, "score", "y", [0.2, 0.2])
+
+
+def test_bigram_logprob_known_values(spark):
+    """Hand-computed Laplace-smoothed bigram scores on a 3-doc corpus."""
+    import math
+
+    from dataprofiler_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "")],
+        "doc_id bigint, text string",
+    )
+    # unigrams: a:3 b:3 c:1 -> V=3; bigrams: (a,b):3 (b,a):1
+    out = {r.doc_id: r for r in bigram_logprob(df, alpha=0.5).collect()}
+    V = 3
+    lp_ab = math.log((3 + 0.5) / (3 + 0.5 * (V + 1)))
+    lp_ba = math.log((1 + 0.5) / (3 + 0.5 * (V + 1)))
+    exp1 = (2 * lp_ab + lp_ba) / 3
+    assert out[1].n_bigrams == 3
+    assert abs(out[1].mean_logprob - round(exp1, 6)) < 1e-6
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].mean_logprob - round(lp_ab, 6)) < 1e-6
+    # < 2 words -> no bigrams -> absent
+    assert 3 not in out and 4 not in out
+    # perplexity = exp(-mean)
+    assert abs(out[2].perplexity - round(math.exp(-out[2].mean_logprob), 4)) < 1e-3
+
+
+def test_bigram_logprob_ranks_shuffled_text_lower(spark):
+    """The fluency property: a word-order-scrambled doc scores lower than
+    the natural-order docs the model was fit on, even though its unigram
+    distribution is identical."""
+    from dataprofiler_spark.operators.textstats import bigram_logprob
+
+    natural = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    scrambled = [(100, "dog the over quick lazy fox brown jumps the")]
+    df = spark.createDataFrame(natural + scrambled, "doc_id bigint, text string")
+    out = {r.doc_id: r.mean_logprob for r in bigram_logprob(df).collect()}
+    assert out[100] < out[0]
