@@ -520,3 +520,34 @@ def test_ks_wasserstein_single_shuffle_grouped_window(spark):
         # window partitions by the group key
         assert "windowspecdefinition(source" in p, p
         assert "FullOuter" not in p and "SortMergeJoin" not in p, p
+
+
+def test_packing_sweep_one_exchange_no_single_partition(spark):
+    """packing_sweep: the size-independent cumsum window is the ONLY
+    shuffle (the grid aggregate reuses its group partitioning), no
+    SinglePartition stage with a group column, and the grid unpivots via
+    stack (never a grid x rows explode)."""
+    from dataprofiler_spark.functions.expressions import words
+    from dataprofiler_spark.operators.packing import packing_sweep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    staged = docs.select("source", "doc_id", F.size(words("text")).alias("n_tok"))
+    p = plan_of(packing_sweep(staged, "n_tok", [64, 256, 1024], "doc_id", "source"))
+    assert "SinglePartition" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "stack" in p, p
+
+
+def test_bigram_logprob_join_strategy(spark):
+    """bigram_logprob: the corpus-sized bigram table joins SHUFFLE-side
+    (never broadcast — it is not vocabulary-bounded), the unigram context
+    table broadcasts, the V scalar is a 1-row nested-loop, and nothing
+    falls back to a sort-merge join or a Python UDF."""
+    from dataprofiler_spark.operators.textstats import bigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(bigram_logprob(docs))
+    assert p.count("ShuffledHashJoin") == 1, p
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "Python" not in p, p
