@@ -257,8 +257,10 @@ def lsh_candidate_pairs(
         .filter((F.size("ks") > 1) & (F.size("ks") <= max_bucket_size))
     )
     # pair expansion inside expressions: for each i, pair ks[i] with ks[j>i]
+    # (outer: size(ks) > 1 makes it non-empty, and a plain explode's
+    # inferred size()>0 filter re-runs the pair transform — gotcha 43)
     pairs = buckets.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.expr(
                     "transform(ks, (x, i) -> transform(slice(ks, i + 2, size(ks)), y -> struct(x AS key1, y AS key2)))"
@@ -290,7 +292,7 @@ def ngram_jaccard_pairs(
     words = _ws_words(F.col(text_col))
     sh = (
         df.select(F.col(key_col).alias("key"), words.alias("__words"))
-        .select("key", F.explode(word_shingles(F.col("__words"), shingle_k, pre_split=True)).alias("s"))
+        .select("key", F.explode_outer(word_shingles(F.col("__words"), shingle_k, pre_split=True)).alias("s"))  # gotcha 43; shingles never empty
     )
     # the shingle frame feeds the hot-filter, the size aggregate AND both
     # self-join sides: without a checkpoint each consumer re-executes the
@@ -513,9 +515,14 @@ def connected_components_star(
         adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         grouped = adj.groupBy("a").agg(F.collect_set("b").alias("ns"))
         m = F.least(F.array_min("ns"), F.col("a"))
+        # outer + null filter: filter(ns, v > a) CAN be empty (row must
+        # drop), and a plain explode's inferred size()>0 filter re-runs
+        # the array filter per row inside the loop (gotcha 43)
         out = grouped.select(
-            F.col("a"), m.alias("m"), F.explode(F.expr("filter(ns, v -> v > a)")).alias("v")
-        )
+            F.col("a"),
+            m.alias("m"),
+            F.explode_outer(F.expr("filter(ns, v -> v > a)")).alias("v"),
+        ).filter(F.col("v").isNotNull())
         return out.select(F.col("v").alias("a"), F.col("m").alias("b")).filter(
             F.col("a") != F.col("b")
         ).distinct()
@@ -528,7 +535,10 @@ def connected_components_star(
         grouped = canon.groupBy("a").agg(F.collect_set("b").alias("ns"))
         m = F.least(F.array_min("ns"), F.col("a"))
         out = grouped.select(
-            "a", m.alias("m"), F.explode(F.array_union("ns", F.array("a"))).alias("v")
+            "a",
+            m.alias("m"),
+            # outer: union with [a] is never empty (gotcha 43)
+            F.explode_outer(F.array_union("ns", F.array("a"))).alias("v"),
         )
         return out.select(F.col("v").alias("a"), F.col("m").alias("b")).filter(
             F.col("a") != F.col("b")
@@ -615,7 +625,8 @@ def contamination_check(
     gotcha 16; plan-gated in tests)."""
     bench_shingles = (
         benchmark.select(
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+            # gotcha 43; shingles never empty (whole-text fallback)
+            F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias("s")
         )
         .select(_token_long_hash(F.col("s")).alias("h"))
         .distinct()
@@ -629,7 +640,7 @@ def contamination_check(
     corpus_shingles = staged.select(
         "key",
         F.size("__sh").alias("n_shingles"),
-        F.explode("__sh").alias("s"),
+        F.explode_outer("__sh").alias("s"),  # gotcha 43; never empty
     ).select("key", "n_shingles", _token_long_hash(F.col("s")).alias("h"))
     hits = (
         corpus_shingles.join(bench_shingles, "h")
@@ -711,8 +722,9 @@ def hamming_bucket_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("key", "h"))).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
+    # outer: size(ms) > 1 makes the expansion non-empty (gotcha 43)
     pairs = buckets.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.expr(
                     "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
@@ -757,8 +769,8 @@ def simhash_near_dup_pairs(
     bits = 60
     words = df.select(
         F.col(key_col).alias("key"),
-        F.explode(_ws_words(text_col)).alias("w"),
-    )
+        F.explode_outer(_ws_words(text_col)).alias("w"),  # gotcha 43
+    ).filter(F.col("w").isNotNull())
     hashed = words.select(
         "key", (_token_long_hash(F.col("w")) if portable else F.xxhash64("w")).alias("h")
     )
@@ -836,7 +848,10 @@ def paragraph_dedup(
     """
     paras = df.select(
         F.col(key_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("idx", "para"),
+        # outer: split() never yields an empty array, and a plain
+        # posexplode's inferred filter re-runs the split (gotcha 43); the
+        # para != '' filter below drops any NULL row the same way
+        F.posexplode_outer(F.split(F.col(text_col), F.lit(sep))).alias("idx", "para"),
     ).filter(F.col("para") != "")
     firsts = paras.groupBy(F.xxhash64("para").alias("__d")).agg(
         F.min(F.struct(F.col(key_col), F.col("idx"), F.col("para"))).alias("f")
@@ -918,7 +933,10 @@ def remove_duplicated_spans(
         staged.filter(n >= shingle_k)
         .select(
             key_col,
-            F.explode(
+            # outer: the n >= shingle_k gate makes the span array
+            # non-empty, and a plain explode's inferred filter re-runs
+            # the whole span-hash transform per row (gotcha 43)
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(0, size(__ws) - {shingle_k}), "
                     f"i -> struct(i AS start, "
@@ -940,7 +958,8 @@ def remove_duplicated_spans(
         spans.join(hot, "h", "left_semi")
         .select(
             key_col,
-            F.explode(
+            # outer: an ascending k-term sequence is never empty (gotcha 43)
+            F.explode_outer(
                 F.sequence(F.col("start"), F.col("start") + F.lit(shingle_k - 1))
             ).alias("pos"),
         )
@@ -988,7 +1007,10 @@ def paragraph_near_dup_pairs(
     only multiplies rows by paragraphs/doc before the same pipeline."""
     paras = df.select(
         F.col(key_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("idx", "para"),
+        # outer: split() never yields an empty array, and a plain
+        # posexplode's inferred filter re-runs the split (gotcha 43); the
+        # para != '' filter below drops any NULL row the same way
+        F.posexplode_outer(F.split(F.col(text_col), F.lit(sep))).alias("idx", "para"),
     ).filter(F.col("para") != "").select(
         F.concat(
             F.col(key_col).cast("string"), F.lit(":"), F.col("idx").cast("string")
@@ -1275,3 +1297,127 @@ def dedup_against_history_bloom(
     suspect = collapsed.filter(F.col("__maybe")).drop("__maybe")
     hist = history_digests.select(F.col(digest_col))
     return fresh.unionByName(suspect.join(hist, on=digest_col, how="left_anti"))
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Pairwise shingle-overlap matrix between corpus sources: for every
+    source pair (a < b), the number of distinct k-word shingles they
+    share, each side's distinct-shingle count, and the Jaccard / overlap
+    coefficients. The corpus-composition view of contamination_check —
+    instead of probing one benchmark, it localizes WHICH sources leak
+    into which (mirror sites, cross-posted content, shared boilerplate)
+    so curation can drop the redundant source rather than dedup doc by
+    doc.
+
+    Returns (source_a, source_b, n_a, n_b, n_common, jaccard,
+    overlap_coef); pairs with zero shared shingles are absent.
+
+    Scale shape: ONE corpus scan — text reduces immediately to distinct
+    (source, shingle-digest) rows (shingles travel as xxhash64 digests,
+    never text, gotcha 9). That frame feeds both the per-source counts
+    and the per-shingle source sets, so it is localCheckpointed once
+    (gotchas 16/24 — it is NARROW, two longs per row, safe to
+    materialize, gotcha 36). Per-shingle source sets are bounded by the
+    number of DISTINCT SOURCES S — a corpus-composition property
+    (10–10^3 in practice), not a function of corpus size — so the pair
+    expansion is ≤ S(S-1)/2 per shingle and the collect_set buffer is
+    S-bounded. Per-source counts are S rows and broadcast back. For
+    S beyond ~10^3, roll sources up (e.g. to eTLD+1 groups) upstream.
+    """
+    staged = df.select(
+        F.col(source_col).alias("src"),
+        word_shingles(_ws_words(F.col(text_col)), shingle_k, pre_split=True).alias(
+            "__cs_ss"
+        ),
+    )
+    # EAGER checkpoint, deliberately unlike the gotcha-24 default: the
+    # per-source count frames re-enter the plan as BROADCAST subqueries,
+    # and Spark evaluates broadcast jobs concurrently — two lazy
+    # consumers race to compute this frame before either persists it,
+    # doubling the corpus scan (caught by the accumulator plan gate).
+    sh = (
+        staged.select("src", F.explode_outer("__cs_ss").alias("s"))  # gotcha 43
+        .select("src", F.xxhash64("s").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    per = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    sets = sh.groupBy("h").agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    pairs = (
+        sets.filter(F.size("srcs") >= 2)
+        .select(
+            # outer: size >= 2 makes the expansion non-empty (gotcha 43)
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+                    "b -> struct(a AS source_a, b AS source_b))))"
+                )
+            ).alias("__p")
+        )
+        .groupBy(
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pa = per.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(F.col("n_common") / union, 6).alias("jaccard"),
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6).alias(
+                "overlap_coef"
+            ),
+        )
+    )
+
+
+def duplicate_group_size_histogram(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Distribution of exact-duplicate group sizes: for each group size
+    (1 = unique, 2 = one copy, ...) the number of content groups, the
+    documents they account for, and that share of the corpus. The
+    monitoring rollup over exact_duplicate_groups — a drifting tail
+    (growing mass at size ≥ 2) is the earliest signal of a scraper loop
+    or a mirror joining the crawl, visible without materializing any
+    per-document output.
+
+    Scale shape: ONE scan → digest hash-agg (map-side combine) → a
+    second agg on group_size whose cardinality is tiny (≤ max group
+    size). The histogram frame is localCheckpointed (narrow, bounded)
+    because the corpus-share denominator re-reads it (gotchas 16/24).
+    """
+    cols = cols or ["text"]
+    sizes = (
+        df.select(content_hash(*cols).alias("__d"))
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    hist = (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .withColumn("n_docs", F.col("group_size") * F.col("n_groups"))
+        .localCheckpoint(eager=False)
+    )
+    total = hist.agg(F.sum("n_docs").alias("__t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "group_size",
+        "n_groups",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__t"), 6).alias("frac_docs"),
+    )

@@ -178,7 +178,9 @@ def chunk_windows(
         F.col(key_col),
         F.col("__ws"),
         F.col("__n"),
-        F.explode(
+        # outer: the __n > 0 gate makes the start sequence non-empty, and
+        # a plain explode's inferred filter re-builds it per row (gotcha 43)
+        F.explode_outer(
             F.sequence(F.lit(0), F.col("__n") - 1, F.lit(int(stride)))
         ).alias("chunk_start"),
     )

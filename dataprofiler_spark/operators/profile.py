@@ -355,3 +355,43 @@ def frequent_values(
         k,
         rank_col="rank",
     ).select("column_name", "value", "cnt", "rank")
+
+
+def category_diversity(df: DataFrame, column: str) -> DataFrame:
+    """One-row diversity summary of a categorical column: category count,
+    Shannon entropy (bits) with its normalized form, the
+    Herfindahl-Hirschman concentration index (sum of squared shares),
+    and the top category's share. The corpus-composition headline next
+    to frequent_values — a training mix that collapses onto one source
+    shows up here as norm_entropy → 0 / hhi → 1 before any downstream
+    metric moves.
+
+    Scale shape: ONE scan → per-category hash-agg (map-side combine) →
+    a scalar aggregate over the category frame. Entropy folds into the
+    single pass via H = log2(T) - Σ c·log2(c) / T, so no per-row share
+    column (and no second scan for the total) is needed; NULL is a real
+    category. norm_entropy is NULL when only one category exists
+    (log2(1) = 0 denominator, nullif-guarded)."""
+    counts = df.groupBy(F.col(column)).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("__s"),
+        F.max("cnt").alias("__m"),
+        # cnt² and T² overflow BIGINT once counts pass ~3·10^9 (ANSI
+        # errors, gotcha 2) — square in double; HHI is a ratio anyway
+        F.sum(F.col("cnt").cast("double") * F.col("cnt")).alias("__sq"),
+    )
+    h = F.log2(F.col("n_rows")) - F.col("__s") / F.col("n_rows")
+    return agg.select(
+        "n_categories",
+        "n_rows",
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(
+            h / F.nullif(F.log2(F.col("n_categories")), F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+        F.round(
+            F.col("__sq") / (F.col("n_rows").cast("double") * F.col("n_rows")), 6
+        ).alias("hhi"),
+        F.round(F.col("__m") / F.col("n_rows"), 6).alias("top_share"),
+    )

@@ -315,7 +315,9 @@ def _word_bucket(w: Column, n_buckets: int) -> Column:
 
 
 def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int, out: str) -> DataFrame:
-    words = df.select(F.explode(_ws_words(F.col(text_col))).alias("__w"))
+    words = df.select(
+        F.explode_outer(_ws_words(F.col(text_col))).alias("__w")  # gotcha 43
+    ).filter(F.col("__w").isNotNull())
     return words.groupBy(_word_bucket(F.col("__w"), n_buckets).alias("bucket")).agg(
         F.count(F.lit(1)).alias(out)
     )

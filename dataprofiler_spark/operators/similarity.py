@@ -532,8 +532,10 @@ def embedding_near_dup_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("key", "v", "nrm"))).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket_size))
     )
+    # outer: size(ms) > 1 makes the expansion non-empty, and a plain
+    # explode's inferred filter re-runs the pair transform (gotcha 43)
     pairs = buckets.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.expr(
                     "transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
@@ -651,21 +653,25 @@ def semantic_dedup(
             "struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2, "
             "x.nrm * y.nrm AS nn)"
         )
+        # outer + null filter: a singleton block expands to an empty
+        # pair array (row must drop), and a plain explode's inferred
+        # filter re-runs the pair transform per block (gotcha 43)
         same = blocked.select(
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
                     f"y -> {pair_struct})))"
                 )
             ).alias("p")
-        )
+        ).filter(F.col("p").isNotNull())
         a = blocked.select("centroid_id", F.col("block").alias("ba"), F.col("ms").alias("ma"))
         b = blocked.select("centroid_id", F.col("block").alias("bb"), F.col("ms").alias("mb"))
         cross = (
             a.join(b, "centroid_id")
             .filter(F.col("ba") < F.col("bb"))
             .select(
-                F.explode(
+                # outer: ma and mb both hold >= 1 member (gotcha 43)
+                F.explode_outer(
                     F.expr(
                         "flatten(transform(ma, x -> transform(mb, "
                         f"y -> {pair_struct})))"

@@ -165,9 +165,12 @@ def vocabulary_stats(
     is whitespace-robust with empty pseudo-tokens filtered (gotcha 25) so
     word totals don't shift with whitespace formatting."""
     group_by = group_by or []
+    # explode_outer + null post-filter, NOT explode: the optimizer infers
+    # a size()>0 filter below a plain explode that re-evaluates the whole
+    # split chain per row (gotcha 43, 2x measured on the tokenize stage)
     word_rows = df.select(
-        *group_by, F.explode(words(F.col(text_col))).alias("w")
-    )
+        *group_by, F.explode_outer(words(F.col(text_col))).alias("w")
+    ).filter(F.col("w").isNotNull())
     return word_rows.groupBy(*group_by).agg(
         F.count(F.lit(1)).alias("total_words"),
         F.count_distinct("w").alias("vocab_size"),
@@ -183,7 +186,9 @@ def unigram_vocab(
     bounded vocabulary (map-side partials collapse the explosion).
     Materialize/store it once per corpus snapshot; scoring batches then
     broadcast it."""
-    word_rows = df.select(F.explode(words(F.col(text_col))).alias("w"))
+    word_rows = df.select(
+        F.explode_outer(words(F.col(text_col))).alias("w")  # gotcha 43
+    ).filter(F.col("w").isNotNull())
     counts = word_rows.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
@@ -218,8 +223,8 @@ def unigram_logprob(
     # must not enter the vocab or a doc's word count (a formatting
     # artifact would shift the fluency score)
     word_rows = df.select(
-        key_col, F.explode(words(F.col(text_col))).alias("w")
-    )
+        key_col, F.explode_outer(words(F.col(text_col))).alias("w")  # gotcha 43
+    ).filter(F.col("w").isNotNull())
     scored = (
         word_rows.join(F.broadcast(vocab), "w", "left")
         .crossJoin(F.broadcast(totals))
@@ -263,8 +268,8 @@ def tfidf_keywords(
     determinism/oracle parity."""
     n_docs = df.count()  # count-star: column-pruned/metadata, no explode
     word_rows = df.select(
-        key_col, F.explode(words(F.col(text_col))).alias("w")
-    )
+        key_col, F.explode_outer(words(F.col(text_col))).alias("w")  # gotcha 43
+    ).filter(F.col("w").isNotNull())
     tf = (
         word_rows.groupBy(key_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -434,7 +439,10 @@ def boilerplate_ngram_stats(
         staged.select(
             key_col,
             F.size("__sh").alias("n_shingles"),
-            F.explode("__sh").alias("s"),
+            # outer: word_shingles is never empty (whole-text fallback),
+            # and a plain explode's inferred size()>0 filter re-runs the
+            # whole shingle chain per row (gotcha 43)
+            F.explode_outer("__sh").alias("s"),
         )
         .select(key_col, "n_shingles", F.xxhash64("s").alias("h"))
         .localCheckpoint(eager=False)
@@ -671,8 +679,10 @@ def bigram_vocab(
     theory, ~linear in corpus tokens in practice) — prune with
     `min_count` before storing/joining at scale."""
     staged = df.withColumn("__bv_ws", words(F.col(text_col)))
+    # outer: the size >= 2 gate makes the pair array non-empty, and a
+    # plain explode's inferred filter re-runs the pair transform (gotcha 43)
     pairs = staged.filter(F.size("__bv_ws") >= 2).select(
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "transform(sequence(1, size(__bv_ws) - 1), "
                 "i -> struct(element_at(__bv_ws, i) AS w1, "
@@ -718,7 +728,7 @@ def bigram_logprob(
     staged = df.withColumn("__bl_ws", words(F.col(text_col)))
     doc_pairs = staged.filter(F.size("__bl_ws") >= 2).select(
         F.col(key_col),
-        F.explode(
+        F.explode_outer(  # gotcha 43; non-empty via the size >= 2 gate
             F.expr(
                 "transform(sequence(1, size(__bl_ws) - 1), "
                 "i -> struct(element_at(__bl_ws, i) AS w1, "
@@ -746,4 +756,70 @@ def bigram_logprob(
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
         F.round(F.exp(-F.avg("__lp")), 4).alias("perplexity"),
         F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
+# Encoding-damage heuristics (pure expressions, both engines' regex
+# dialects — Java util.regex and DuckDB's RE2 — read these identically):
+# U+FFFD is the decoder's explicit damage marker; control chars outside
+# \t\n\r never belong in prose; the mojibake alternation catches the
+# classic UTF-8-read-as-Latin-1 artifacts ('Ã' + a U+0080-U+00BF
+# continuation ghost, the 'â€'-family punctuation wrecks, 'Â' + NBSP).
+_REPLACEMENT_PAT = "�"
+_CONTROL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_MOJIBAKE_PAT = "Ã[\\x{0080}-\\x{00BF}]|â€|Â\\x{00A0}"
+_ASCII_PAT = r"[\x00-\x7F]"
+
+
+def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-damage features appended to `df`: counts of
+    U+FFFD replacement chars, non-\\t\\n\\r control chars, mojibake
+    artifacts (UTF-8 double-decode sequences), non-ASCII chars, and the
+    non-ASCII ratio. The web-curation gate that catches corrupt decodes
+    BEFORE they pollute vocabulary/shingle statistics — none of the
+    other text metrics see the difference between damaged and legitimate
+    non-Latin text.
+
+    Scale shape: pure per-row regexp projection (whole-stage codegen, no
+    shuffle, no UDF); counts derive from length-after-regexp_replace so
+    each pattern is a single pass over the string. n_chars == 0 docs get
+    NULL ratios (nullif, ANSI-safe; DuckDB /0 agrees)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+
+    def _count(pat: str) -> Column:
+        return (n_chars - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+
+    n_non_ascii = F.length(F.regexp_replace(t, _ASCII_PAT, "")).cast("long")
+    # mojibake matches span 1-2 chars — count OCCURRENCES, not chars
+    n_mojibake = F.regexp_count(t, F.lit(_MOJIBAKE_PAT)).cast("long")
+    return df.select(
+        "*",
+        _count(_REPLACEMENT_PAT).alias("n_replacement"),
+        _count(_CONTROL_PAT).alias("n_control"),
+        n_mojibake.alias("n_mojibake"),
+        n_non_ascii.alias("n_non_ascii"),
+        F.round(n_non_ascii / F.nullif(n_chars.cast("long"), F.lit(0)), 4).alias(
+            "non_ascii_ratio"
+        ),
+    )
+
+
+def encoding_summary(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source encoding-health rollup: document counts carrying ANY
+    replacement/control/mojibake damage plus the mean non-ASCII ratio —
+    the monitoring panel that localizes a broken upstream decoder to the
+    source that shipped it (a per-doc frame at corpus scale is output,
+    not a report). ONE scan, one hash aggregate (map-side combine); the
+    regexp features fold into the same codegen stage as the scan."""
+    feats = encoding_quality(df, text_col)
+    return feats.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_replacement") > 0).cast("long")).alias("repl_docs"),
+        F.sum((F.col("n_control") > 0).cast("long")).alias("control_docs"),
+        F.sum((F.col("n_mojibake") > 0).cast("long")).alias("mojibake_docs"),
+        F.round(F.avg("non_ascii_ratio"), 4).alias("avg_non_ascii_ratio"),
+        F.round(F.max("non_ascii_ratio"), 4).alias("max_non_ascii_ratio"),
     )

@@ -3661,19 +3661,135 @@ def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(docs)
 
 
+@register(
+    "source_diversity_documents",
+    """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+a AS (SELECT COUNT(*) AS n_categories, SUM(cnt) AS n_rows,
+             SUM(cnt * log2(cnt)) AS s, MAX(cnt) AS m,
+             SUM(CAST(cnt AS DOUBLE) * cnt) AS sq
+      FROM c)
+SELECT CAST(n_categories AS BIGINT) AS n_categories,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(log2(n_rows) - s / n_rows, 6) AS entropy_bits,
+       ROUND((log2(n_rows) - s / n_rows) / NULLIF(log2(n_categories), 0), 6)
+         AS norm_entropy,
+       ROUND(sq / (CAST(n_rows AS DOUBLE) * n_rows), 6) AS hhi,
+       ROUND(m * 1.0 / n_rows, 6) AS top_share
+FROM a""",
+)
+def source_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition diversity headline over the source column:
+    Shannon entropy (raw + normalized), HHI concentration, top share —
+    one scan, entropy folded into a single aggregate via
+    H = log2(T) - Σ c·log2(c)/T (no per-row share column, no second
+    scan). Local-only tail by choice (gotcha 26)."""
+    from dataprofiler_spark.operators.profile import category_diversity
+
+    return category_diversity(load_table(spark, sf_dir, "documents"), "source")
+
+
+@register(
+    "encoding_quality_documents",
+    """WITH f AS (SELECT source,
+    length(text) - length(regexp_replace(text, '�', '', 'g')) AS n_repl,
+    length(text) - length(regexp_replace(text,
+      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS n_ctrl,
+    len(regexp_extract_all(text,
+      'Ã[\\x{0080}-\\x{00BF}]|â€|Â\\x{00A0}')) AS n_moji,
+    ROUND(length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g')) * 1.0
+      / NULLIF(length(text), 0), 4) AS nar
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repl_docs,
+  CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS control_docs,
+  CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS mojibake_docs,
+  ROUND(AVG(nar), 4) AS avg_non_ascii_ratio,
+  ROUND(MAX(nar), 4) AS max_non_ascii_ratio
+FROM f GROUP BY source""",
+)
+def encoding_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health rollup (replacement chars, control
+    chars, mojibake artifacts, non-ASCII ratio) — the decoder-damage
+    monitor that localizes a corrupt upstream to its source. Pure
+    regexp projection + one hash aggregate; Java regex and DuckDB RE2
+    read every pattern identically (both support \\x{hhhh}). The ASCII
+    fixture legitimately reads all-zero damage counts; the messy-text
+    behavior is pinned by unit tests (test_textstats). Local-only tail
+    by choice (gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import encoding_summary
+
+    return encoding_summary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cross_source_overlap_documents",
+    """WITH w AS (SELECT source, list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x <> '') AS ws FROM documents),
+sh AS (SELECT source, CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+         generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+       ELSE [array_to_string(ws, ' ')] END AS ss FROM w),
+ex AS (SELECT DISTINCT src, s
+       FROM (SELECT source AS src, unnest(ss) AS s FROM sh)),
+per AS (SELECT src, COUNT(*) AS n FROM ex GROUP BY src),
+common AS (SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_common
+           FROM ex a JOIN ex b ON a.s = b.s AND a.src < b.src
+           GROUP BY a.src, b.src)
+SELECT source_a, source_b, CAST(pa.n AS BIGINT) AS n_a,
+       CAST(pb.n AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+       ROUND(n_common * 1.0 / (pa.n + pb.n - n_common), 6) AS jaccard,
+       ROUND(n_common * 1.0 / LEAST(pa.n, pb.n), 6) AS overlap_coef
+FROM common JOIN per pa ON pa.src = source_a
+JOIN per pb ON pb.src = source_b""",
+)
+def cross_source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-shingle overlap between sources (Jaccard +
+    overlap coefficient): localizes WHICH sources leak into which.
+    Engine decides on xxhash64 digests, oracle replays on shingle text
+    (boilerplate-oracle convention); the oracle self-join is fine at
+    sf0.01 while the engine uses the S-bounded collect_set expansion.
+    Local-only tail by choice (gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dup_group_size_histogram_documents",
+    """WITH g AS (SELECT text, COUNT(*) AS group_size FROM documents GROUP BY text),
+h AS (SELECT group_size, COUNT(*) AS n_groups FROM g GROUP BY group_size),
+t AS (SELECT SUM(group_size * n_groups) AS tot FROM h)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(group_size * n_groups AS BIGINT) AS n_docs,
+       ROUND(group_size * n_groups * 1.0 / tot, 6) AS frac_docs
+FROM h CROSS JOIN t""",
+)
+def dup_group_size_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group-size distribution over document text — the
+    scraper-loop / mirror-join early-warning rollup (digest hash-agg →
+    tiny histogram agg; no per-doc output). Local-only tail by choice
+    (gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import duplicate_group_size_histogram
+
+    return duplicate_group_size_histogram(
+        load_table(spark, sf_dir, "documents"), ["text"]
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-harvest ordering (CLAUDE.md gotchas 20/26; VERDICT r4 action 1).
 #
 # The driver evaluates registry entries IN REGISTRATION ORDER under a run
 # budget (exactly HARVEST_BUDGET entries in rounds 2-4) — entries past the
 # window get NO external CORRECTNESS row no matter how good their local
-# parity is. The ROUND-5 window: (1) the 19 entries with no driver row
-# through round 4 (the round-4 data-selection surface), then (2) the 20
-# previously-green entries whose OPERATOR OR ORACLE changed this round
-# (whitespace-robust tokenization touched every word-level query — their
-# r1-r4 green rows no longer attest the current code), then (3) 11 §2-core
-# flagships. Everything stays in the registry — the local parity suite
-# (tests/test_oracle_parity.py) still checks all 105 every round; this
+# parity is. The ROUND-5 window: (1) the 24 entries with no driver row —
+# the 19-entry round-4 data-selection backlog plus 5 of the 6 new round-5
+# entries — then (2) the 23 previously-green entries whose OPERATOR OR
+# ORACLE changed this round (whitespace-robust tokenization touched every
+# word-level query; the gotcha-43 explode_outer sweep changed three more
+# plans late in the round), then (3) the 3 north-rule core flagships.
+# Everything stays in the registry — the local parity suite
+# (tests/test_oracle_parity.py) still checks all 111 every round; this
 # list only decides who gets the DRIVER's adjudication.
 # test_registry_budget.py pins the invariants (window == declared list,
 # exact budget, no dupes, never-harvested lead) so a new entry must
@@ -3704,6 +3820,14 @@ _NEVER_HARVESTED = [
     "token_budget_selection_documents",
     "dsir_selection_documents",
     "threshold_sweep_documents",
+    # round-5 additions, driver-adjudicated for the first time
+    "packing_sweep_documents",
+    "bigram_logprob_documents",
+    "source_diversity_documents",
+    "encoding_quality_documents",
+    "cross_source_overlap_documents",
+    # dup_group_size_histogram_documents stays local-tail (slot traded to
+    # keep embedding_near_dup_lsh's changed plan driver-adjudicated)
 ]
 
 # (2) green in r1-r4 but CHANGED this round: every word-level operator and
@@ -3731,21 +3855,24 @@ _CHANGED_THIS_ROUND = [
     "batch_padding_documents",
     "curation_funnel_documents",
     "corpus_curation_summary",
+    # late round-5: the gotcha-43 explode_outer sweep changed these
+    # operators' plans after their r4 driver rows were taken (every other
+    # swept operator is already in a window segment above)
+    "paragraph_dedup_documents",
+    "semantic_dedup_embeddings",
+    "embedding_near_dup_lsh",
 ]
 
-# (3) §2-core flagships re-adjudicated every round
+# (3) §2-core flagships re-adjudicated every round. Slimmed to the
+# north-rule trio late round-5 to make room for the gotcha-43-changed
+# entries: the other former refill entries (profile_lineitem,
+# compare_envs, psi/histogram, knn/ivf, incremental merge) are UNCHANGED
+# since their green r4 rows, so dropping them from the window loses no
+# attestation, unlike dropping a changed entry.
 _CORE_REFILL = [
     "profile_documents",
-    "profile_lineitem_by_returnflag",
     "uniqueness_duplicates_orders_custkey",
     "ri_orphans_orders_customer",
-    "profile_compare_envs",
-    "psi_chi2_nchars_split",
-    "histogram_n_chars",
-    "knn_cosine_top10",
-    "ivf_topk_full_probe",
-    "embedding_near_dup_lsh",
-    "incremental_profile_merge_documents",
 ]
 
 _HARVEST_FIRST = _NEVER_HARVESTED + _CHANGED_THIS_ROUND + _CORE_REFILL

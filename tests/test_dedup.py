@@ -601,3 +601,66 @@ def test_build_digest_bloom_bit_layout(spark):
             # Spark longs are signed 64-bit
             want[pos // 64] = w - (1 << 64) if w >= (1 << 63) else w
     assert got == want
+
+
+def test_cross_source_overlap_hand_computed(spark):
+    """Three sources with one known shared shingle: only the overlapping
+    pair appears, with exact distinct-shingle counts and Jaccard /
+    overlap coefficients."""
+    from dataprofiler_spark.operators.dedup import cross_source_overlap
+
+    rows = [
+        (1, "A", "a b c d"),  # shingles: "a b c", "b c d"
+        (2, "B", "a b c x"),  # shingles: "a b c", "b c x"
+        (3, "C", "z z z q"),  # shingles: "z z z", "z z q" — no overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cross_source_overlap(df)
+    pairs = {(r.source_a, r.source_b): r for r in out.collect()}
+    assert set(pairs) == {("A", "B")}
+    r = pairs[("A", "B")]
+    assert (r.n_a, r.n_b, r.n_common) == (2, 2, 1)
+    assert r.jaccard == round(1 / 3, 6)
+    assert r.overlap_coef == 0.5
+
+
+def test_cross_source_overlap_whitespace_robust(spark):
+    """Formatting (newlines/tabs) must not change the overlap matrix —
+    the shingles ride the shared whitespace-robust tokenizer."""
+    from dataprofiler_spark.operators.dedup import cross_source_overlap
+
+    clean = spark.createDataFrame(
+        [(1, "A", "a b c d"), (2, "B", "a b c d")],
+        "doc_id long, source string, text string",
+    )
+    messy = spark.createDataFrame(
+        [(1, "A", "a\nb\tc  d"), (2, "B", "a b\n\nc d")],
+        "doc_id long, source string, text string",
+    )
+    a = cross_source_overlap(clean).collect()[0]
+    b = cross_source_overlap(messy).collect()[0]
+    assert (a.n_a, a.n_b, a.n_common, a.jaccard) == (
+        b.n_a,
+        b.n_b,
+        b.n_common,
+        b.jaccard,
+    )
+    assert a.jaccard == 1.0
+
+
+def test_duplicate_group_size_histogram(spark):
+    """[x,x,x,y,y,z] → one size-3 group, one size-2, one size-1, with
+    corpus shares summing to 1."""
+    from dataprofiler_spark.operators.dedup import duplicate_group_size_histogram
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["x", "x", "x", "y", "y", "z"])],
+        "doc_id long, text string",
+    )
+    rows = {r.group_size: r for r in duplicate_group_size_histogram(df).collect()}
+    assert {k: (rows[k].n_groups, rows[k].n_docs) for k in rows} == {
+        3: (1, 3),
+        2: (1, 2),
+        1: (1, 1),
+    }
+    assert abs(sum(r.frac_docs for r in rows.values()) - 1.0) < 1e-6

@@ -178,3 +178,23 @@ def test_frequent_values_one_scan_two_stage(spark):
     # ever sorts a column's full distinct-value set
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_category_diversity_hand_computed(spark):
+    """[a×4, b×2, c×2]: H = 1.5 bits, norm = 1.5/log2(3), HHI = 0.375,
+    top share = 0.5; a single-category column gets NULL norm_entropy."""
+    from dataprofiler_spark.operators.profile import category_diversity
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["a"] * 4 + ["b"] * 2 + ["c"] * 2], "source string"
+    )
+    r = category_diversity(df, "source").collect()[0]
+    assert (r.n_categories, r.n_rows) == (3, 8)
+    assert r.entropy_bits == 1.5
+    assert r.norm_entropy == round(1.5 / 1.584962500721156, 6)
+    assert r.hhi == 0.375
+    assert r.top_share == 0.5
+
+    one = spark.createDataFrame([("a",), ("a",)], "source string")
+    r1 = category_diversity(one, "source").collect()[0]
+    assert r1.entropy_bits == 0.0 and r1.norm_entropy is None

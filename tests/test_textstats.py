@@ -457,3 +457,47 @@ def test_bigram_logprob_ranks_shuffled_text_lower(spark):
     df = spark.createDataFrame(natural + scrambled, "doc_id bigint, text string")
     out = {r.doc_id: r.mean_logprob for r in bigram_logprob(df).collect()}
     assert out[100] < out[0]
+
+
+def test_encoding_quality_messy(spark):
+    """Damage counters on deliberately corrupted docs: U+FFFD, raw control
+    chars (but NOT \t \n \r), the Latin-1-double-decode mojibake family,
+    and the non-ASCII ratio with its empty-doc NULL guard."""
+    from dataprofiler_spark.operators.textstats import (
+        encoding_quality,
+        encoding_summary,
+    )
+
+    rows = [
+        (1, "s1", "clean ascii text"),
+        (2, "s1", "bad � marker � twice"),
+        (3, "s1", "ctrl\x01here\x02"),
+        (4, "s1", "tab\tand\nnewline fine\r"),
+        (5, "s2", "mojibake Ã© and â€™ wreck"),
+        (6, "s2", "naïve café"),
+        (7, "s2", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in encoding_quality(df).collect()}
+    assert out[1].n_replacement == 0 and out[1].n_control == 0
+    assert out[1].n_mojibake == 0 and out[1].n_non_ascii == 0
+    assert out[2].n_replacement == 2
+    assert out[3].n_control == 2
+    assert out[4].n_control == 0  # \t \n \r are legitimate whitespace
+    assert out[5].n_mojibake == 2  # 'Ã©' + 'â€' prefix of 'â€™'
+    assert out[6].n_non_ascii == 2 and out[6].n_mojibake == 0
+    assert out[7].non_ascii_ratio is None  # empty doc: NULL, not /0 error
+    summ = {r.source: r for r in encoding_summary(df).collect()}
+    assert summ["s1"].repl_docs == 1 and summ["s1"].control_docs == 1
+    assert summ["s2"].mojibake_docs == 1 and summ["s2"].n_docs == 3
+
+
+def test_encoding_quality_clean_corpus_all_zero(spark):
+    """The ASCII fixture must read zero damage everywhere — the parity
+    entry's all-zero result is the CORRECT answer, not a vacuous one."""
+    from dataprofiler_spark.operators.textstats import encoding_summary
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for r in encoding_summary(docs).collect():
+        assert r.repl_docs == 0 and r.control_docs == 0 and r.mojibake_docs == 0
+        assert r.avg_non_ascii_ratio == 0.0
