@@ -31,7 +31,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from dataprofiler_spark import get_spark  # noqa: E402
 from dataprofiler_spark.operators.dedup import (  # noqa: E402
+    cluster_survivors,
     content_hash,
+    cross_source_overlap,
     dedup_against_history_bloom,
     dedup_clusters,
     lsh_candidate_pairs,
@@ -73,6 +75,7 @@ from dataprofiler_spark.operators.textstats import (  # noqa: E402
     hashed_linear_score,
     threshold_sweep,
     token_count,
+    tokenizer_fertility,
     unigram_logprob,
 )
 from dataprofiler_spark.operators.urls import url_dedup  # noqa: E402
@@ -322,6 +325,17 @@ def main() -> None:
             ).collect(),
             "bigram_logprob": lambda: bigram_logprob(dc)
             .agg(F.avg("mean_logprob"), F.count("*")).collect(),
+            # late round-5 composition ops: inter-source leakage matrix
+            # (distinct (source, digest) -> S-bounded pair expansion),
+            # quality-priority survivorship (LSH + CC + skew-safe top-1),
+            # per-source fertility (doc totals ride the word explode)
+            "cross_source_overlap": lambda: cross_source_overlap(dc).collect(),
+            "cluster_survivors": lambda: cluster_survivors(
+                dedup_clusters(dc, "doc_id", num_hashes=16, bands=8),
+                dc.select("doc_id", F.col("n_chars").alias("priority")),
+                "priority",
+            ).count(),
+            "fertility_by_source": lambda: tokenizer_fertility(dc).collect(),
         }
 
     def _paragraph_dedup(dc):

@@ -1421,3 +1421,52 @@ def duplicate_group_size_histogram(
         "n_docs",
         F.round(F.col("n_docs") / F.col("__t"), 6).alias("frac_docs"),
     )
+
+
+def cluster_survivors(
+    assignments: DataFrame,
+    scores: DataFrame,
+    priority_col: str,
+    key_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Quality-aware survivor selection over a near-dup clustering:
+    re-flag each cluster's survivor as the member with the HIGHEST
+    `priority_col` (ties broken by min key, deterministic) instead of
+    dedup_clusters' arbitrary min-key member. This is how production
+    curation actually dedups — keep the longest / highest-classifier-
+    score / most-recent copy, drop the mirrors — the score being
+    whatever quality_score / hashed_linear_score / bigram fluency the
+    pipeline already computed.
+
+    `assignments` is a (node, component) frame (dedup_clusters /
+    connected-components output); `scores` maps key_col → priority_col
+    for at least every clustered node (inner join: unscored nodes drop,
+    by design — score first, dedup second).
+
+    Scale shape: one narrow join attaches priorities (clustered nodes
+    only — a small fraction of the corpus), then the skew-safe
+    two-stage top-1-per-group (plans/windows.py: map-local pre-trim
+    bounds every sort group by the scan split — a single rank window
+    would funnel a mega-cluster into one task). The survivor frame
+    joins back on the cluster key, shuffle-side and narrow; the scored
+    frame is localCheckpointed once for its two consumers (gotchas
+    16/24)."""
+    from dataprofiler_spark.plans.windows import top_rows_per_group
+
+    scored = assignments.join(
+        scores.select(
+            F.col(key_col).alias(node_col), F.col(priority_col).alias("__cs_p")
+        ),
+        node_col,
+    ).localCheckpoint(eager=False)
+    surv = top_rows_per_group(
+        scored, [cluster_col], [F.desc("__cs_p"), F.asc(node_col)], 1
+    ).select(F.col(cluster_col), F.col(node_col).alias("__cs_surv"))
+    return scored.join(surv, cluster_col).select(
+        node_col,
+        cluster_col,
+        F.col("__cs_p").alias(priority_col),
+        (F.col(node_col) == F.col("__cs_surv")).alias("is_survivor"),
+    )

@@ -823,3 +823,44 @@ def encoding_summary(
         F.round(F.avg("non_ascii_ratio"), 4).alias("avg_non_ascii_ratio"),
         F.round(F.max("non_ascii_ratio"), 4).alias("max_non_ascii_ratio"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source tokenizer-fertility panel: document/word/char totals,
+    the BPE-ish token estimate, and the chars-per-word / chars-per-token
+    / words-per-doc ratios — the budgeting numbers (context-window cost,
+    token-budget planning) that differ sharply across sources (code vs
+    prose vs CJK) and drift when a source's formatting changes.
+
+    Scale shape: ONE scan, ONE hash aggregate. posexplode_outer carries
+    every doc (empty docs emit one NULL word row) so doc counts and char
+    totals ride the SAME exploded stream as the word stats — pos 0 / NULL
+    marks each document's first row, so no second aggregate or join; the
+    per-word ceil(len/4) sums in codegen instead of a per-row HOF fold
+    (gotcha 15). Ratios NULL (not /0) for wordless sources."""
+    staged = df.select(
+        F.col(group_col),
+        F.length(F.col(text_col)).alias("__tf_nc"),
+        F.posexplode_outer(words(F.col(text_col))).alias("__tf_pos", "__tf_w"),
+    )
+    first = F.col("__tf_pos").isNull() | (F.col("__tf_pos") == 0)
+    out = staged.groupBy(F.col(group_col)).agg(
+        F.sum(first.cast("long")).alias("n_docs"),
+        F.sum(F.when(first, F.col("__tf_nc"))).alias("total_chars"),
+        F.count("__tf_w").alias("total_words"),
+        F.sum(F.ceil(F.length("__tf_w") / 4.0)).alias("est_bpe_tokens"),
+    )
+    nw = F.nullif(F.col("total_words"), F.lit(0))
+    return out.select(
+        group_col,
+        "n_docs",
+        "total_chars",
+        "total_words",
+        "est_bpe_tokens",
+        F.round(F.col("total_chars") / nw, 4).alias("chars_per_word"),
+        F.round(F.col("total_chars") / F.nullif(F.col("est_bpe_tokens"), F.lit(0)), 4)
+        .alias("chars_per_token"),
+        F.round(F.col("total_words") / F.col("n_docs"), 4).alias("words_per_doc"),
+    )

@@ -334,6 +334,52 @@ def dedup_clusters_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, "doc_id", num_hashes=16, bands=8)
 
 
+def _cluster_survivors_sql() -> str:
+    """Same bit-exact LSH + reachability components as the clusters
+    oracle, then the quality-priority survivor: highest n_chars per
+    component, ties by min node (ROW_NUMBER replay of the engine's
+    skew-safe top-1-per-group)."""
+    lsh = _lsh_pairs_sql()
+    ctes = lsh.split("WITH", 1)[1].rsplit("SELECT DISTINCT", 1)[0].rstrip().rstrip(",")
+    return f"""WITH RECURSIVE {ctes},
+cand AS (SELECT DISTINCT a.doc_id AS key1, b.doc_id AS key2
+         FROM bands a JOIN bands b USING (band_id, band_hash)
+         WHERE a.doc_id < b.doc_id),
+edges AS (SELECT key1 AS a, key2 AS b FROM cand UNION SELECT key2, key1 FROM cand),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+scored AS (SELECT c.node, c.component, d.n_chars AS priority
+           FROM comp c JOIN documents d ON d.doc_id = c.node),
+ranked AS (SELECT node, component, priority,
+                  ROW_NUMBER() OVER (PARTITION BY component
+                                     ORDER BY priority DESC, node) AS rn
+           FROM scored)
+SELECT node, component, CAST(priority AS BIGINT) AS priority,
+       rn = 1 AS is_survivor
+FROM ranked"""
+
+
+@register("cluster_survivors_quality", _cluster_survivors_sql())
+def cluster_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority survivorship over the near-dup clusters: keep
+    each cluster's LONGEST member (n_chars as the stand-in for a quality
+    score) instead of the arbitrary min-key member — the production
+    dedup policy. Skew-safe top-1-per-group, no single-task rank window.
+    Registered adjacent to the clusters entries whose oracle it extends
+    (gotcha 20: heavy oracles must not sit at the registry tail)."""
+    from dataprofiler_spark.operators.dedup import cluster_survivors, dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "doc_id", num_hashes=16, bands=8)
+    return cluster_survivors(
+        clusters, docs.select("doc_id", F.col("n_chars").alias("priority")), "priority"
+    )
+
+
 def _lev_pairs_sql() -> str:
     # reuse the LSH candidate SQL as a CTE, rescore with exact levenshtein.
     # levenshtein() is evaluated ONCE per candidate (scored subquery), and
@@ -3774,6 +3820,35 @@ def dup_group_size_histogram_documents(spark: SparkSession, sf_dir: str) -> Data
     return duplicate_group_size_histogram(
         load_table(spark, sf_dir, "documents"), ["text"]
     )
+
+
+@register(
+    "fertility_by_source",
+    """WITH w AS (SELECT source, length(text) AS nc,
+                  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+           FROM documents),
+f AS (SELECT source, nc, len(ws) AS nw,
+             list_sum(list_transform(ws,
+               x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS toks
+      FROM w)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(nw) AS BIGINT) AS total_words,
+       CAST(SUM(toks) AS BIGINT) AS est_bpe_tokens,
+       ROUND(SUM(nc) * 1.0 / NULLIF(SUM(nw), 0), 4) AS chars_per_word,
+       ROUND(SUM(nc) * 1.0 / NULLIF(SUM(toks), 0), 4) AS chars_per_token,
+       ROUND(SUM(nw) * 1.0 / COUNT(*), 4) AS words_per_doc
+FROM f GROUP BY source""",
+)
+def fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility panel by source (docs/words/chars/BPE-estimate
+    + the budgeting ratios) — one scan, one aggregate; doc totals ride
+    the word explode via posexplode_outer first-row tagging. Local-only
+    tail by choice (gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -664,3 +664,27 @@ def test_duplicate_group_size_histogram(spark):
         1: (1, 1),
     }
     assert abs(sum(r.frac_docs for r in rows.values()) - 1.0) < 1e-6
+
+
+def test_cluster_survivors_priority_and_ties(spark):
+    """The survivor is the highest-priority member; equal priorities fall
+    back to the min key; non-clustered (absent) and unscored nodes drop."""
+    from dataprofiler_spark.operators.dedup import cluster_survivors
+
+    assignments = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2)],
+        "node long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(10, 5.0), (11, 9.0), (12, 9.0), (20, 3.0), (21, 3.0), (99, 100.0)],
+        "doc_id long, priority double",
+    )
+    out = {
+        r.node: r
+        for r in cluster_survivors(assignments, scores, "priority").collect()
+    }
+    assert set(out) == {10, 11, 12, 20, 21}  # 99 is not clustered
+    survivors = {n for n, r in out.items() if r.is_survivor}
+    # cluster 1: 11 and 12 tie at 9.0 -> min key 11; cluster 2: tie -> 20
+    assert survivors == {11, 20}
+    assert out[10].priority == 5.0 and out[11].component == 1

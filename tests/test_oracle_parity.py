@@ -22,6 +22,7 @@ HEAVY = {
     "packed_sequences_documents",
     "dedup_clusters_documents",
     "dedup_clusters_string_ids",
+    "cluster_survivors_quality",
 }
 
 CASES = sorted(set(queries()) & set(oracle_sql()))

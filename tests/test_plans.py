@@ -596,3 +596,28 @@ def test_cross_source_overlap_one_scan_broadcast_counts(spark):
     p = plan_of(out)
     assert p.count("BroadcastHashJoin") == 2  # n_a and n_b count joins
     assert "SortMergeJoin" not in p
+
+
+def test_fertility_and_survivors_plan_shapes(spark):
+    """tokenizer_fertility is ONE scan + one aggregate (doc totals ride
+    the word explode, no join-back); cluster_survivors ranks via the
+    skew-safe two-stage window — no SinglePartition stage, no Python."""
+    from dataprofiler_spark.operators.dedup import cluster_survivors
+    from dataprofiler_spark.operators.textstats import tokenizer_fertility
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(tokenizer_fertility(docs))
+    assert p.count("Scan parquet") == 1
+    assert "EvalPython" not in p and "SinglePartition" not in p
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, component long"
+    )
+    scores = docs.select("doc_id", F.col("n_chars").alias("priority"))
+    s = plan_of(cluster_survivors(assignments, scores, "priority"))
+    assert "SinglePartition" not in s
+    assert "EvalPython" not in s
+    # both windows of the two-stage top-1 partition by the cluster key
+    # (count operator nodes, not WindowGroupLimit pushdowns — those are
+    # the rank-limit optimization and welcome)
+    assert s.count("- Window [") == 2

@@ -501,3 +501,30 @@ def test_encoding_quality_clean_corpus_all_zero(spark):
     for r in encoding_summary(docs).collect():
         assert r.repl_docs == 0 and r.control_docs == 0 and r.mojibake_docs == 0
         assert r.avg_non_ascii_ratio == 0.0
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """Doc/word/char/token totals on a hand-checkable corpus, including
+    an empty doc (counted as a doc, zero words, NULL-safe ratios)."""
+    from dataprofiler_spark.operators.textstats import tokenizer_fertility
+
+    rows = [
+        (1, "a", "hello world"),        # 11 chars, 2 words, 2+2=... ceil(5/4)*2 = 2+2
+        (2, "a", ""),                    # empty doc
+        (3, "b", "abcdefgh"),            # 8 chars, 1 word, ceil(8/4)=2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in tokenizer_fertility(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.total_chars, a.total_words) == (2, 11, 2)
+    assert a.est_bpe_tokens == 4  # ceil(5/4) = 2 per word
+    assert a.words_per_doc == 1.0
+    assert (b.n_docs, b.total_chars, b.total_words, b.est_bpe_tokens) == (1, 8, 1, 2)
+    assert b.chars_per_token == 4.0
+
+    empty_only = spark.createDataFrame(
+        [(1, "x", " ")], "doc_id long, source string, text string"
+    )
+    r = tokenizer_fertility(empty_only).collect()[0]
+    assert r.n_docs == 1 and r.total_words == 0
+    assert r.chars_per_word is None  # nullif, not a /0 ANSI error
