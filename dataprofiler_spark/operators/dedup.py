@@ -271,24 +271,17 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
     key_col: str,
-    text_col: str = "text",
-    shingle_k: int = 3,
-    threshold: float = 0.2,
-    max_shingle_doc_freq: int | None = 1000,
+    text_col: str,
+    shingle_k: int,
+    max_shingle_doc_freq: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold:
-    explode distinct shingles → self-join on shingle → |∩| / (|A|+|B|-|∩|).
-
-    max_shingle_doc_freq drops shingles appearing in more than N docs
-    before the self-join — the standard guard against quadratic blowup on
-    boilerplate shingles at corpus scale. Defaulted (1000): the uncapped
-    configuration goes quadratic on boilerplate at corpus scale, so opting
-    OUT (None) must be explicit. Note the dropped hot shingles also leave
-    the |A|/|B| set sizes, so Jaccard values shift slightly vs uncapped —
-    the standard approximation trade, disclosed."""
+    """Shared skeleton of the exact set-overlap pair operators: distinct
+    k-shingles per doc → hot-shingle cap → self-join on shingle →
+    (key1, key2, i, na, nb) with i = |A∩B| and na/nb the distinct-shingle
+    set sizes. Jaccard and containment are projections over this frame."""
     words = _ws_words(F.col(text_col))
     sh = (
         df.select(F.col(key_col).alias("key"), words.alias("__words"))
@@ -321,16 +314,61 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("key").alias("key1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("key").alias("key2"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "key1")
-        .join(sb, "key2")
-        .select(
-            "key1",
-            "key2",
-            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(sa, "key1").join(sb, "key2")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold:
+    explode distinct shingles → self-join on shingle → |∩| / (|A|+|B|-|∩|).
+
+    max_shingle_doc_freq drops shingles appearing in more than N docs
+    before the self-join — the standard guard against quadratic blowup on
+    boilerplate shingles at corpus scale. Defaulted (1000): the uncapped
+    configuration goes quadratic on boilerplate at corpus scale, so opting
+    OUT (None) must be explicit. Note the dropped hot shingles also leave
+    the |A|/|B| set sizes, so Jaccard values shift slightly vs uncapped —
+    the standard approximation trade, disclosed."""
+    base = _shingle_pair_counts(df, key_col, text_col, shingle_k, max_shingle_doc_freq)
+    return base.select(
+        "key1",
+        "key2",
+        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (Broder):
+    C = |A∩B| / min(|A|, |B|), with the directional ratios alongside.
+    Jaccard is blind to supersets — a document quoted whole inside a page
+    10× its length scores jaccard ≤ ~0.1 but containment 1.0 — so this is
+    the operator for quote-expansion chains, syndicated articles wrapped
+    in differing chrome, and partial mirrors. Same capped one-scan shape
+    as ngram_jaccard_pairs (shared skeleton; the hot-shingle cap bounds
+    the quadratic identically)."""
+    base = _shingle_pair_counts(df, key_col, text_col, shingle_k, max_shingle_doc_freq)
+    return base.select(
+        "key1",
+        "key2",
+        F.round(F.col("i") / F.col("na"), 6).alias("containment_1"),
+        F.round(F.col("i") / F.col("nb"), 6).alias("containment_2"),
+        F.round(F.col("i") / F.least("na", "nb"), 6).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
 
 
 def _token_long_hash(w: Column) -> Column:

@@ -451,3 +451,47 @@ def dsir_resample(
     gumbel = -F.log(-F.log(u))
     scored = df.withColumn("__dsir_g", F.round(F.col(logw_col) + gumbel, 6))
     return scored.orderBy(F.desc("__dsir_g"), key.asc()).limit(k).drop("__dsir_g")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    content_cols: tuple[str, ...] = ("text",),
+    key_col: str = "doc_id",
+    clusters: DataFrame | None = None,
+    node_col: str = "node",
+    cluster_col: str = "component",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/eval splits that CANNOT leak duplicates across the boundary:
+    split membership keys on CONTENT identity, not the row id — an
+    id-keyed 80/10/10 split scatters byte-identical copies across
+    train and test, silently inflating eval. Exact mode (clusters=None)
+    keys on an md5 content digest, so exact copies land in one split by
+    construction. Pass a near-dup `clusters` frame (dedup_clusters /
+    connected-components output) and clustered docs key on their cluster
+    label instead — near-duplicates stay together too; unclustered docs
+    fall back to their digest.
+
+    The digest is md5 (not xxhash64) so split membership is replayable
+    in any SQL engine — auditable across engines like hash_split.
+
+    Scale shape: the digest is a map-side projection; the optional
+    cluster attach is ONE narrow left join on the key (clusters hold
+    only dup members — a small fraction of the corpus); membership is
+    then hash_split over the derived key, pure map-side."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols
+    ]
+    keyed = df.withColumn("__ls_k", F.md5(F.concat_ws("\x1f", *parts)))
+    if clusters is not None:
+        lab = clusters.select(
+            F.col(node_col).alias(key_col),
+            F.col(cluster_col).cast("string").alias("__ls_c"),
+        )
+        keyed = keyed.join(lab, key_col, "left").withColumn(
+            "__ls_k",
+            F.coalesce(F.concat(F.lit("c:"), F.col("__ls_c")), F.col("__ls_k")),
+        ).drop("__ls_c")
+    return hash_split(keyed, "__ls_k", splits, salt, out_col).drop("__ls_k")

@@ -454,6 +454,37 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "ngram_containment_pairs_documents",
+    """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws FROM documents),
+sh_all AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(
+        generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+       ELSE [array_to_string(ws, ' ')] END) AS s FROM w),
+hot AS (SELECT s FROM sh_all GROUP BY s HAVING COUNT(*) > 1000),
+sh AS (SELECT * FROM sh_all WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS key1, b.doc_id AS key2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT key1, key2,
+       ROUND(i * 1.0 / sa.n, 6) AS containment_1,
+       ROUND(i * 1.0 / sb.n, 6) AS containment_2,
+       ROUND(i * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = key1 JOIN sizes sb ON sb.doc_id = key2
+WHERE i * 1.0 / LEAST(sa.n, sb.n) >= 0.5""",
+)
+def ngram_containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (Broder containment) near-dup pairs — supersets and
+    partial mirrors that Jaccard under-scores. Shares the capped
+    pair-count skeleton with the Jaccard entry; only the projection and
+    threshold differ. Local-only tail by choice (gotcha 26)."""
+    from dataprofiler_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "doc_id", threshold=0.5, max_shingle_doc_freq=1000
+    )
+
+
+@register(
     "dedup_exact_prefix_groups",
     """SELECT md5(substr(text, 1, 20)) AS text_hash, COUNT(*) AS copies,
   MIN(doc_id) AS min_key
@@ -3819,6 +3850,41 @@ def dup_group_size_histogram_documents(spark: SparkSession, sf_dir: str) -> Data
 
     return duplicate_group_size_histogram(
         load_table(spark, sf_dir, "documents"), ["text"]
+    )
+
+
+@register(
+    "leakage_safe_split_documents",
+    """WITH k AS (SELECT doc_id, md5(COALESCE(text, '')) AS dg FROM documents),
+b AS (SELECT doc_id, dg,
+             CAST('0x' || substr(md5(dg), 1, 15) AS BIGINT) % 10000 AS bucket
+      FROM k),
+s AS (SELECT doc_id, dg,
+  CASE WHEN bucket < 8000 THEN 'train'
+       WHEN bucket < 9000 THEN 'val'
+       WHEN bucket < 10000 THEN 'test' END AS split
+  FROM b)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_digests
+FROM s GROUP BY split""",
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed 80/10/10 split: membership hashes the md5 CONTENT
+    digest, not the row id, so byte-identical duplicates cannot straddle
+    train/test (the classic eval-inflation leak). Rollup per split with
+    distinct-digest counts; the oracle replays the digest+bucket math
+    bit-exactly. Local-only tail by choice (gotcha 26)."""
+    from dataprofiler_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, content_cols=("text",)
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct(
+            F.md5(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("n_digests"),
     )
 
 

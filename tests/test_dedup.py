@@ -688,3 +688,25 @@ def test_cluster_survivors_priority_and_ties(spark):
     # cluster 1: 11 and 12 tie at 9.0 -> min key 11; cluster 2: tie -> 20
     assert survivors == {11, 20}
     assert out[10].priority == 5.0 and out[11].component == 1
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment 1.0
+    while Jaccard stays below any useful threshold — the case the
+    asymmetric operator exists for."""
+    from dataprofiler_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = ngram_containment_pairs(df, "doc_id", threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r.containment == 1.0  # every shingle of doc 1 is inside doc 2
+    assert r.containment_1 == 1.0 and r.containment_2 < 0.1
+    jac = ngram_jaccard_pairs(df, "doc_id", threshold=0.2).collect()
+    assert jac == []  # Jaccard misses the superset at any sane threshold

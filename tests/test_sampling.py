@@ -299,3 +299,48 @@ def test_dsir_empty_target_and_validation(spark):
         dsir_log_ratios(empty, raw, alpha=0.0)
     with pytest.raises(ValueError):
         dsir_log_ratios(empty, raw, n_buckets=1)
+
+
+def test_leakage_safe_split_exact_dups_stay_together(spark):
+    """Byte-identical copies (different ids) always land in one split; an
+    id-keyed split provably scatters them on this fixture."""
+    from dataprofiler_spark.operators.sampling import hash_split, leakage_safe_split
+
+    texts = [f"document body number {i % 40}" for i in range(400)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = leakage_safe_split(df, {"train": 0.5, "test": 0.5})
+    per_text = (
+        out.groupBy("text")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    assert per_text == 1  # no text spans two splits
+    naive = hash_split(df, "doc_id", {"train": 0.5, "test": 0.5})
+    leaky = (
+        naive.groupBy("text")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leaky > 0  # the failure mode the operator exists to prevent
+
+
+def test_leakage_safe_split_cluster_mode(spark):
+    """With a near-dup clusters frame, clustered docs key on the cluster
+    label (near-dups stay together even when their text differs);
+    unclustered docs fall back to their own digest."""
+    from dataprofiler_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(1, "alpha v1"), (2, "alpha v2"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "node long, component long")
+    out = {r.doc_id: r.split for r in leakage_safe_split(
+        df, {"train": 0.5, "test": 0.5}, clusters=clusters
+    ).collect()}
+    assert out[1] == out[2]  # same cluster -> same split, text differs
+    assert set(out) == {1, 2, 3}
