@@ -282,28 +282,33 @@ def _shingle_pair_counts(
     k-shingles per doc → hot-shingle cap → self-join on shingle →
     (key1, key2, i, na, nb) with i = |A∩B| and na/nb the distinct-shingle
     set sizes. Jaccard and containment are projections over this frame."""
+    # The shingle data feeds the hot-filter, the size aggregate AND both
+    # self-join sides. What gets localCheckpointed is the shingle-ARRAY
+    # frame — one row per document — never the exploded stream: at 2M
+    # docs materializing the 56M-row explode cost 135 s where recomputing
+    # it from the cached arrays costs a fraction of that (gotcha 36, same
+    # redesign as boilerplate_ngram_stats). Eager, because the hot set
+    # re-enters as a BROADCAST and concurrent broadcast jobs race a lazy
+    # checkpoint into double execution (gotcha 44 / cross_source_overlap).
     words = _ws_words(F.col(text_col))
-    sh = (
-        df.select(F.col(key_col).alias("key"), words.alias("__words"))
-        .select("key", F.explode_outer(word_shingles(F.col("__words"), shingle_k, pre_split=True)).alias("s"))  # gotcha 43; shingles never empty
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        word_shingles(words, shingle_k, pre_split=True).alias("__sh"),
+    ).localCheckpoint(eager=True)
+    sh = staged.select(
+        "key", F.explode_outer("__sh").alias("s")  # gotcha 43; never empty
     )
-    # the shingle frame feeds the hot-filter, the size aggregate AND both
-    # self-join sides: without a checkpoint each consumer re-executes the
-    # corpus scan + shingle explode (4 scans of the corpus at scale, one
-    # of them twice through the split pipeline). localCheckpoint
-    # materializes shingles once; blocks are freed when the frame drops
-    # (gotchas 16/24). Measured 1.6x at sf0.1; at 100 TB it is 3 corpus
-    # scans avoided.
     if max_shingle_doc_freq is not None:
-        sh = sh.localCheckpoint(eager=False)
+        # the hot set is small (boilerplate vocabulary) — checkpoint it
+        # eagerly so its aggregate runs once, not once per broadcast copy
         hot = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") > max_shingle_doc_freq)
             .select("s")
+            .localCheckpoint(eager=True)
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     other = sh.select(F.col("key").alias("key2"), "s")
     inter = (

@@ -417,14 +417,20 @@ def boilerplate_ngram_stats(
     Returns (key_col, n_shingles, n_boilerplate, boilerplate_frac) for
     every input document (frac NULL when the document has no shingles).
 
-    Scale shape: ONE corpus scan — the per-doc shingle count rides the
-    exploded rows (size computed before the explode, the
-    contamination_check trick), and every document emits at least one
-    shingle (whole-text fallback), so no second scan / left join is
-    needed to keep empty docs. Shingles travel as 64-bit digests, never
-    text (gotcha 9); the doc-frequency aggregate map-side combines; the
-    exploded frame is localCheckpointed once because both the frequency
-    aggregate and the per-doc join consume it (gotchas 16/24)."""
+    Scale shape (redesigned late round 5, 2x measured at 2M docs): the
+    SHINGLE-ARRAY frame is what gets localCheckpointed — one array row
+    per document — NOT the exploded digest stream; materializing the
+    explode (28x the rows) cost 135 s against ~45 s to recompute it from
+    the arrays (gotcha 36: checkpoint the narrow source, re-derive the
+    explode). Both digest streams (doc-frequency aggregate, per-doc
+    probe) re-derive from the cached arrays. The per-doc count then
+    SEMI-joins the HOT set (shingles with df > threshold) instead of
+    full-joining the entire doc-frequency table — the hot set is the
+    boilerplate vocabulary, tiny on real corpora (4x measured even on a
+    worst-case all-hot fixture; shuffle-hash hint, so an adversarial hot
+    set never falls back to a sort-merge). Shingles travel as 64-bit
+    digests, never text (gotcha 9); per-doc totals come from size() on
+    the array, so empty docs survive without a carry-through column."""
     from dataprofiler_spark.operators.dedup import word_shingles
 
     # whitespace-robust tokenization with empty pseudo-tokens filtered
@@ -434,35 +440,34 @@ def boilerplate_ngram_stats(
     staged = df.select(
         F.col(key_col),
         word_shingles(words(F.col(text_col)), shingle_k, pre_split=True).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    # outer: word_shingles is never empty (whole-text fallback), and a
+    # plain explode's inferred size()>0 filter re-runs the explode
+    # argument per row (gotcha 43)
+    sh = staged.select(key_col, F.explode_outer("__sh").alias("s")).select(
+        key_col, F.xxhash64("s").alias("h")
     )
-    sh = (
-        staged.select(
-            key_col,
-            F.size("__sh").alias("n_shingles"),
-            # outer: word_shingles is never empty (whole-text fallback),
-            # and a plain explode's inferred size()>0 filter re-runs the
-            # whole shingle chain per row (gotcha 43)
-            F.explode_outer("__sh").alias("s"),
-        )
-        .select(key_col, "n_shingles", F.xxhash64("s").alias("h"))
-        .localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > df_threshold)
+        .select("h")
     )
-    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
-    return (
-        sh.join(dfreq, "h")
+    nb = (
+        sh.join(hot.hint("shuffle_hash"), "h", "left_semi")
         .groupBy(key_col)
-        .agg(
-            F.first("n_shingles").alias("n_shingles"),
-            F.sum((F.col("df_") > df_threshold).cast("long")).alias("n_boilerplate"),
-        )
-        .select(
-            key_col,
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            "n_boilerplate",
-            F.round(
-                F.col("n_boilerplate") / F.nullif(F.col("n_shingles"), F.lit(0)), 6
-            ).alias("boilerplate_frac"),
-        )
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    ns = staged.select(key_col, F.size("__sh").cast("long").alias("n_shingles"))
+    return ns.join(nb, key_col, "left").select(
+        key_col,
+        "n_shingles",
+        F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("n_boilerplate"),
+        F.round(
+            F.coalesce(F.col("__nb"), F.lit(0))
+            / F.nullif(F.col("n_shingles"), F.lit(0)),
+            6,
+        ).alias("boilerplate_frac"),
     )
 
 
