@@ -621,3 +621,31 @@ def test_fertility_and_survivors_plan_shapes(spark):
     # (count operator nodes, not WindowGroupLimit pushdowns — those are
     # the rank-limit optimization and welcome)
     assert s.count("- Window [") == 2
+
+
+def test_pair_family_single_corpus_scan(spark):
+    """After the gotcha-36 redesign, boilerplate_ngram_stats and
+    ngram_jaccard_pairs must execute their corpus scan exactly ONCE per
+    call (array-frame checkpoint; every consumer re-derives the explode
+    from the cache) — accumulator gate, the CC-test technique."""
+    from dataprofiler_spark.operators.dedup import ngram_jaccard_pairs
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    rows = [(i, f"w{i} x{i} y{i} z{i} common tail here") for i in range(6)]
+
+    for op in ("boilerplate", "jaccard"):
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.udf("string")
+        def tick(s):
+            acc.add(1)
+            return s
+
+        base = spark.createDataFrame(rows, "doc_id long, text string")
+        df = base.select("doc_id", tick("text").alias("text"))
+        if op == "boilerplate":
+            out = boilerplate_ngram_stats(df, df_threshold=2)
+        else:
+            out = ngram_jaccard_pairs(df, "doc_id", threshold=0.1)
+        out.count()
+        assert acc.value == len(rows), (op, acc.value)
