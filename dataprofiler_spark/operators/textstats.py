@@ -431,13 +431,13 @@ def boilerplate_ngram_stats(
     set never falls back to a sort-merge). Shingles travel as 64-bit
     digests, never text (gotcha 9); per-doc totals come from size() on
     the array, so empty docs survive without a carry-through column."""
-    from dataprofiler_spark.operators.dedup import word_shingles
+    from dataprofiler_spark.operators.dedup import _spread_small_input, word_shingles
 
     # whitespace-robust tokenization with empty pseudo-tokens filtered
     # BEFORE shingling (gotcha 25) so spans here are the SAME spans
     # remove_duplicated_spans removes — the stats and the acting operator
     # must agree on what is boilerplate
-    staged = df.select(
+    staged = _spread_small_input(df).select(
         F.col(key_col),
         word_shingles(words(F.col(text_col)), shingle_k, pre_split=True).alias("__sh"),
     ).localCheckpoint(eager=False)
