@@ -183,7 +183,10 @@ def minhash_band_frame(
 
     words = _ws_words(F.col(text_col))
     staged = (
-        df.select(F.col(key_col).alias("key"), words.alias("__words"))
+        # interpreted signature chain parallelizes past a few-split scan
+        # (sf0.1 one-split A/B: 2.51 -> 1.51 s; no-op at real scale)
+        _spread_small_input(df)
+        .select(F.col(key_col).alias("key"), words.alias("__words"))
         .select(
             "key",
             F.array_distinct(
@@ -690,7 +693,7 @@ def contamination_check(
     )
     if broadcast_benchmark:
         bench_shingles = F.broadcast(bench_shingles)
-    staged = corpus.select(
+    staged = _spread_small_input(corpus).select(
         F.col(key_col).alias("key"),
         word_shingles(F.col(text_col), shingle_k).alias("__sh"),
     )
@@ -824,7 +827,7 @@ def simhash_near_dup_pairs(
     word). The explode shuffle moves (key, 60 ints) partial-agg rows, not
     words. Memory stays flat however long the documents are."""
     bits = 60
-    words = df.select(
+    words = _spread_small_input(df).select(
         F.col(key_col).alias("key"),
         F.explode_outer(_ws_words(text_col)).alias("w"),  # gotcha 43
     ).filter(F.col("w").isNotNull())
