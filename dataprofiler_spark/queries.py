@@ -3928,7 +3928,7 @@ def fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries — then (2) the 23 previously-green entries whose OPERATOR OR
 # ORACLE changed this round (whitespace-robust tokenization touched every
 # word-level query; the gotcha-43 explode_outer sweep changed three more
-# plans late in the round), then (3) the 3 north-rule core flagships.
+# plans late in the round), then (3) three late-round-5 NEW entries (the unchanged core flagships keep their green r4 rows).
 # Everything stays in the registry — the local parity suite
 # (tests/test_oracle_parity.py) still checks all 111 every round; this
 # list only decides who gets the DRIVER's adjudication.
@@ -4004,19 +4004,20 @@ _CHANGED_THIS_ROUND = [
     "embedding_near_dup_lsh",
 ]
 
-# (3) §2-core flagships re-adjudicated every round. Slimmed to the
-# north-rule trio late round-5 to make room for the gotcha-43-changed
-# entries: the other former refill entries (profile_lineitem,
-# compare_envs, psi/histogram, knn/ivf, incremental merge) are UNCHANGED
-# since their green r4 rows, so dropping them from the window loses no
-# attestation, unlike dropping a changed entry.
-_CORE_REFILL = [
-    "profile_documents",
-    "uniqueness_duplicates_orders_custkey",
-    "ri_orphans_orders_customer",
+# (3) Final three slots: late-round-5 NEW entries with no driver row.
+# The former core-refill flagships (profile, uniqueness, RI) are
+# UNCHANGED since their green r4 driver rows — re-attesting them buys
+# nothing, while a brand-new entry unadjudicated by the driver is
+# exactly the gap the r4 verdict flagged. fertility_by_source and
+# dup_group_size_histogram_documents stay local-tail (least novel of
+# the five late additions).
+_LATE_NEW = [
+    "cluster_survivors_quality",
+    "ngram_containment_pairs_documents",
+    "leakage_safe_split_documents",
 ]
 
-_HARVEST_FIRST = _NEVER_HARVESTED + _CHANGED_THIS_ROUND + _CORE_REFILL
+_HARVEST_FIRST = _NEVER_HARVESTED + _CHANGED_THIS_ROUND + _LATE_NEW
 
 
 def _apply_harvest_order() -> None:

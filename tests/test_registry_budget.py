@@ -43,7 +43,7 @@ def test_harvest_window_invariants():
     assert names[: len(q._NEVER_HARVESTED)] == q._NEVER_HARVESTED
     # the three segments partition the window
     assert q._HARVEST_FIRST == (
-        q._NEVER_HARVESTED + q._CHANGED_THIS_ROUND + q._CORE_REFILL
+        q._NEVER_HARVESTED + q._CHANGED_THIS_ROUND + q._LATE_NEW
     )
 
 
