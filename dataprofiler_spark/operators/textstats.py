@@ -869,3 +869,62 @@ def tokenizer_fertility(
         .alias("chars_per_token"),
         F.round(F.col("total_words") / F.col("n_docs"), 4).alias("words_per_doc"),
     )
+
+
+def _unicode_normalize_batch(form: str, strip_accents: bool):
+    """Arrow-batch unicode normalizer (stdlib unicodedata; created lazily
+    inside normalize_text — gotcha 3)."""
+    import unicodedata
+
+    def _one(t):
+        if t is None:
+            return None
+        s = unicodedata.normalize(form, t)
+        if strip_accents:
+            s = "".join(
+                c
+                for c in unicodedata.normalize("NFD", s)
+                if unicodedata.category(c) != "Mn"
+            )
+            s = unicodedata.normalize(form, s)
+        return s
+
+    # no type annotations: pandas_udf's typehint parser cannot resolve a
+    # stringified 'pd.Series' against this closure's locals; the explicit
+    # returnType at the call site is authoritative
+    def _batch(s):
+        return s.map(_one)
+
+    return _batch
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_accents: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD, optional
+    accent stripping) — the standard pre-tokenization step: composed and
+    decomposed forms of the same visible text ('é' as one codepoint vs
+    'e'+U+0301) otherwise hash, shingle, and tokenize differently,
+    silently splitting duplicates and vocabulary entries.
+
+    Scale shape: the Python surface is budgeted to the rows that NEED it.
+    Pure-ASCII text is already in every normal form, so rows are routed
+    by a JVM regexp into an ASCII branch (passthrough, no Python) and a
+    non-ASCII branch (Arrow-batched pandas UDF, stdlib unicodedata) and
+    unioned back. Routing must be by FILTER SPLIT, not `when(...)` —
+    ExtractPythonUDFs evaluates a conditionally-guarded UDF on every row
+    anyway (gotcha 6). The price is two passes over the source instead
+    of one; on real web corpora the non-ASCII sliver is small and the
+    Python saved dominates the extra JVM scan (read the source once
+    upstream / localCheckpoint it if the input is itself expensive)."""
+    out_col = out_col or text_col
+    t = F.col(text_col)
+    is_ascii = t.isNull() | t.rlike(r"^[\x00-\x7F]*$")
+    udf = F.pandas_udf(_unicode_normalize_batch(form, strip_accents), "string")
+    ascii_rows = df.filter(is_ascii).withColumn(out_col, t)
+    rest = df.filter(~is_ascii).withColumn(out_col, udf(t))
+    return ascii_rows.unionByName(rest)

@@ -3889,6 +3889,31 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unicode_normalize_documents",
+    """SELECT doc_id,
+       nfc_normalize(text) <> text AS changed,
+       md5(nfc_normalize(text)) AS norm_md5
+FROM documents""",
+)
+def unicode_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC unicode normalization (the budgeted-UDF routing shape: ASCII
+    rows bypass Python entirely via filter-split, gotcha 6) checked
+    value-for-value against DuckDB's nfc_normalize. The ASCII fixture is
+    a fixed point of NFC — the md5s still verify the full path; composed/
+    decomposed behavior is pinned by unit tests. Local-only tail by
+    choice (gotcha 26)."""
+    from dataprofiler_spark.operators.textstats import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = normalize_text(docs, form="NFC", out_col="__norm")
+    return out.select(
+        "doc_id",
+        (F.col("__norm") != F.col("text")).alias("changed"),
+        F.md5("__norm").alias("norm_md5"),
+    )
+
+
+@register(
     "fertility_by_source",
     """WITH w AS (SELECT source, length(text) AS nc,
                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws

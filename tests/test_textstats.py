@@ -528,3 +528,48 @@ def test_tokenizer_fertility_hand_computed(spark):
     r = tokenizer_fertility(empty_only).collect()[0]
     assert r.n_docs == 1 and r.total_words == 0
     assert r.chars_per_word is None  # nullif, not a /0 ANSI error
+
+
+def test_normalize_text_forms_and_routing(spark):
+    """Composed and decomposed 'é' converge under NFC; NFKC folds the
+    ﬁ ligature; strip_accents removes combining marks; NULL and ASCII
+    pass through — and the plan routes ASCII rows around Python (exactly
+    one ArrowEvalPython, under the non-ASCII filter branch; gotcha 6
+    split-union routing)."""
+    from dataprofiler_spark.operators.textstats import normalize_text
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "café"),
+        (3, "café"),
+        (4, None),
+        (5, "ﬁle"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r.doc_id: r.norm
+        for r in normalize_text(df, form="NFC", out_col="norm").collect()
+    }
+    assert nfc[2] == nfc[3] == "café"
+    assert nfc[1] == "plain ascii" and nfc[4] is None
+    assert nfc[5] == "ﬁle"  # NFC keeps compatibility chars
+    nfkc = {
+        r.doc_id: r.norm
+        for r in normalize_text(df, form="NFKC", out_col="norm").collect()
+    }
+    assert nfkc[5] == "file"
+    stripped = {
+        r.doc_id: r.norm
+        for r in normalize_text(
+            df, form="NFC", strip_accents=True, out_col="norm"
+        ).collect()
+    }
+    assert stripped[2] == stripped[3] == "cafe"
+
+    plan = (
+        normalize_text(df, form="NFC", out_col="norm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
