@@ -416,15 +416,21 @@ def main() -> None:
 
     def _time(queries: dict, n_runs: int, ref_kernel: float) -> list[str]:
         """Time each entry (min of n_runs), sampling the calibration
-        kernel before every GROUP_SIZE entries. Keeps the best (raw-min)
-        attempt per entry along with its window's kernel; returns the
-        entries whose window read > KERNEL_DEGRADE x ref_kernel (retry
-        candidates)."""
+        kernel before every GROUP_SIZE entries AND once after the last —
+        a group is bracketed by its pre and post checkpoints, so a window
+        that degrades DURING a group (the r4 failure: 1.33 → 8.74 s
+        mid-panel) is attributed to THAT group, not the next one. Keeps
+        the best (raw-min) attempt per entry; each entry's recorded
+        kernel is min(pre, post) — the healthier reading, which
+        normalizes LESS flatteringly. Returns entries from any group
+        whose pre OR post kernel read > KERNEL_DEGRADE x ref_kernel
+        (retry candidates)."""
         degraded: list[str] = []
         names = list(queries)
-        for gi in range(0, len(names), GROUP_SIZE):
-            group = names[gi : gi + GROUP_SIZE]
-            k = _checkpoint()
+        groups = [names[i : i + GROUP_SIZE] for i in range(0, len(names), GROUP_SIZE)]
+        pre = _checkpoint()
+        for group in groups:
+            group_best: dict[str, float] = {}
             for name in group:
                 runs = []
                 for _ in range(n_runs):
@@ -432,12 +438,16 @@ def main() -> None:
                     queries[name]()
                     runs.append(round(time.time() - t0, 3))
                 run_log.setdefault(name, []).extend(runs)
-                best = min(runs)
+                group_best[name] = min(runs)
+            post = _checkpoint()
+            k = min(pre, post)
+            for name, best in group_best.items():
                 if name not in timings or best < timings[name]:
                     timings[name] = best
                     entry_kernel[name] = round(k, 3)
-            if k > KERNEL_DEGRADE * ref_kernel:
+            if max(pre, post) > KERNEL_DEGRADE * ref_kernel:
                 degraded.extend(group)
+            pre = post  # the post checkpoint is the next group's pre
         return degraded
 
     _kernel(999)  # codegen warm

@@ -281,7 +281,17 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     docs, measured when the eager array checkpoint inherited a
     single-split scan). A no-op at real scale: a 100 TB table has far
     more splits than cores, so the guard never fires and no extra
-    shuffle is added."""
+    shuffle is added.
+
+    The partition-count probe (df.rdd) is only safe on shuffle-free
+    lineage: under AQE, converting a plan WITH exchanges to an RDD
+    executes its upstream query stages at construction time — work the
+    real query then repays in full. A shuffled input is already spread
+    to spark.sql.shuffle.partitions, so any plan containing an Exchange
+    skips both the probe and the repartition."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan or "ShuffleQueryStage" in plan:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

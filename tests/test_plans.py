@@ -649,3 +649,50 @@ def test_pair_family_single_corpus_scan(spark):
             out = ngram_jaccard_pairs(df, "doc_id", threshold=0.1)
         out.count()
         assert acc.value == len(rows), (op, acc.value)
+
+
+def test_spread_probe_never_executes_shuffled_lineage(spark):
+    """_spread_small_input must not convert a plan WITH exchanges to an
+    RDD: under AQE that executes the upstream query stages at operator
+    CONSTRUCTION time (then the real query re-runs them). A planted
+    counting UDF below an aggregate proves construction stays lazy; the
+    raw few-split scan path still spreads."""
+    from dataprofiler_spark.operators.dedup import (
+        _spread_small_input,
+        ngram_jaccard_pairs,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tick(s):
+        acc.add(1)
+        return s
+
+    from dataprofiler_spark.operators.textstats import boilerplate_ngram_stats
+
+    base = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i}", i % 3) for i in range(30)],
+        "doc_id long, text string, g long",
+    )
+    # shuffled lineage: join through an aggregate output
+    keys = base.select(tick("text").alias("text"), "doc_id", "g")
+    agg = keys.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    shuffled = keys.join(agg, "g")
+    # Under AQE, ANY localCheckpoint on shuffled lineage (even
+    # eager=False: toRdd finalizes the adaptive plan, executing its
+    # shuffle stages) runs upstream at construction — the invariant is
+    # EXACTLY ONCE per operator, not zero: the unguarded df.rdd probe
+    # added a second full pass (60 ticks per operator, caught here).
+    boilerplate_ngram_stats(shuffled, key_col="doc_id")
+    assert acc.value == 30, acc.value
+    op = ngram_jaccard_pairs(shuffled, "doc_id", threshold=0.1)
+    assert acc.value == 60, acc.value
+    assert op.count() >= 0
+    assert acc.value == 60, "a consumer re-executed the shuffled lineage"
+    # raw small scan still spreads to defaultParallelism
+    spread = _spread_small_input(base)
+    assert (
+        spread.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )

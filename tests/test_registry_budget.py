@@ -49,3 +49,34 @@ def test_harvest_window_invariants():
 
 def test_no_duplicate_window_names():
     assert len(set(q._HARVEST_FIRST)) == len(q._HARVEST_FIRST)
+
+
+def test_oracle_tokenizer_literal_is_canonical():
+    """CLAUDE.md rule 41: ONE tokenizer per engine. The oracles inline the
+    DuckDB mirror as SQL text, so this pins every inlined copy to the
+    canonical expressions.WORDS_SQL shape (same split pattern, same
+    empty-token filter) — a future tokenizer change that updates
+    WORDS_SQL but misses an inlined oracle fails HERE instead of
+    silently reintroducing engine/oracle tokenization drift."""
+    import re
+
+    from dataprofiler_spark.functions.expressions import WORD_SPLIT_PATTERN
+
+    canon = re.compile(
+        r"list_filter\(regexp_split_to_array\("
+        r"([A-Za-z_][A-Za-z_.0-9]*), '(.*?)'\), (\w+) -> \3 <> ''\)"
+    )
+    offenders = {}
+    for name, sql in q.oracle_sql().items():
+        n_raw = sql.count("regexp_split_to_array")
+        if not n_raw:
+            continue
+        norm = re.sub(r"\s+", " ", sql)
+        found = canon.findall(norm)
+        if len(found) != n_raw or any(
+            split != WORD_SPLIT_PATTERN for _, split, _ in found
+        ):
+            offenders[name] = found
+    assert not offenders, (
+        f"oracles with a tokenizer that diverges from WORDS_SQL: {offenders}"
+    )

@@ -573,3 +573,26 @@ def test_normalize_text_forms_and_routing(spark):
         .toString()
     )
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_bpe_estimate_empty_doc_matches_oracle_convention(spark):
+    """Empty/whitespace-only docs: the engine's fold returns 0 while
+    DuckDB's list_aggregate([], 'sum') is NULL — the registered oracle
+    COALESCEs to 0, so both engines read 0. Pin both halves."""
+    import duckdb
+
+    from dataprofiler_spark.operators.textstats import bpe_token_estimate
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  \n\t "), (3, "word")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", bpe_token_estimate("text").alias("n")).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+    sql = """SELECT CAST(COALESCE(list_aggregate(list_transform(
+               list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> ''),
+               w -> CAST(ceil(len(w) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT)
+             FROM (VALUES (''), ('  \n\t '), ('word')) v(t)"""
+    assert [r[0] for r in duckdb.connect().execute(sql).fetchall()] == [0, 0, 1]
