@@ -995,9 +995,11 @@ def remove_duplicated_spans(
     word rows (no base re-scan, no left-join of two per-doc frames);
     the only collect_list is a document's own words."""
     words_arr = _ws_words(F.col(text_col))
-    staged = df.select(F.col(key_col), words_arr.alias("__ws")).localCheckpoint(
-        eager=False
-    )
+    # gotcha 45: the span-hash transform is an interpreted chain —
+    # parallelize it past a few-split scan
+    staged = _spread_small_input(df).select(
+        F.col(key_col), words_arr.alias("__ws")
+    ).localCheckpoint(eager=False)
     n = F.size("__ws")
     spans = (
         staged.filter(n >= shingle_k)
