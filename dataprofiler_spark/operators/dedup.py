@@ -95,14 +95,21 @@ def dedup_exact(df: DataFrame, cols: list[str], key_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col: str | Column, k: int = 3, pre_split: bool = False) -> Column:
+def word_shingles(
+    text_col: str | Column, k: int = 3, pre_split: bool = False, distinct: bool = True
+) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text column —
     pure array expressions (transform over sequence), no UDF.
 
     PERF: prefer materializing the split as a column and passing it with
     pre_split=True — referencing the split expression inside the shingle
     lambda makes Catalyst inline (and codegen re-evaluate) the split per
-    element access."""
+    element access.
+
+    distinct=False skips the per-doc array_distinct — an O(n²) string-
+    compare pass per document — for callers that dedup globally anyway
+    (an exploded (key, shingle) .distinct() yields the identical row
+    set, and its shuffle dedups with map-side partial aggregation)."""
     if pre_split:
         words = text_col if isinstance(text_col, Column) else F.col(text_col)
     else:
@@ -111,11 +118,10 @@ def word_shingles(text_col: str | Column, k: int = 3, pre_split: bool = False) -
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, i + j) for j in range(k)]
     )
-    return F.array_distinct(
-        F.when(n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)).otherwise(
-            F.array(F.concat_ws(" ", words))
-        )
-    )
+    arr = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle)
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(arr) if distinct else arr
 
 
 def _shingle_long_hash(s: Column) -> Column:
@@ -306,24 +312,38 @@ def _shingle_pair_counts(
     max_shingle_doc_freq: int | None,
 ) -> DataFrame:
     """Shared skeleton of the exact set-overlap pair operators: distinct
-    k-shingles per doc → hot-shingle cap → self-join on shingle →
+    k-shingles per doc → hot-shingle cap → self-join on shingle digest →
     (key1, key2, i, na, nb) with i = |A∩B| and na/nb the distinct-shingle
-    set sizes. Jaccard and containment are projections over this frame."""
-    # The shingle data feeds the hot-filter, the size aggregate AND both
-    # self-join sides. What gets localCheckpointed is the shingle-ARRAY
-    # frame — one row per document — never the exploded stream: at 2M
-    # docs materializing the 56M-row explode cost 135 s where recomputing
-    # it from the cached arrays costs a fraction of that (gotcha 36, same
-    # redesign as boilerplate_ngram_stats). Eager, because the hot set
-    # re-enters as a BROADCAST and concurrent broadcast jobs race a lazy
-    # checkpoint into double execution (gotcha 44 / cross_source_overlap).
+    set sizes. Jaccard and containment are projections over this frame.
+
+    r6 shape: shingle STRINGS never leave the map side — each shingle
+    reduces to its xxhash64 digest in the same projection that builds it,
+    and the (key, digest) stream is globally .distinct()-ed (replacing
+    the per-doc array_distinct, an O(n²) string-compare pass per doc).
+    What gets localCheckpointed is that narrow post-distinct frame — two
+    longs per row — instead of the r5 shingle-ARRAY frame (~50 bytes per
+    shingle of string payload written + re-read 4×). Set identity: the
+    exploded distinct (key, digest) rows ≡ explode(array_distinct(...))
+    digested, so sizes, doc-freqs and intersections are unchanged
+    (digest-equality in place of string-equality is the standing
+    gotcha-9 convention — cross_source_overlap and the minhash family
+    already count xxhash64 digests). Eager, because the hot set
+    re-enters as a BROADCAST and concurrent broadcast jobs race a lazy
+    checkpoint into double execution (gotcha 44 / cross_source_overlap)."""
     words = _ws_words(F.col(text_col))
-    staged = _spread_small_input(df).select(
-        F.col(key_col).alias("key"),
-        word_shingles(words, shingle_k, pre_split=True).alias("__sh"),
-    ).localCheckpoint(eager=True)
-    sh = staged.select(
-        "key", F.explode_outer("__sh").alias("s")  # gotcha 43; never empty
+    sh = (
+        _spread_small_input(df)
+        .select(
+            F.col(key_col).alias("key"),
+            # gotcha 43: outer explode dodges the inferred re-evaluating
+            # filter; the array is never empty (n<k yields 1 shingle)
+            F.explode_outer(
+                word_shingles(words, shingle_k, pre_split=True, distinct=False)
+            ).alias("s"),
+        )
+        .select("key", F.xxhash64("s").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     if max_shingle_doc_freq is not None:
         # the hot set is small (boilerplate vocabulary) — checkpoint it
@@ -1403,9 +1423,11 @@ def cross_source_overlap(
     """
     staged = _spread_small_input(df).select(
         F.col(source_col).alias("src"),
-        word_shingles(_ws_words(F.col(text_col)), shingle_k, pre_split=True).alias(
-            "__cs_ss"
-        ),
+        # distinct=False: the digest stream below is .distinct()-ed
+        # globally, so the per-doc O(n²) array_distinct is redundant work
+        word_shingles(
+            _ws_words(F.col(text_col)), shingle_k, pre_split=True, distinct=False
+        ).alias("__cs_ss"),
     )
     # EAGER checkpoint, deliberately unlike the gotcha-24 default: the
     # per-source count frames re-enter the plan as BROADCAST subqueries,

@@ -37,6 +37,72 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
+    """Left-assoc unrolled Σ aᵢ·bᵢ — bit-identical to dot()'s fold order
+    ((0.0 + a₀b₀) + a₁b₁) + …, including the float-vs-double coercion of
+    each product (element types drive the same multiply width as
+    zip_with's lambda). Unlike the fold, the chain is NOT a
+    higher-order function, so whole-stage codegen compiles it — the
+    interpreted HOF evaluates at ~0.3 µs/element, ~40 µs per 64-dim
+    pair, which dominated every pair-scoring operator (measured:
+    batch_topk pair stage 26.6 s interpreted vs 3.0 s guarded-unrolled
+    at 4.1 M pairs, see OPTIMIZATION_r06.md)."""
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        s = s + a[i] * b[i]
+    return s
+
+
+def dot_fast(a: Column, b: Column, dim: int | None = None) -> Column:
+    """dot() with a codegen fast path for known-dim vectors. The size
+    guard keeps semantics identical for ragged rows (a row whose arrays
+    are not exactly `dim` long takes the interpreted fold, which pads
+    with NULLs exactly as before); rows on the fast path never evaluate
+    an out-of-range index, so the guarded a[i] accesses are ANSI-safe.
+    CaseWhen also keeps the generated code split into branch methods, so
+    the 64-term chain stays under the JIT method limits (an UNguarded
+    chain measured 25-27 s — codegen gives up on the single huge
+    expression and falls back to interpreted tree-walking)."""
+    if dim is None:
+        return dot(a, b)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), _unrolled_dot(a, b, dim)
+    ).otherwise(dot(a, b))
+
+
+def _unrolled_sq_norm(a: Column, dim: int) -> Column:
+    s: Column = F.lit(0.0)
+    for i in range(dim):
+        s = s + a[i] * a[i]
+    return s
+
+
+def norm_fast(a: Column, dim: int | None = None) -> Column:
+    """l2_norm() with the same guarded codegen fast path as dot_fast
+    (identical fold order: ((0.0 + a₀²) + a₁²) + … then sqrt)."""
+    if dim is None:
+        return l2_norm(a)
+    return F.when(F.size(a) == dim, F.sqrt(_unrolled_sq_norm(a, dim))).otherwise(
+        l2_norm(a)
+    )
+
+
+def _lit_dot(a: Column, vec: list[float]) -> Column:
+    """Unrolled Σ aᵢ·cᵢ against a PYTHON literal vector — matches the
+    fold order of dot(a, _lit_vec(vec)) bit-for-bit (each product is
+    element × double literal, the same coercion zip_with applies)."""
+    s: Column = F.lit(0.0)
+    for i, x in enumerate(vec):
+        s = s + a[i] * F.lit(float(x))
+    return s
+
+
+def _lit_dot_guarded(a: Column, vec: list[float]) -> Column:
+    return F.when(F.size(a) == len(vec), _lit_dot(a, vec)).otherwise(
+        dot(a, _lit_vec(vec))
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -47,7 +113,6 @@ def brute_force_topk(
     """Exact cosine top-k for one query: one scan + global top-k
     (Spark's TakeOrderedAndProject — per-partition heaps, no full sort).
     Deterministic tie-break on id."""
-    q = _lit_vec(query_vec)
     # the query norm is a Python-side constant — folding the literal
     # array per row would cost an extra interpreted HOF pass per row
     qn = float(sum(x * x for x in query_vec) ** 0.5)
@@ -56,8 +121,10 @@ def brute_force_topk(
         # nullif: a zero-norm vector has no cosine — NULL, excluded below
         # (Spark would otherwise rank NaN ABOVE every real score)
         F.round(
-            dot(F.col(vec_col), q)
-            / F.nullif(l2_norm(F.col(vec_col)) * F.lit(qn), F.lit(0.0)),
+            _lit_dot_guarded(F.col(vec_col), query_vec)
+            / F.nullif(
+                norm_fast(F.col(vec_col), len(query_vec)) * F.lit(qn), F.lit(0.0)
+            ),
             6,
         ).alias("cos_sim"),
     )
@@ -76,16 +143,16 @@ def _assign_to_centroids(
     backend: str = "expr",
 ) -> DataFrame:
     """Nearest-centroid assignment as a PURE MAP-SIDE PROJECTION: the tiny
-    centroid frame is collapsed to ONE broadcast row holding an id-sorted
-    array of (centroid_id, vec, norm), each data row scores all centroids
-    into a sims array and takes the argmax with array_max/array_position.
-    No row inflation, no shuffle, no sort, no aggregate — the previous
-    row_number()-over-(partitionBy id) plan shuffled AND sorted a
-    ~num_centroids×-inflated frame for an argmax (VERDICT r3 'what's
-    wrong' #2); an agg rewrite (min_by over an array-payload struct) still
-    falls back to SortAggregate because the buffer is non-primitive. The
-    per-(row × centroid) cosine math is the SAME interpreted expression
-    count as the old inflated projection, just laid out along an array.
+    centroid frame (it was broadcast-sized by contract already) is
+    collected to driver-side literals, each data row scores all centroids
+    into a sims array of CODEGEN unrolled-dot columns and takes the
+    argmax with array_max/array_position. No join, no row inflation, no
+    shuffle, no sort, no aggregate — the previous row_number()-over-
+    (partitionBy id) plan shuffled AND sorted a ~num_centroids×-inflated
+    frame for an argmax (VERDICT r3 'what's wrong' #2), and the r4-r5
+    broadcast-row + transform(__cents) shape paid an INTERPRETED cosine
+    fold per (row × centroid), multiplied again by CollapseProject
+    inlining the sims array into its 2 consumers (gotcha 8).
 
     Ties: centroids ride sorted by id and array_position returns the FIRST
     index of the max, so ties go to the smallest centroid_id — the old
@@ -119,33 +186,47 @@ def _assign_to_centroids(
             ),
             out_schema,
         )
-    cent_arr = centroids.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("centroid_id").alias("cid"),
-                    F.col("centroid_vec").alias("v"),
-                    l2_norm(F.col("centroid_vec")).alias("nrm"),
-                )
+    # Centroids are tiny by contract (they were broadcast before);
+    # collecting them to Python LITERALS lets the whole per-row scoring
+    # compile under whole-stage codegen — the previous broadcast-row +
+    # transform(__cents, …) shape evaluated an INTERPRETED cosine fold
+    # per (row × centroid), and CollapseProject inlined the __sims
+    # transform into array_max AND array_position, re-running it per
+    # reference (gotcha 8). Norms are Python floats: the left-assoc
+    # Python sum replays l2_norm's fold order bit-for-bit on IEEE
+    # doubles, so every score is unchanged.
+    crows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cvecs = [[float(x) for x in r["centroid_vec"]] for r in crows]
+    cnorms = [float(sum(x * x for x in v) ** 0.5) for v in cvecs]
+    cids = [r["centroid_id"] for r in crows]
+    vnorm = F.col("__vnorm")
+    sims = F.array(
+        *[
+            # nullif+coalesce: a zero-norm data vector scores -2 against
+            # every centroid -> deterministic first-centroid assignment,
+            # identical to the arrow kernel's nan_to_num(-2)
+            F.coalesce(
+                _lit_dot_guarded(F.col(vec_col), cvecs[i])
+                / F.nullif(vnorm * F.lit(cnorms[i]), F.lit(0.0)),
+                F.lit(-2.0),
             )
-        ).alias("__cents")
+            for i in range(len(cvecs))
+        ]
     )
-    vnorm = l2_norm(F.col(vec_col))
-    staged = (
-        df.crossJoin(F.broadcast(cent_arr))
-        .withColumn("__vnorm", vnorm)
-        .withColumn(
-            "__sims",
-            F.transform(
-                "__cents",
-                _sim_fn(vec_col),
-            ),
-        )
-    )
+    dims = {len(v) for v in cvecs}
+    vn = norm_fast(F.col(vec_col), dims.pop() if len(dims) == 1 else None)
+    staged = df.withColumn("__vnorm", vn).withColumn("__sims", sims)
     best_idx = F.array_position("__sims", F.array_max("__sims"))
+    # ties: sims rides in centroid_id order and array_position returns
+    # the FIRST index of the max -> smallest centroid_id, as before.
+    # Cast each literal to the centroid frame's own id type (ivf seeds
+    # centroids with bigint vec_ids; LCG centroids are int) so the
+    # output schema is exactly what the broadcast-row shape produced.
+    ctype = centroids.schema["centroid_id"].dataType
+    cid_arr = F.array(*[F.lit(c).cast(ctype) for c in cids])
     return staged.withColumn(
-        "centroid_id", F.element_at("__cents", best_idx.cast("int"))["cid"]
-    ).drop("__cents", "__vnorm", "__sims")
+        "centroid_id", F.element_at(cid_arr, best_idx.cast("int"))
+    ).drop("__vnorm", "__sims")
 
 
 def _assign_gemm(cids, cvecs, vec_col: str):
@@ -174,24 +255,6 @@ def _assign_gemm(cids, cvecs, vec_col: str):
             yield pdf
 
     return gen
-
-
-def _sim_fn(vec_col: str):
-    """Closure factory for the per-centroid cosine lambda (default-arg
-    capture breaks PySpark's HOF arity inference — CLAUDE.md gotcha 4)."""
-
-    def f(c):
-        # nullif+coalesce: a zero-norm data vector scores -2 against every
-        # centroid -> deterministic first-centroid assignment, identical
-        # to the arrow kernel's nan_to_num(-2) (NaN would otherwise make
-        # array_max/array_position engine-dependent)
-        return F.coalesce(
-            dot(F.col(vec_col), c["v"])
-            / F.nullif(F.col("__vnorm") * c["nrm"], F.lit(0.0)),
-            F.lit(-2.0),
-        )
-
-    return f
 
 
 def ivf_build(
@@ -361,17 +424,31 @@ def batch_topk(
         )
         scored = cand
     else:
+        from dataprofiler_spark.operators.dedup import _spread_small_input
+
+        # dim probe for the codegen unrolled dot (one LocalLimit job;
+        # dot_fast's size guard keeps ragged rows on the fold path, so a
+        # wrong/failed probe only costs speed, never correctness)
+        try:
+            dim = _infer_vec_dim(queries, query_vec_col, "batch_topk")
+        except ValueError:
+            dim = None
+        # a single-row-group corpus file otherwise serializes the whole
+        # pair scoring on one task (no-op at real scale — gotcha 45)
+        corpus = _spread_small_input(corpus)
         # norms once per corpus row and once per query — NOT per
         # (row × query) pair, which is what a per-pair cosine() would fold
-        corpus_n = corpus.withColumn("__cn", l2_norm(F.col(vec_col)))
-        queries_n = queries.withColumn("__qn", l2_norm(F.col(query_vec_col)))
+        corpus_n = corpus.withColumn("__cn", norm_fast(F.col(vec_col), dim))
+        queries_n = queries.withColumn(
+            "__qn", norm_fast(F.col(query_vec_col), dim)
+        )
         scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
             F.col(query_id_col),
             F.col(id_col),
             # nullif: zero-norm rows have no cosine -> NULL -> excluded
             # below, matching the arrow kernel's NaN masking
             F.round(
-                dot(F.col(vec_col), F.col(query_vec_col))
+                dot_fast(F.col(vec_col), F.col(query_vec_col), dim)
                 / F.nullif(F.col("__cn") * F.col("__qn"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
@@ -613,20 +690,26 @@ def semantic_dedup(
     id_col; NumPy's half-even rounding can differ from Spark's HALF_UP
     in the last 1e-6 digit for pairs landing exactly on a rounding
     boundary (same disclosure as every Arrow kernel here)."""
+    from dataprofiler_spark.operators.dedup import _spread_small_input
+
     if centroids is None:
         centroids = _lcg_centroids(df.sparkSession, dim, num_clusters, seed)
     assigned = _assign_to_centroids(
-        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col, id_col,
+        _spread_small_input(df.select(F.col(id_col), F.col(vec_col))),
+        centroids, vec_col, id_col,
         assign_backend,
     ).select(F.col(id_col).alias("key"), F.col(vec_col).alias("v"), "centroid_id")
-    # one norm fold PER VECTOR here, not three folds per pair below
+    # one norm PER VECTOR here, not three per pair below
     # (cosine() would recompute both sides' norms for every pair)
     blocked = (
-        assigned.withColumn("nrm", l2_norm(F.col("v")))
+        assigned.withColumn("nrm", norm_fast(F.col("v"), dim))
         .withColumn("block", F.pmod(F.xxhash64("key"), F.lit(blocks_per_cluster)))
         .groupBy("centroid_id", "block")
         .agg(F.sort_array(F.collect_list(F.struct("key", "v", "nrm"))).alias("ms"))
-        .localCheckpoint(eager=False)
+        # eager: the pair joins below may BROADCAST a side derived from
+        # this frame, and concurrent broadcast subqueries race a lazy
+        # checkpoint into double-computing the assignment (gotcha 44)
+        .localCheckpoint(eager=True)
     )
     if pair_backend == "arrow":
         id_type = dict(df.dtypes)[id_col]
@@ -649,43 +732,73 @@ def semantic_dedup(
             _arrow_pair_scorer(threshold), "key1 long, key2 long, cos_sim double"
         )
     else:
-        pair_struct = (
-            "struct(x.key AS key1, y.key AS key2, x.v AS v1, y.v AS v2, "
-            "x.nrm * y.nrm AS nn)"
+        # Pair expansion as two equi-JOINS over the exploded members —
+        # every operator in the pair path is whole-stage-codegen. The
+        # r4-r5 shape (nested transform(slice(ms, …)) building pair
+        # structs, then an interpreted cosine fold per pair) walked
+        # ~128 interpreted tree nodes per pair: measured 103 s for the
+        # 25 M-pair stage at 20 k vectors where this shape takes seconds
+        # (OPTIMIZATION_r06.md). The pair SET is identical: sorted-array
+        # i<j expansion ≡ key1<key2 within a block; (ba<bb, x∈ma, y∈mb)
+        # ≡ the block-target join below. Scale bound preserved: both
+        # joins are keyed on (centroid_id, block), so a build/sort group
+        # is one BLOCK of one cluster (cluster_size/B), never a cluster.
+        mem = blocked.select(
+            "centroid_id", "block", F.explode("ms").alias("m")
+        ).select(
+            "centroid_id",
+            "block",
+            F.col("m.key").alias("key"),
+            F.col("m.v").alias("v"),
+            F.col("m.nrm").alias("nrm"),
         )
-        # outer + null filter: a singleton block expands to an empty
-        # pair array (row must drop), and a plain explode's inferred
-        # filter re-runs the pair transform per block (gotcha 43)
-        same = blocked.select(
-            F.explode_outer(
-                F.expr(
-                    "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
-                    f"y -> {pair_struct})))"
+        a = mem.select(
+            "centroid_id",
+            "block",
+            F.col("key").alias("key1"),
+            F.col("v").alias("v1"),
+            F.col("nrm").alias("n1"),
+        )
+        b = mem.select(
+            "centroid_id",
+            "block",
+            F.col("key").alias("key2"),
+            F.col("v").alias("v2"),
+            F.col("nrm").alias("n2"),
+        )
+        same = a.join(b, ["centroid_id", "block"]).filter(
+            F.col("key1") < F.col("key2")
+        )
+        # cross-block pairs: expand each left row to its TARGET blocks
+        # (block+1 … B-1) and equi-join on (centroid_id, target block) —
+        # the build side stays one block. explode drops the NULL the
+        # when() yields for the last block (no empty-sequence corner);
+        # the inferred generate filter (gotcha 43) re-evaluates only a
+        # tiny int sequence, not a document chain.
+        a_x = a.select(
+            "centroid_id",
+            F.explode(
+                F.when(
+                    F.col("block") < blocks_per_cluster - 1,
+                    F.sequence(
+                        F.col("block") + F.lit(1),
+                        F.lit(blocks_per_cluster - 1),
+                    ),
                 )
-            ).alias("p")
-        ).filter(F.col("p").isNotNull())
-        a = blocked.select("centroid_id", F.col("block").alias("ba"), F.col("ms").alias("ma"))
-        b = blocked.select("centroid_id", F.col("block").alias("bb"), F.col("ms").alias("mb"))
-        cross = (
-            a.join(b, "centroid_id")
-            .filter(F.col("ba") < F.col("bb"))
-            .select(
-                # outer: ma and mb both hold >= 1 member (gotcha 43)
-                F.explode_outer(
-                    F.expr(
-                        "flatten(transform(ma, x -> transform(mb, "
-                        f"y -> {pair_struct})))"
-                    )
-                ).alias("p")
-            )
+            ).alias("block"),
+            "key1",
+            "v1",
+            "n1",
         )
+        cross = a_x.join(b, ["centroid_id", "block"])
         pairs = same.unionByName(cross).select(
-            "p.key1",
-            "p.key2",
+            "key1",
+            "key2",
             # nullif: zero-norm pairs have no cosine -> NULL -> no match,
             # identical to the arrow kernel's NaN >= threshold == False
             F.round(
-                dot(F.col("p.v1"), F.col("p.v2")) / F.nullif(F.col("p.nn"), F.lit(0.0)),
+                dot_fast(F.col("v1"), F.col("v2"), dim)
+                / F.nullif(F.col("n1") * F.col("n2"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
         )

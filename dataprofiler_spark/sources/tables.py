@@ -25,8 +25,34 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan whose split count is below the core count.
+
+    The driver testdata tables are single files with 1-6 parquet row
+    groups: every narrow chain over them (tokenize+explode, pair
+    scoring, regex scans, exact-percentile partials) executes on 1-6
+    tasks of a local[32] session — measured as THE dominant cost of a
+    dozen bench entries (batch_knn_top5 spent 54 s single-task at sf1.0;
+    spreading alone takes the same plan to ~5 s). A no-op at real scale:
+    a 100 TB table has orders of magnitude more splits than cores, so
+    the guard never fires and no Exchange is added. Column pruning and
+    filter pushdown pass through Repartition, so scans stay pruned.
+
+    The df.rdd partition probe is safe here because the input is a bare
+    scan (no Exchange upstream — same rule as dedup._spread_small_input)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _spread_scan(df) if spread else df
 
 
 # The reference's "connector" surface is 4 SQL dialects behind one factory

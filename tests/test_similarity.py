@@ -188,11 +188,12 @@ def test_assign_to_centroids_is_aggregate_not_window(spark, emb):
     assigned = _assign_to_centroids(emb, cents, "embedding", "vec_id")
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
-    # the only Sort allowed is the sort_array INSIDE the broadcast row's
-    # collect_list aggregate; the data side must be scan → join → project
-    data_side = plan.split("BroadcastNestedLoopJoin")[0]
-    assert "Sort" not in data_side and "Exchange hashpartitioning" not in data_side, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    # r6: the centroid panel rides as driver-side literals, so the data
+    # path must be a bare scan → project — no join of ANY kind, no sort,
+    # no shuffle (previously: one BroadcastNestedLoopJoin attaching the
+    # collected-centroid broadcast row)
+    assert "Sort" not in plan and "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
 
     got = {r.vec_id: r.centroid_id for r in assigned.collect()}
     cent_rows = sorted(cents.collect(), key=lambda r: r.centroid_id)
