@@ -42,11 +42,12 @@ def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     ((0.0 + a₀b₀) + a₁b₁) + …, including the float-vs-double coercion of
     each product (element types drive the same multiply width as
     zip_with's lambda). Unlike the fold, the chain is NOT a
-    higher-order function, so whole-stage codegen compiles it — the
-    interpreted HOF evaluates at ~0.3 µs/element, ~40 µs per 64-dim
-    pair, which dominated every pair-scoring operator (measured:
-    batch_topk pair stage 26.6 s interpreted vs 3.0 s guarded-unrolled
-    at 4.1 M pairs, see OPTIMIZATION_r06.md)."""
+    higher-order function (CodegenFallback), so a stage containing it
+    stays on the whole-stage-codegen path — which is exactly what the
+    BroadcastHashJoin pair stage needs (fold there: 50 s; this chain:
+    2 s at 25 M pairs). In FLAT projections the interpreted fold is the
+    faster form (0.7 s vs 4.1 s on the centroid panel) — use dot(), not
+    this, outside join stages. Measurements in OPTIMIZATION_r06.md."""
     s: Column = F.lit(0.0)
     for i in range(dim):
         s = s + a[i] * b[i]
@@ -54,20 +55,26 @@ def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
 
 
 def dot_fast(a: Column, b: Column, dim: int | None = None) -> Column:
-    """dot() with a codegen fast path for known-dim vectors. The size
-    guard keeps semantics identical for ragged rows (a row whose arrays
-    are not exactly `dim` long takes the interpreted fold, which pads
-    with NULLs exactly as before); rows on the fast path never evaluate
-    an out-of-range index, so the guarded a[i] accesses are ANSI-safe.
-    CaseWhen also keeps the generated code split into branch methods, so
-    the 64-term chain stays under the JIT method limits (an UNguarded
-    chain measured 25-27 s — codegen gives up on the single huge
-    expression and falls back to interpreted tree-walking)."""
+    """dot() with a codegen fast path for known-dim vectors; NULL for
+    rows whose arrays are not exactly `dim` long.
+
+    Semantics vs the fold: identical whenever at least one side IS
+    dim-length (zip_with pads the shorter side with NULLs → NULL dot,
+    exactly what the guard yields), which covers every declared query
+    (fixed-dim corpora, literal/panel queries of length dim). The one
+    divergence is a pair of EQUALLY-short ragged arrays (fold scored the
+    truncated prefix; now NULL = "no cosine"), a data-corruption corner.
+    The fallback must NOT be the fold itself: a HigherOrderFunction is
+    CodegenFallback, and one CodegenFallback branch anywhere in the
+    expression takes the entire stage off the codegen path — measured
+    24 s vs 2 s on the 25 M-pair SemDeDup scoring stage. The guarded
+    a[i] accesses never see an out-of-range index, so they are
+    ANSI-safe."""
     if dim is None:
         return dot(a, b)
     return F.when(
         (F.size(a) == dim) & (F.size(b) == dim), _unrolled_dot(a, b, dim)
-    ).otherwise(dot(a, b))
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def _unrolled_sq_norm(a: Column, dim: int) -> Column:
@@ -79,27 +86,13 @@ def _unrolled_sq_norm(a: Column, dim: int) -> Column:
 
 def norm_fast(a: Column, dim: int | None = None) -> Column:
     """l2_norm() with the same guarded codegen fast path as dot_fast
-    (identical fold order: ((0.0 + a₀²) + a₁²) + … then sqrt)."""
+    (identical fold order: ((0.0 + a₀²) + a₁²) + … then sqrt); NULL for
+    non-dim rows — such rows' cosines are NULL either way, and a fold
+    fallback would take the stage off codegen (see dot_fast)."""
     if dim is None:
         return l2_norm(a)
     return F.when(F.size(a) == dim, F.sqrt(_unrolled_sq_norm(a, dim))).otherwise(
-        l2_norm(a)
-    )
-
-
-def _lit_dot(a: Column, vec: list[float]) -> Column:
-    """Unrolled Σ aᵢ·cᵢ against a PYTHON literal vector — matches the
-    fold order of dot(a, _lit_vec(vec)) bit-for-bit (each product is
-    element × double literal, the same coercion zip_with applies)."""
-    s: Column = F.lit(0.0)
-    for i, x in enumerate(vec):
-        s = s + a[i] * F.lit(float(x))
-    return s
-
-
-def _lit_dot_guarded(a: Column, vec: list[float]) -> Column:
-    return F.when(F.size(a) == len(vec), _lit_dot(a, vec)).otherwise(
-        dot(a, _lit_vec(vec))
+        F.lit(None).cast("double")
     )
 
 
@@ -113,6 +106,7 @@ def brute_force_topk(
     """Exact cosine top-k for one query: one scan + global top-k
     (Spark's TakeOrderedAndProject — per-partition heaps, no full sort).
     Deterministic tie-break on id."""
+    q = _lit_vec(query_vec)
     # the query norm is a Python-side constant — folding the literal
     # array per row would cost an extra interpreted HOF pass per row
     qn = float(sum(x * x for x in query_vec) ** 0.5)
@@ -121,10 +115,8 @@ def brute_force_topk(
         # nullif: a zero-norm vector has no cosine — NULL, excluded below
         # (Spark would otherwise rank NaN ABOVE every real score)
         F.round(
-            _lit_dot_guarded(F.col(vec_col), query_vec)
-            / F.nullif(
-                norm_fast(F.col(vec_col), len(query_vec)) * F.lit(qn), F.lit(0.0)
-            ),
+            dot(F.col(vec_col), q)
+            / F.nullif(l2_norm(F.col(vec_col)) * F.lit(qn), F.lit(0.0)),
             6,
         ).alias("cos_sim"),
     )
@@ -145,14 +137,15 @@ def _assign_to_centroids(
     """Nearest-centroid assignment as a PURE MAP-SIDE PROJECTION: the tiny
     centroid frame (it was broadcast-sized by contract already) is
     collected to driver-side literals, each data row scores all centroids
-    into a sims array of CODEGEN unrolled-dot columns and takes the
+    into a sims array of per-centroid literal-dot columns and takes the
     argmax with array_max/array_position. No join, no row inflation, no
     shuffle, no sort, no aggregate — the previous row_number()-over-
     (partitionBy id) plan shuffled AND sorted a ~num_centroids×-inflated
     frame for an argmax (VERDICT r3 'what's wrong' #2), and the r4-r5
-    broadcast-row + transform(__cents) shape paid an INTERPRETED cosine
-    fold per (row × centroid), multiplied again by CollapseProject
-    inlining the sims array into its 2 consumers (gotcha 8).
+    broadcast-row + transform(__cents) shape re-ran the whole per-row
+    transform once per consumer after CollapseProject inlined it into
+    array_max AND array_position (gotcha 8) — measured 3.8 s vs 0.7 s
+    for this shape at 20 k rows × 8 centroids.
 
     Ties: centroids ride sorted by id and array_position returns the FIRST
     index of the max, so ties go to the smallest centroid_id — the old
@@ -204,18 +197,23 @@ def _assign_to_centroids(
         *[
             # nullif+coalesce: a zero-norm data vector scores -2 against
             # every centroid -> deterministic first-centroid assignment,
-            # identical to the arrow kernel's nan_to_num(-2)
+            # identical to the arrow kernel's nan_to_num(-2).
+            # dot (fold) against the literal vector, NOT the unrolled
+            # chain: in this flat projection the interpreted fold
+            # measured 0.67 s vs 4.1 s for the unrolled variant at 20 k
+            # rows × 8 centroids (the unrolled chain only wins inside
+            # the BroadcastHashJoin pair stage — OPTIMIZATION_r06.md)
             F.coalesce(
-                _lit_dot_guarded(F.col(vec_col), cvecs[i])
+                dot(F.col(vec_col), _lit_vec(cvecs[i]))
                 / F.nullif(vnorm * F.lit(cnorms[i]), F.lit(0.0)),
                 F.lit(-2.0),
             )
             for i in range(len(cvecs))
         ]
     )
-    dims = {len(v) for v in cvecs}
-    vn = norm_fast(F.col(vec_col), dims.pop() if len(dims) == 1 else None)
-    staged = df.withColumn("__vnorm", vn).withColumn("__sims", sims)
+    staged = df.withColumn("__vnorm", l2_norm(F.col(vec_col))).withColumn(
+        "__sims", sims
+    )
     best_idx = F.array_position("__sims", F.array_max("__sims"))
     # ties: sims rides in centroid_id order and array_position returns
     # the FIRST index of the max -> smallest centroid_id, as before.
@@ -426,29 +424,26 @@ def batch_topk(
     else:
         from dataprofiler_spark.operators.dedup import _spread_small_input
 
-        # dim probe for the codegen unrolled dot (one LocalLimit job;
-        # dot_fast's size guard keeps ragged rows on the fold path, so a
-        # wrong/failed probe only costs speed, never correctness)
-        try:
-            dim = _infer_vec_dim(queries, query_vec_col, "batch_topk")
-        except ValueError:
-            dim = None
         # a single-row-group corpus file otherwise serializes the whole
-        # pair scoring on one task (no-op at real scale — gotcha 45)
+        # pair scoring on one task — THE dominant cost of this entry at
+        # sf1.0 (53.9 s single-task → ~3 s spread); no-op at real scale
+        # (gotcha 45). The per-pair math stays the interpreted fold: in
+        # the BroadcastNestedLoopJoin stage the fold measured 2.75 s vs
+        # 14 s for the unrolled codegen chain (the opposite of the
+        # BroadcastHashJoin pair stage in semantic_dedup — codegen cost
+        # is join-shape-specific; both measured, see OPTIMIZATION_r06.md)
         corpus = _spread_small_input(corpus)
         # norms once per corpus row and once per query — NOT per
         # (row × query) pair, which is what a per-pair cosine() would fold
-        corpus_n = corpus.withColumn("__cn", norm_fast(F.col(vec_col), dim))
-        queries_n = queries.withColumn(
-            "__qn", norm_fast(F.col(query_vec_col), dim)
-        )
+        corpus_n = corpus.withColumn("__cn", l2_norm(F.col(vec_col)))
+        queries_n = queries.withColumn("__qn", l2_norm(F.col(query_vec_col)))
         scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
             F.col(query_id_col),
             F.col(id_col),
             # nullif: zero-norm rows have no cosine -> NULL -> excluded
             # below, matching the arrow kernel's NaN masking
             F.round(
-                dot_fast(F.col(vec_col), F.col(query_vec_col), dim)
+                dot(F.col(vec_col), F.col(query_vec_col))
                 / F.nullif(F.col("__cn") * F.col("__qn"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
