@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dataprofiler_spark.functions.expressions import words as _ws_words
 
@@ -431,6 +432,61 @@ def _token_long_hash(w: Column) -> Column:
     return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
 
 
+#: Edge-count bound for the driver union-find shortcut in the
+#: connected-components operators. 500k edges collect to ~10-30 MB —
+#: aggregate-bounded by the same standard as the vocab/centroid collects
+#: (CLAUDE.md anti-pattern list); above it the distributed loop runs.
+CC_DRIVER_EDGE_THRESHOLD = 500_000
+
+
+def _driver_cc(narrow: DataFrame, n_edges: int) -> DataFrame | None:
+    """Union-find on the driver for SMALL edge lists: the per-round cost
+    of the distributed loop is pure orchestration (join job + fingerprint
+    job + checkpoint, ~0.5 s/round × diameter rounds) when the edge set
+    fits in single-digit MB — measured 6.5 s of the 7.9 s dedup_clusters
+    entry at sf1.0. Returns the same (node, comp=min member) labeling the
+    loop converges to, or None when the edge list exceeds the bound (the
+    distributed loop is the 100 TB path). `narrow` must be materialized
+    (checkpointed) with columns (a, b)."""
+    if n_edges > CC_DRIVER_EDGE_THRESHOLD:
+        return None
+    spark = narrow.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = narrow.collect()
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # min member per component = the fixpoint label of min-propagation
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    t = narrow.schema.fields[0].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", t), T.StructField("comp", t)]
+    )
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in parent], out_schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     key1: str = "key1",
@@ -496,6 +552,11 @@ def connected_components(
     narrow = _checkpoint(
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
     )
+    # driver union-find shortcut for edge lists below the bound (the
+    # count is one tiny agg on the just-materialized checkpoint)
+    small = _driver_cc(narrow, narrow.count())
+    if small is not None:
+        return small.select("node", F.col("comp").alias("component"))
     edges = _checkpoint(
         narrow.unionByName(
             narrow.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -593,6 +654,9 @@ def connected_components_star(
     narrow = _checkpoint(
         pairs.select(F.col(key1).alias("a"), F.col(key2).alias("b"))
     )
+    small = _driver_cc(narrow, narrow.count())
+    if small is not None:
+        return small.select("node", F.col("comp").alias("component"))
     all_nodes = (
         narrow.select(F.col("a").alias("node"))
         .unionByName(narrow.select(F.col("b").alias("node")))

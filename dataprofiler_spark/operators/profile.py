@@ -87,7 +87,12 @@ def _metric_struct(field: T.StructField, cfg: ProfileConfig, distinct_col: str |
     if is_numeric(dt):
         avg = F.avg(c)
         med = (
-            F.percentile(c, F.lit(0.5))
+            # exact medians are injected from per-column aggregate
+            # subplans after the join (see profile()) — keeping the
+            # TypedImperative percentile() buffers OUT of the shared
+            # metric pass lets their per-group merge+sort run in
+            # parallel stages instead of serializing inside one task
+            F.first(null_d)
             if cfg.exact
             else F.percentile_approx(c, F.lit(0.5), F.lit(10_000)).cast("double")
         )
@@ -219,24 +224,99 @@ def profile(
     wide = df.groupBy(*group_by).agg(*aggs)
 
     if cfg.exact:
+        # Exact distincts for NON-numeric columns only ride the EXPAND
+        # pass — numeric columns get their exact distinct count for free
+        # from the median unpivot below (one row per distinct value), so
+        # the EXPAND multiplier shrinks from n_cols+1 to n_nonnumeric+1
+        # (lineitem: ×12 → ×4 of the input row count).
         d_aggs = [
             F.count_distinct(F.col(f.name)).alias(f"__d_{i}")
             for i, f in enumerate(fields)
+            if not is_numeric(f.dataType)
         ]
-        wide_d = df.groupBy(*group_by).agg(*d_aggs)
-        wide = wide.join(wide_d, group_by) if group_by else wide.crossJoin(wide_d)
+        if d_aggs:
+            wide_d = df.groupBy(*group_by).agg(*d_aggs)
+            wide = (
+                wide.join(wide_d, group_by) if group_by else wide.crossJoin(wide_d)
+            )
+        # exact medians: unpivot the numeric columns to (group, cid,
+        # value) rows, pre-aggregate VALUE COUNTS, and feed percentile's
+        # frequency form — the buffer content is identical to
+        # percentile(col, 0.5) (same value→count map, same interpolation),
+        # so results are bit-equal, but (a) the TypedImperative map sees
+        # one update per DISTINCT value instead of one per row, and (b)
+        # the expensive per-group final sort parallelizes across
+        # groups × columns rows instead of serializing all N columns'
+        # sorts inside one final-agg task per group. Keeping percentile
+        # INSIDE the shared metric pass measured 16.3 s vs 2.7 s without
+        # it at 6 M rows × 8 numeric columns (OPTIMIZATION_r06.md).
+        num_ids = [i for i, f in enumerate(fields) if is_numeric(f.dataType)]
+        if num_ids:
+            pairs = df.select(
+                *group_by,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("cid"),
+                                F.col(fields[i].name).cast("double").alias("v"),
+                            )
+                            for i in num_ids
+                        ]
+                    )
+                ).alias("__p"),
+            ).select(*group_by, "__p.cid", "__p.v").filter(F.col("v").isNotNull())
+            vcounts = pairs.groupBy(*group_by, "cid", "v").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            med_rows = vcounts.groupBy(*group_by, "cid").agg(
+                F.percentile(F.col("v"), F.lit(0.5), F.col("c")).alias("m"),
+                # one vcounts row per distinct non-null value — this IS
+                # the column's exact distinct count for the group
+                F.count(F.lit(1)).alias("dc"),
+            )
+            meds = med_rows.groupBy(*group_by).agg(
+                *[
+                    F.min(F.when(F.col("cid") == i, F.col("m"))).alias(f"__med_{i}")
+                    for i in num_ids
+                ],
+                *[
+                    F.min(F.when(F.col("cid") == i, F.col("dc"))).alias(f"__dcn_{i}")
+                    for i in num_ids
+                ],
+            )
+            # LEFT: a group whose numeric columns are all NULL has no
+            # unpivoted rows at all — its medians are NULL, same as
+            # percentile over an all-NULL column
+            wide = (
+                wide.join(meds, group_by, "left")
+                if group_by
+                else wide.crossJoin(meds)
+            )
 
     def _distinct(i: int) -> Column:
-        return F.col(f"__d_{i}") if cfg.exact else F.col(f"__m_{i}.distinct_count")
+        if not cfg.exact:
+            return F.col(f"__m_{i}.distinct_count")
+        if is_numeric(fields[i].dataType):
+            # from the median unpivot; an all-NULL column has no
+            # unpivoted rows → left-join NULL → 0, count_distinct's value
+            return F.coalesce(F.col(f"__dcn_{i}"), F.lit(0))
+        return F.col(f"__d_{i}")
+
+    def _median(i: int, f: T.StructField) -> Column:
+        if cfg.exact and is_numeric(f.dataType):
+            return F.col(f"__med_{i}").cast("double")
+        return F.col(f"__m_{i}.median_value")
 
     entries = F.array(
         *[
             F.struct(
                 F.lit(f.name).alias("column_name"),
                 F.lit(f.dataType.simpleString()).alias("data_type"),
-                F.col(f"__m_{i}").withField(
-                    "distinct_count", _distinct(i).cast("long")
-                ).alias("m"),
+                F.col(f"__m_{i}")
+                .withField("distinct_count", _distinct(i).cast("long"))
+                .withField("median_value", _median(i, f).cast("double"))
+                .alias("m"),
             )
             for i, f in enumerate(fields)
         ]

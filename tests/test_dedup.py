@@ -150,22 +150,34 @@ def test_connected_components_exhaustion_raises(spark):
 
     import pytest
 
+    from dataprofiler_spark.operators import dedup
     from dataprofiler_spark.operators.dedup import connected_components
 
-    # chain of diameter 7: min-label needs ~7 propagation rounds
+    # chain of diameter 7: min-label needs ~7 propagation rounds. The
+    # r6 driver union-find shortcut solves small edge lists exactly
+    # (no iteration limit applies) — force the DISTRIBUTED loop, whose
+    # exhaustion guard this test pins, by zeroing the shortcut bound.
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "key1 bigint, key2 bigint"
     )
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(chain, max_iterations=2)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        out = connected_components(chain, max_iterations=2, on_max_iterations="warn")
-        out.collect()
-        assert any("fixpoint" in str(x.message) for x in w)
-    # enough rounds → converges, no error
-    comp = {r.node: r.component for r in connected_components(chain, max_iterations=10).collect()}
+    # shortcut path: exact answer regardless of max_iterations, no raise
+    comp = {r.node: r.component for r in connected_components(chain, max_iterations=2).collect()}
     assert set(comp.values()) == {1}
+    old = dedup.CC_DRIVER_EDGE_THRESHOLD
+    dedup.CC_DRIVER_EDGE_THRESHOLD = -1
+    try:
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            connected_components(chain, max_iterations=2)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = connected_components(chain, max_iterations=2, on_max_iterations="warn")
+            out.collect()
+            assert any("fixpoint" in str(x.message) for x in w)
+        # enough rounds → converges, no error
+        comp = {r.node: r.component for r in connected_components(chain, max_iterations=10).collect()}
+        assert set(comp.values()) == {1}
+    finally:
+        dedup.CC_DRIVER_EDGE_THRESHOLD = old
 
 
 def test_lsh_on_real_documents(spark):
@@ -240,12 +252,19 @@ def test_connected_components_star_matches_label_and_handles_long_chains(spark):
 
     # 300-hop chain: diameter 299. Label propagation with 15 rounds raises;
     # the star variant converges (O(log n) rounds) and finds one component.
+    # (distributed loops forced: the driver shortcut would solve both)
+    from dataprofiler_spark.operators import dedup as _dd
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(300)], "key1 bigint, key2 bigint"
     )
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(chain, max_iterations=15)
-    comp = {r.node: r.component for r in connected_components_star(chain, max_iterations=15).collect()}
+    old = _dd.CC_DRIVER_EDGE_THRESHOLD
+    _dd.CC_DRIVER_EDGE_THRESHOLD = -1
+    try:
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            connected_components(chain, max_iterations=15)
+        comp = {r.node: r.component for r in connected_components_star(chain, max_iterations=15).collect()}
+    finally:
+        _dd.CC_DRIVER_EDGE_THRESHOLD = old
     assert len(comp) == 301 and set(comp.values()) == {0}
 
 
@@ -710,3 +729,29 @@ def test_containment_catches_superset_jaccard_misses(spark):
     assert r.containment_1 == 1.0 and r.containment_2 < 0.1
     jac = ngram_jaccard_pairs(df, "doc_id", threshold=0.2).collect()
     assert jac == []  # Jaccard misses the superset at any sane threshold
+
+
+def test_driver_cc_shortcut_matches_distributed(spark):
+    """r6: the driver union-find shortcut must produce EXACTLY the
+    distributed loop's labels (node -> min component member), including
+    on string keys."""
+    import random
+
+    from dataprofiler_spark.operators import dedup
+    from dataprofiler_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    for schema, rows in (
+        ("key1 bigint, key2 bigint", edges),
+        ("key1 string, key2 string", [(f"d{a:03d}", f"d{b:03d}") for a, b in edges]),
+    ):
+        df = spark.createDataFrame(rows, schema)
+        fast = {r.node: r.component for r in connected_components(df).collect()}
+        old = dedup.CC_DRIVER_EDGE_THRESHOLD
+        dedup.CC_DRIVER_EDGE_THRESHOLD = -1
+        try:
+            slow = {r.node: r.component for r in connected_components(df, max_iterations=50).collect()}
+        finally:
+            dedup.CC_DRIVER_EDGE_THRESHOLD = old
+        assert fast == slow
