@@ -125,6 +125,25 @@ def word_shingles(
     return F.array_distinct(arr) if distinct else arr
 
 
+def word_shingle_hashes(words: Column, k: int) -> Column:
+    """xxhash64 per k-word shingle computed straight from the word tuple
+    — no shingle STRING is ever allocated (concat_ws built ~50 bytes per
+    shingle just to hash and discard it). Identity is preserved: words
+    cannot contain whitespace (split on \\s+), so the k-tuple ↔ joined
+    string mapping is a bijection and tuple-hash equality ≡ string-hash
+    equality (absent 64-bit collisions, the standing digest convention).
+    The n<k fallback hashes the whole-doc joined string — such shingles
+    only ever compare against other short-doc shingles, exactly as the
+    string form behaved (a k-word string never equals a <k-word one)."""
+    n = F.size(words)
+    sh = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(words, i + j) for j in range(k)]
+    )
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), sh)
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+
+
 def _shingle_long_hash(s: Column) -> Column:
     """Portable shingle hash in [0, 2^31-1): first 7 hex chars of md5
     (28 bits) — chosen over xxhash64 so DuckDB oracles can reproduce it
@@ -338,11 +357,8 @@ def _shingle_pair_counts(
             F.col(key_col).alias("key"),
             # gotcha 43: outer explode dodges the inferred re-evaluating
             # filter; the array is never empty (n<k yields 1 shingle)
-            F.explode_outer(
-                word_shingles(words, shingle_k, pre_split=True, distinct=False)
-            ).alias("s"),
+            F.explode_outer(word_shingle_hashes(words, shingle_k)).alias("s"),
         )
-        .select("key", F.xxhash64("s").alias("s"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -1487,11 +1503,12 @@ def cross_source_overlap(
     """
     staged = _spread_small_input(df).select(
         F.col(source_col).alias("src"),
-        # distinct=False: the digest stream below is .distinct()-ed
-        # globally, so the per-doc O(n²) array_distinct is redundant work
-        word_shingles(
-            _ws_words(F.col(text_col)), shingle_k, pre_split=True, distinct=False
-        ).alias("__cs_ss"),
+        # digests computed straight from the word tuples (no shingle
+        # strings, no per-doc array_distinct — the stream below is
+        # .distinct()-ed globally)
+        word_shingle_hashes(_ws_words(F.col(text_col)), shingle_k).alias(
+            "__cs_ss"
+        ),
     )
     # EAGER checkpoint, deliberately unlike the gotcha-24 default: the
     # per-source count frames re-enter the plan as BROADCAST subqueries,
@@ -1499,8 +1516,7 @@ def cross_source_overlap(
     # consumers race to compute this frame before either persists it,
     # doubling the corpus scan (caught by the accumulator plan gate).
     sh = (
-        staged.select("src", F.explode_outer("__cs_ss").alias("s"))  # gotcha 43
-        .select("src", F.xxhash64("s").alias("h"))
+        staged.select("src", F.explode_outer("__cs_ss").alias("h"))  # gotcha 43
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -85,11 +85,18 @@ def test_profile_wholestage_codegen(spark):
 def test_exact_profile_is_two_jobs_joined(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_of(profile(docs, "documents", group_by=["lang"], cfg=ProfileConfig(exact=True)))
-    assert "Expand" in p  # distinct pass
-    # the percentile aggregate must NOT sit inside the Expand subtree's
-    # aggregate (the 6x fallback) — it lives in the joined main pass
-    expand_section = p.split("Expand")[0]
-    assert "percentile" in expand_section  # main pass plans before expand side
+    assert "Expand" in p  # distinct pass (non-numeric columns)
+    # r6: exact medians ride a numeric-column unpivot (Generate explode)
+    # feeding percentile's FREQUENCY form — the percentile aggregate must
+    # never sit inside the Expand subtree's aggregate (the 6x sort-based
+    # fallback of gotcha 7), and the metric pass itself carries no
+    # percentile buffers at all
+    expand_idx = p.index("Expand")
+    pct_idx = p.index("percentile")
+    gen_idx = p.index("Generate explode")
+    assert pct_idx != -1 and gen_idx != -1
+    # the percentile consumes the exploded unpivot, not the Expand side
+    assert "percentile" not in p[expand_idx : expand_idx + 400]
 
 
 def test_salted_profile_exchanges_on_salt(spark):
