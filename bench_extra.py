@@ -185,6 +185,8 @@ def main() -> None:
                 os.path.join(d, f"{name}_{suffix or 'plan'}.txt"), "w"
             ) as fh:
                 fh.write(buf.getvalue())
+        if os.environ.get("BENCH_EXTRA_PLAN_ONLY") == "1":
+            continue
         frame.write.format("noop").mode("overwrite").save()  # warm untimed
         best = float("inf")
         for i in range(REPEAT):

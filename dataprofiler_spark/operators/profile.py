@@ -63,7 +63,12 @@ def is_minmax_supported(dt: T.DataType) -> bool:
     return isinstance(dt, (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType))
 
 
-def _metric_struct(field: T.StructField, cfg: ProfileConfig, distinct_col: str | None) -> Column:
+def _metric_struct(
+    field: T.StructField,
+    cfg: ProfileConfig,
+    distinct_col: str | None,
+    inline_median: bool = False,
+) -> Column:
     """Non-distinct aggregates for one column, as a uniform struct (so
     per-column structs can be stacked into an array and exploded to long
     format). The distinct count is injected from `distinct_col` (a column
@@ -86,16 +91,17 @@ def _metric_struct(field: T.StructField, cfg: ProfileConfig, distinct_col: str |
 
     if is_numeric(dt):
         avg = F.avg(c)
-        med = (
-            # exact medians are injected from per-column aggregate
-            # subplans after the join (see profile()) — keeping the
-            # TypedImperative percentile() buffers OUT of the shared
-            # metric pass lets their per-group merge+sort run in
-            # parallel stages instead of serializing inside one task
-            F.first(null_d)
-            if cfg.exact
-            else F.percentile_approx(c, F.lit(0.5), F.lit(10_000)).cast("double")
-        )
+        if not cfg.exact:
+            med = F.percentile_approx(c, F.lit(0.5), F.lit(10_000)).cast("double")
+        elif inline_median:
+            med = F.percentile(c, F.lit(0.5))
+        else:
+            # exact medians are injected from the unpivot pass after the
+            # join (see profile()) — keeping the TypedImperative
+            # percentile() buffers OUT of the shared metric pass lets
+            # their per-group merge+sort run in parallel stages instead
+            # of serializing inside one task
+            med = F.first(null_d)
         sdp, sds = F.stddev_pop(c), F.stddev_samp(c)
     else:
         avg = med = sdp = sds = F.first(null_d)
@@ -216,9 +222,19 @@ def profile(
     ]
 
     distinct_pass = "exact" if cfg.exact else None
+    num_ids = [i for i, f in enumerate(fields) if is_numeric(f.dataType)]
+    # the unpivot median/distinct pass pays off when several numeric
+    # columns share it (its aggregates amortize; measured 12.4 s vs
+    # 16.4 s on lineitem's 8 numeric columns) but costs MORE than the
+    # inline percentile for 1-2 numeric columns (profile_grouped on the
+    # 4 M-row sequence table regressed 5.4 -> 6.3 s) — both paths are
+    # bit-equal, so the choice is purely physical
+    use_unpivot = cfg.exact and len(num_ids) >= 3
     aggs = [F.count(F.lit(1)).alias("row_count")]
     aggs += [
-        _metric_struct(f, cfg, distinct_pass).alias(f"__m_{i}")
+        _metric_struct(f, cfg, distinct_pass, inline_median=not use_unpivot).alias(
+            f"__m_{i}"
+        )
         for i, f in enumerate(fields)
     ]
     wide = df.groupBy(*group_by).agg(*aggs)
@@ -232,7 +248,7 @@ def profile(
         d_aggs = [
             F.count_distinct(F.col(f.name)).alias(f"__d_{i}")
             for i, f in enumerate(fields)
-            if not is_numeric(f.dataType)
+            if not (use_unpivot and is_numeric(f.dataType))
         ]
         if d_aggs:
             wide_d = df.groupBy(*group_by).agg(*d_aggs)
@@ -250,8 +266,7 @@ def profile(
         # sorts inside one final-agg task per group. Keeping percentile
         # INSIDE the shared metric pass measured 16.3 s vs 2.7 s without
         # it at 6 M rows × 8 numeric columns (OPTIMIZATION_r06.md).
-        num_ids = [i for i, f in enumerate(fields) if is_numeric(f.dataType)]
-        if num_ids:
+        if use_unpivot:
             pairs = df.select(
                 *group_by,
                 F.explode(
@@ -297,14 +312,14 @@ def profile(
     def _distinct(i: int) -> Column:
         if not cfg.exact:
             return F.col(f"__m_{i}.distinct_count")
-        if is_numeric(fields[i].dataType):
+        if use_unpivot and is_numeric(fields[i].dataType):
             # from the median unpivot; an all-NULL column has no
             # unpivoted rows → left-join NULL → 0, count_distinct's value
             return F.coalesce(F.col(f"__dcn_{i}"), F.lit(0))
         return F.col(f"__d_{i}")
 
     def _median(i: int, f: T.StructField) -> Column:
-        if cfg.exact and is_numeric(f.dataType):
+        if use_unpivot and is_numeric(f.dataType):
             return F.col(f"__med_{i}").cast("double")
         return F.col(f"__m_{i}.median_value")
 
