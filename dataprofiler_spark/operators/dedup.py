@@ -315,13 +315,19 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     real query then repays in full. A shuffled input is already spread
     to spark.sql.shuffle.partitions, so any plan containing an Exchange
     skips both the probe and the repartition."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan or "ShuffleQueryStage" in plan:
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "ShuffleQueryStage" in plan:
+            return df
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    except Exception:
+        # the probe rides private plan APIs (r5 ADVICE: brittle across
+        # Spark versions) — any failure degrades to "no spread", which
+        # is always correct
+        return df
 
 
 def _shingle_pair_counts(
@@ -403,7 +409,11 @@ def ngram_jaccard_pairs(
     configuration goes quadratic on boilerplate at corpus scale, so opting
     OUT (None) must be explicit. Note the dropped hot shingles also leave
     the |A|/|B| set sizes, so Jaccard values shift slightly vs uncapped —
-    the standard approximation trade, disclosed."""
+    the standard approximation trade, disclosed.
+
+    Side effect: CONSTRUCTION runs the corpus scan eagerly (the shared
+    skeleton checkpoints its digest frame eager — r5 ADVICE disclosure;
+    gotcha 44 explains why lazy is unsafe here)."""
     base = _shingle_pair_counts(df, key_col, text_col, shingle_k, max_shingle_doc_freq)
     return base.select(
         "key1",
@@ -429,7 +439,8 @@ def ngram_containment_pairs(
     the operator for quote-expansion chains, syndicated articles wrapped
     in differing chrome, and partial mirrors. Same capped one-scan shape
     as ngram_jaccard_pairs (shared skeleton; the hot-shingle cap bounds
-    the quadratic identically)."""
+    the quadratic identically). Construction runs the corpus scan
+    eagerly (shared-skeleton checkpoint — r5 ADVICE disclosure)."""
     base = _shingle_pair_counts(df, key_col, text_col, shingle_k, max_shingle_doc_freq)
     return base.select(
         "key1",
@@ -1586,7 +1597,11 @@ def duplicate_group_size_histogram(
         sizes.groupBy("group_size")
         .agg(F.count(F.lit(1)).alias("n_groups"))
         .withColumn("n_docs", F.col("group_size") * F.col("n_groups"))
-        .localCheckpoint(eager=False)
+        # eager: `total` re-enters the plan as a BROADCAST subquery while
+        # hist is also the stream side — a lazy checkpoint races the
+        # concurrent broadcast job into double-computing the digest
+        # aggregate (gotcha 44; r5 ADVICE item)
+        .localCheckpoint(eager=True)
     )
     total = hist.agg(F.sum("n_docs").alias("__t"))
     return hist.crossJoin(F.broadcast(total)).select(
