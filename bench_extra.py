@@ -83,7 +83,11 @@ def main() -> None:
         return dsir_resample(dsir_score(raw, model), 1000, salt="b")
 
     # frame builders (fresh plan per call — gotcha 10); timed via noop
-    # sink unless the bench entry itself collects an aggregate-sized frame
+    # sink unless the bench entry itself collects an aggregate-sized frame.
+    # NOTE: profile_grouped here runs over the DOCUMENTS table for
+    # self-contained iteration; the frozen bench.py's profile_grouped
+    # runs over the generated 4M-row sequence table — compare those
+    # numbers against bench.py runs, not this entry.
     entries = {
         "profile_grouped": lambda: profile(docs, "documents", group_by=["source"]),
         "profile_lineitem": lambda: profile(

@@ -44,3 +44,24 @@ def test_text_formats_require_schema(spark, tmp_path):
         read_source(spark, str(tmp_path), "csv")
     with pytest.raises(ValueError, match="unsupported format"):
         read_source(spark, str(tmp_path), "avro")
+
+
+def test_load_table_spread_preserves_rows_and_parallelism(spark):
+    """r6: load_table spreads single-row-group driver tables to
+    defaultParallelism partitions (guarded; no-op when splits >= cores)
+    without changing content, and spread=False returns the raw scan."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    spread = load_table(spark, sf, "documents")
+    raw = load_table(spark, sf, "documents", spread=False)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert raw.rdd.getNumPartitions() < spread.rdd.getNumPartitions()
+    # identical multiset of rows (digest-sum is order-independent)
+    dig = lambda df: df.select(  # noqa: E731
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert dig(spread) == dig(raw)
