@@ -96,11 +96,11 @@ def _metric_struct(
         elif inline_median:
             med = F.percentile(c, F.lit(0.5))
         else:
-            # exact medians are injected from the unpivot pass after the
-            # join (see profile()) — keeping the TypedImperative
-            # percentile() buffers OUT of the shared metric pass lets
-            # their per-group merge+sort run in parallel stages instead
-            # of serializing inside one task
+            # exact medians are injected from the per-column value-count
+            # pass after the join (see profile()) — keeping the
+            # TypedImperative percentile() buffers OUT of the shared
+            # metric pass lets their per-group merge+sort run in parallel
+            # stages instead of serializing inside one task
             med = F.first(null_d)
         sdp, sds = F.stddev_pop(c), F.stddev_samp(c)
     else:
@@ -223,16 +223,16 @@ def profile(
 
     distinct_pass = "exact" if cfg.exact else None
     num_ids = [i for i, f in enumerate(fields) if is_numeric(f.dataType)]
-    # the unpivot median/distinct pass pays off when several numeric
-    # columns share it (its aggregates amortize; measured 12.4 s vs
-    # 16.4 s on lineitem's 8 numeric columns) but costs MORE than the
-    # inline percentile for 1-2 numeric columns (profile_grouped on the
-    # 4 M-row sequence table regressed 5.4 -> 6.3 s) — both paths are
-    # bit-equal, so the choice is purely physical
-    use_unpivot = cfg.exact and len(num_ids) >= 3
+    # the split median/distinct pass pays off when several numeric
+    # columns share the machinery (measured 12.4 s vs 16.4 s on
+    # lineitem's 8 numeric columns) but costs MORE than the inline
+    # percentile for 1-2 numeric columns (profile_grouped on the 4 M-row
+    # sequence table regressed 5.4 -> 6.3 s) — both paths are bit-equal,
+    # so the choice is purely physical
+    use_split_medians = cfg.exact and len(num_ids) >= 3
     aggs = [F.count(F.lit(1)).alias("row_count")]
     aggs += [
-        _metric_struct(f, cfg, distinct_pass, inline_median=not use_unpivot).alias(
+        _metric_struct(f, cfg, distinct_pass, inline_median=not use_split_medians).alias(
             f"__m_{i}"
         )
         for i, f in enumerate(fields)
@@ -248,25 +248,25 @@ def profile(
         d_aggs = [
             F.count_distinct(F.col(f.name)).alias(f"__d_{i}")
             for i, f in enumerate(fields)
-            if not (use_unpivot and is_numeric(f.dataType))
+            if not (use_split_medians and is_numeric(f.dataType))
         ]
         if d_aggs:
             wide_d = df.groupBy(*group_by).agg(*d_aggs)
             wide = (
                 wide.join(wide_d, group_by) if group_by else wide.crossJoin(wide_d)
             )
-        # exact medians: unpivot the numeric columns to (group, cid,
-        # value) rows, pre-aggregate VALUE COUNTS, and feed percentile's
-        # frequency form — the buffer content is identical to
-        # percentile(col, 0.5) (same value→count map, same interpolation),
-        # so results are bit-equal, but (a) the TypedImperative map sees
-        # one update per DISTINCT value instead of one per row, and (b)
-        # the expensive per-group final sort parallelizes across
-        # groups × columns rows instead of serializing all N columns'
-        # sorts inside one final-agg task per group. Keeping percentile
-        # INSIDE the shared metric pass measured 16.3 s vs 2.7 s without
-        # it at 6 M rows × 8 numeric columns (OPTIMIZATION_r06.md).
-        if use_unpivot:
+        # exact medians: pre-aggregate VALUE COUNTS per numeric column
+        # and feed percentile's frequency form — the buffer content is
+        # identical to percentile(col, 0.5) (same value→count map, same
+        # interpolation), so results are bit-equal, but (a) the
+        # TypedImperative map sees one update per DISTINCT value instead
+        # of one per row, and (b) the per-group final sorts parallelize
+        # across the per-column subplans instead of serializing all N
+        # columns' sorts inside one final-agg task per group. Keeping
+        # percentile INSIDE the shared metric pass measured 16.3 s vs
+        # 2.7 s without it at 6 M rows × 8 numeric columns
+        # (OPTIMIZATION_r06.md).
+        if use_split_medians:
             # one value-count aggregate PER numeric column (pruned to its
             # own column — at 100 TB, N columnar scans move the same
             # bytes one wide scan did), joined back as aggregate-sized
@@ -304,14 +304,14 @@ def profile(
     def _distinct(i: int) -> Column:
         if not cfg.exact:
             return F.col(f"__m_{i}.distinct_count")
-        if use_unpivot and is_numeric(fields[i].dataType):
-            # from the median unpivot; an all-NULL column has no
-            # unpivoted rows → left-join NULL → 0, count_distinct's value
+        if use_split_medians and is_numeric(fields[i].dataType):
+            # from the value-count pass; an all-NULL column has no vc
+            # rows → left-join NULL → 0, count_distinct's value
             return F.coalesce(F.col(f"__dcn_{i}"), F.lit(0))
         return F.col(f"__d_{i}")
 
     def _median(i: int, f: T.StructField) -> Column:
-        if use_unpivot and is_numeric(f.dataType):
+        if use_split_medians and is_numeric(f.dataType):
             return F.col(f"__med_{i}").cast("double")
         return F.col(f"__m_{i}.median_value")
 
