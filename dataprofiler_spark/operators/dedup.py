@@ -355,7 +355,10 @@ def _shingle_pair_counts(
     gotcha-9 convention — cross_source_overlap and the minhash family
     already count xxhash64 digests). Eager, because the hot set
     re-enters as a BROADCAST and concurrent broadcast jobs race a lazy
-    checkpoint into double execution (gotcha 44 / cross_source_overlap)."""
+    checkpoint into double execution (gotcha 44 / cross_source_overlap).
+
+    Construction additionally materializes the per-doc size frame
+    (it is consumed by both the na and nb join sides)."""
     words = _ws_words(F.col(text_col))
     sh = (
         _spread_small_input(df)
@@ -379,8 +382,23 @@ def _shingle_pair_counts(
             .localCheckpoint(eager=True)
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    # sizes is consumed twice (na and nb) — checkpointed so the 6M-row
+    # scan + aggregate runs once, not once per join side (the r6.0 plan
+    # ran the identical subplan twice, ops 28-30/41-43 in
+    # plans/r06/ngram_jaccard_pairs_after.txt)
+    sizes = (
+        sh.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     other = sh.select(F.col("key").alias("key2"), "s")
+    # The co-occurrence aggregate (~127M narrow rows into ~114M groups
+    # at 50k docs) is the operator's converged floor: a packed
+    # single-long pair key ((key1<<32)+key2) measured bit-identical
+    # results but FLAT wall-clock once the JIT converges (14.5 vs 15.0 s
+    # over 3 fresh-session runs each — an initial 2x reading was
+    # warm-up-order contamination, gotcha 31), so the simpler two-column
+    # groupBy stays.
     inter = (
         sh.join(other, "s")
         .filter(F.col("key") < F.col("key2"))

@@ -658,6 +658,23 @@ def test_pair_family_single_corpus_scan(spark):
         assert acc.value == len(rows), (op, acc.value)
 
 
+def test_pair_family_sizes_aggregate_materialized_once(spark):
+    """The per-doc size frame feeds BOTH the na and nb join sides; it is
+    checkpointed at construction so the final plan carries exactly one
+    aggregate (the partial+final pair count) — the r6.0 plan re-ran the
+    identical 6M-row sizes subplan once per join side
+    (plans/r06/ngram_jaccard_pairs_after.txt ops 28-30/41-43)."""
+    from dataprofiler_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"w{i} x{i} y{i} z{i} common tail here") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, "doc_id", threshold=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial + final of the pair-count aggregate and nothing else:
+    # sizes and the hot-shingle set are pre-materialized RDD scans
+    assert plan.count("HashAggregate") == 2, plan
+
+
 def test_spread_probe_never_executes_shuffled_lineage(spark):
     """_spread_small_input must not convert a plan WITH exchanges to an
     RDD: under AQE that executes the upstream query stages at operator
