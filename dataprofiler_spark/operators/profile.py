@@ -87,7 +87,16 @@ def _metric_struct(
     if is_minmax_supported(dt):
         mn, mx = F.min(c).cast("string"), F.max(c).cast("string")
     else:
-        mn = mx = F.first(F.lit(None).cast("string"))
+        # NULL placeholder with a DOUBLE buffer, cast to string in the
+        # result expression: first(NULL::string) puts a var-width field
+        # in the aggregation buffer, and ONE non-mutable buffer field
+        # anywhere pushes the ENTIRE shared metric pass from
+        # HashAggregate to SortAggregate (gotcha-28 family) — every
+        # partition of full rows gets sorted. Measured on the 12M-row
+        # lineitem wide pass: 33 s sort-based vs ~2 s hash-based; the
+        # sort fallback also spills past ~6M rows, which is why the
+        # cliff is superlinear. Output is identical (NULL string).
+        mn = mx = F.first(null_d).cast("string")
 
     if is_numeric(dt):
         avg = F.avg(c)

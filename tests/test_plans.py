@@ -658,6 +658,27 @@ def test_pair_family_single_corpus_scan(spark):
         assert acc.value == len(rows), (op, acc.value)
 
 
+def test_profile_split_median_wide_pass_stays_hash_aggregate(spark):
+    """ONE var-width field in an aggregation buffer pushes the whole
+    shared metric pass from HashAggregate to SortAggregate (gotcha-28
+    family) — the r6.0 first(NULL::string) placeholder for non-minmax
+    columns did exactly that, sorting every partition of full rows
+    (33 s vs 8 s on the 12M-row lineitem wide pass, superlinear via
+    sort spill). The placeholder now keeps a double buffer and casts in
+    the result expression; this pins the split-median path's plan (>= 3
+    numeric columns + a string column) to hash aggregation."""
+    df = spark.range(100).select(
+        F.col("id").alias("g"),
+        F.col("id").cast("double").alias("a"),
+        (F.col("id") * 2).cast("double").alias("b"),
+        (F.col("id") * 3).cast("double").alias("c"),
+        F.col("id").cast("string").alias("s"),
+    )
+    out = profile(df, "t", group_by=["g"], cfg=ProfileConfig(exact=True))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+
+
 def test_pair_family_sizes_aggregate_materialized_once(spark):
     """The per-doc size frame feeds BOTH the na and nb join sides; it is
     checkpointed at construction so the final plan carries exactly one
