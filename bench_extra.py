@@ -47,6 +47,7 @@ def main() -> None:
         ngram_jaccard_pairs,
         simhash_near_dup_pairs,
     )
+    from dataprofiler_spark.functions.expressions import words as _words
     from dataprofiler_spark.operators.drift import histogram, token_frequency
     from dataprofiler_spark.operators.profile import profile
     from dataprofiler_spark.operators.sampling import (
@@ -93,7 +94,11 @@ def main() -> None:
         "profile_lineitem": lambda: profile(
             lineitem, "lineitem", group_by=["l_returnflag"]
         ),
-        "token_frequency_top100": lambda: token_frequency(docs, top_k=100),
+        # bench.py runs this on the generated sequence table's `tokens`
+        # array; here the docs table stands in via the shared tokenizer
+        "token_frequency_top100": lambda: token_frequency(
+            docs.select(_words(F.col("text")).alias("tokens")), top_k=100
+        ),
         "minhash_lsh_pairs": lambda: lsh_candidate_pairs(
             docs, "doc_id", num_hashes=16, bands=8
         ),
