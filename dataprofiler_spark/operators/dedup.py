@@ -314,7 +314,16 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     executes its upstream query stages at construction time — work the
     real query then repays in full. A shuffled input is already spread
     to spark.sql.shuffle.partitions, so any plan containing an Exchange
-    skips both the probe and the repartition."""
+    skips both the probe and the repartition.
+
+    Caveat (r6.2): the split count overstates effective parallelism on
+    big files with FEW parquet row groups — byte-range splits beyond
+    the row-group count are EMPTY (a row group reads whole in the split
+    holding its midpoint). Inputs loaded via sources.tables.load_table
+    are already guarded by the footer row-group probe (and then carry
+    an Exchange, so this probe skips); raw scans of 128 MB+
+    few-row-group files passed directly to operators can still fool
+    this DataFrame-only probe — prefer load_table for such inputs."""
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "Exchange" in plan or "ShuffleQueryStage" in plan:

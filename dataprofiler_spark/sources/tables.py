@@ -25,8 +25,32 @@ TABLES = (
 )
 
 
-def _spread_scan(df: DataFrame) -> DataFrame:
-    """Repartition a scan whose split count is below the core count.
+def _parquet_row_groups(path: str) -> int | None:
+    """Total parquet row groups under `path` (file or directory) from
+    the footers — the TRUE ceiling on scan parallelism: Spark splits
+    files by BYTE RANGES, but a row group is read entirely by the split
+    containing its midpoint, so a 260 MB single-row-group file yields 32
+    splits of which 31 are EMPTY. Footer reads are metadata-only
+    (milliseconds, no data scan)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return None
+
+
+def _spread_scan(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Repartition a scan whose EFFECTIVE parallelism is below the core
+    count.
 
     The driver testdata tables are single files with 1-6 parquet row
     groups: every narrow chain over them (tokenize+explode, pair
@@ -34,9 +58,18 @@ def _spread_scan(df: DataFrame) -> DataFrame:
     tasks of a local[32] session — measured as THE dominant cost of a
     dozen bench entries (batch_knn_top5 spent 54 s single-task at sf1.0;
     spreading alone takes the same plan to ~5 s). A no-op at real scale:
-    a 100 TB table has orders of magnitude more splits than cores, so
-    the guard never fires and no Exchange is added. Column pruning and
-    filter pushdown pass through Repartition, so scans stay pruned.
+    a 100 TB table has orders of magnitude more row groups than cores,
+    so the guard never fires and no Exchange is added. Column pruning
+    and filter pushdown pass through Repartition, so scans stay pruned.
+
+    Effective parallelism is min(splits, row groups), NOT the split
+    count: byte-range splitting assigns a row group to the split holding
+    its midpoint, so a big single-row-group file can show >= cores
+    splits where all but one are EMPTY — the r6.0 guard was fooled
+    exactly there (a 128 MB / 6-row-group lineitem planned 32 splits but
+    ran 6 tasks; a 260 MB single-row-group file ran ONE). The footer
+    probe restores the real ceiling; when no path is known the split
+    count is the best available signal (unchanged behavior).
 
     The df.rdd partition probe is safe here because the input is a bare
     scan (no Exchange upstream — same rule as dedup._spread_small_input)."""
@@ -45,6 +78,10 @@ def _spread_scan(df: DataFrame) -> DataFrame:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
+    if path is not None:
+        rg = _parquet_row_groups(path)
+        if rg is not None:
+            n = min(n, rg)
     if n >= target:
         return df
     # hash-partition on the leading column instead of round-robin:
@@ -63,8 +100,9 @@ def _spread_scan(df: DataFrame) -> DataFrame:
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = True
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _spread_scan(df) if spread else df
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    return _spread_scan(df, path) if spread else df
 
 
 # The reference's "connector" surface is 4 SQL dialects behind one factory

@@ -65,3 +65,47 @@ def test_load_table_spread_preserves_rows_and_parallelism(spark):
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     assert dig(spread) == dig(raw)
+
+
+def test_spread_guard_sees_row_groups_not_byte_splits(spark, tmp_path):
+    """A big SINGLE-row-group file plans >= cores byte-range splits, but
+    a row group is read whole by the split holding its midpoint — all
+    but one split are EMPTY, and the r6.0 split-count guard was fooled
+    into skipping the spread (the 260 MB lineitem ran its whole scan on
+    ONE task at local[32]). The guard now bounds effective parallelism
+    by the parquet footers' row-group count."""
+    from pyspark.sql.functions import spark_partition_id
+
+    from dataprofiler_spark.sources.tables import load_table
+
+    path = str(tmp_path / "one_rg.parquet")
+    # one row group (small writer target never splits 5k rows)
+    spark.range(5000).coalesce(1).write.mode("overwrite").parquet(path)
+    import os as _os
+    import shutil
+
+    part = [f for f in _os.listdir(path) if f.endswith(".parquet")][0]
+    shutil.move(_os.path.join(path, part), str(tmp_path / "t.parquet"))
+    shutil.rmtree(path)
+    _os.makedirs(path.rsplit("/", 1)[0], exist_ok=True)
+
+    # shrink split sizing so the 1-row-group file plans many tiny splits
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df = load_table(spark, str(tmp_path), "t")
+        splits_raw = load_table(spark, str(tmp_path), "t", spread=False)
+        # precondition: byte-range splits alone would satisfy the old guard
+        assert (
+            splits_raw.rdd.getNumPartitions()
+            >= spark.sparkContext.defaultParallelism
+        )
+        # the fixed guard still spreads: rows land on >1 partition
+        nonempty = df.groupBy(spark_partition_id()).count().count()
+        assert nonempty > 1, "single-row-group scan was not spread"
+        assert df.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
