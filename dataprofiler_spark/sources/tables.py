@@ -65,11 +65,23 @@ def _spread_scan(df: DataFrame, path: str | None = None) -> DataFrame:
     Effective parallelism is min(splits, row groups), NOT the split
     count: byte-range splitting assigns a row group to the split holding
     its midpoint, so a big single-row-group file can show >= cores
-    splits where all but one are EMPTY — the r6.0 guard was fooled
-    exactly there (a 128 MB / 6-row-group lineitem planned 32 splits but
-    ran 6 tasks; a 260 MB single-row-group file ran ONE). The footer
-    probe restores the real ceiling; when no path is known the split
-    count is the best available signal (unchanged behavior).
+    splits where all but one are EMPTY — the r6.0 split-count guard was
+    fooled exactly there (a 260 MB single-row-group file planned 32
+    splits but ran ONE task — the straggler behind every (31+1)/32
+    stage at that layout).
+
+    The row-group rule is deliberately STRICTER than the split rule
+    (fires only at <= cores/8 effective tasks): the spread pays one
+    full-table shuffle, which the measured break-even puts between 1
+    and 6 tasks on this class of host — a 1-task 12M-row profile went
+    59 -> 34 s with the spread, while the SAME table at 6 row groups
+    (the driver's sf1.0 lineitem layout) measured 11.7 s WITHOUT the
+    spread vs 16.3 s with it (6-way scan-local aggregation beats
+    6 -> 32 repartition when per-row work is light and rows are wide).
+    Few-SPLIT inputs keep the r6.0 rule unchanged — every one of its
+    measured wins (batch_knn 54 -> 5 s etc.) came from that case — so
+    this probe is purely additive. When no path is known the split
+    count remains the only signal (unchanged behavior).
 
     The df.rdd partition probe is safe here because the input is a bare
     scan (no Exchange upstream — same rule as dedup._spread_small_input)."""
@@ -78,12 +90,12 @@ def _spread_scan(df: DataFrame, path: str | None = None) -> DataFrame:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if path is not None:
-        rg = _parquet_row_groups(path)
-        if rg is not None:
-            n = min(n, rg)
     if n >= target:
-        return df
+        # >= cores byte-range splits: only a catastrophic row-group
+        # deficit (all-but-a-few splits EMPTY) justifies the shuffle
+        rg = _parquet_row_groups(path) if path is not None else None
+        if rg is None or rg > max(1, target // 8):
+            return df
     # hash-partition on the leading column instead of round-robin:
     # round-robin pays a local sort of the full rows first
     # (sortBeforeRepartition, needed for retry determinism); hash
