@@ -144,6 +144,81 @@ def word_shingle_hashes(words: Column, k: int) -> Column:
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
 
 
+def shingle_hash_rows(
+    df: DataFrame, key_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Exploded (key, s) k-shingle xxhash64 rows — the lead-window form
+    of `explode(word_shingle_hashes(...))`, bit-identical output
+    (verified exceptAll both ways = 0 on the 50k-doc corpus).
+
+    Why not the HOF transform: `transform(sequence(...), i ->
+    xxhash64(element_at(w,i), ...))` is CodegenFallback — an interpreted
+    tree-walk of ~12 nodes per shingle measured 1.25 µs/shingle (3.7 s
+    for 2.6M shingles at 32 cores; the gotcha-15 family). Here the words
+    posexplode (codegen Generate), one window per document orders them,
+    lead(1..k-1) assembles each shingle tuple, and xxhash64 runs inside
+    whole-stage codegen: 0.9 s for the same rows (4×). Scale napkin for
+    the added word shuffle vs the saved interpreted CPU at 10^12
+    shingles on 32 nodes: ~30 TB extra narrow-row shuffle ≈ 310 s of
+    NIC time vs ~2,150 s of saved tree-walk CPU at 512 cores — the
+    shuffle is the cheaper side by ~7× (guide §1.3 napkin math), and it
+    doubles as the parallelism spread (no separate _spread_small_input
+    exchange needed).
+
+    Contract: `key_col` must identify documents uniquely (every caller
+    passes a primary doc key). Two rows sharing a key would interleave
+    in one window partition and lead() across copies — ORDER BY pos
+    cannot break that tie. n < k documents take the whole-doc fallback
+    hash, exactly like word_shingle_hashes.
+
+    Single corpus scan (accumulator-gated): the short-doc fallback rides
+    the SAME window stream instead of a second filtered branch — at a
+    short doc's first row every missing lead is NULL and concat_ws
+    SKIPS nulls, so concat_ws(' ', wd, l1..l_{k-1}) reconstructs the
+    whole document string exactly; an empty doc's posexplode_outer row
+    (pos NULL) concat_ws's to '' — both identical to the HOF fallback's
+    xxhash64(concat_ws(' ', words)).
+    """
+    words_f = df.select(
+        F.col(key_col).alias("key"), _ws_words(F.col(text_col)).alias("__w")
+    )
+    # posexplode_outer: the non-outer form's inferred size()>0 filter
+    # re-evaluates the split chain per row (gotcha 43), and outer keeps
+    # empty docs as a (NULL, NULL) row for the fallback case
+    ex = words_f.select(
+        "key", F.posexplode_outer("__w").alias("__pos", "__wd")
+    )
+    if k == 1:
+        return ex.select(
+            "key",
+            F.when(F.col("__pos").isNotNull(), F.xxhash64("__wd"))
+            .otherwise(F.xxhash64(F.lit("")))
+            .alias("s"),
+        )
+    win = Window.partitionBy("key").orderBy("__pos")
+    lead_names = [f"__l{i}" for i in range(1, k)]
+    staged = ex.select(
+        "key",
+        "__pos",
+        "__wd",
+        *[F.lead("__wd", i).over(win).alias(n) for i, n in enumerate(lead_names, 1)],
+    )
+    full = F.col(lead_names[-1]).isNotNull()
+    first = F.col("__pos").isNull() | (F.col("__pos") == 0)
+    return (
+        staged.select(
+            "key",
+            F.when(full, F.xxhash64("__wd", *lead_names))
+            .when(
+                first,
+                F.xxhash64(F.concat_ws(" ", "__wd", *lead_names)),
+            )
+            .alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+    )
+
+
 def _shingle_long_hash(s: Column) -> Column:
     """Portable shingle hash in [0, 2^31-1): first 7 hex chars of md5
     (28 bits) — chosen over xxhash64 so DuckDB oracles can reproduce it
@@ -368,15 +443,11 @@ def _shingle_pair_counts(
 
     Construction additionally materializes the per-doc size frame
     (it is consumed by both the na and nb join sides)."""
-    words = _ws_words(F.col(text_col))
+    # lead-window shingle rows (see shingle_hash_rows: 4× over the
+    # interpreted HOF transform; its window exchange also spreads a
+    # few-split scan, so no _spread_small_input here)
     sh = (
-        _spread_small_input(df)
-        .select(
-            F.col(key_col).alias("key"),
-            # gotcha 43: outer explode dodges the inferred re-evaluating
-            # filter; the array is never empty (n<k yields 1 shingle)
-            F.explode_outer(word_shingle_hashes(words, shingle_k)).alias("s"),
-        )
+        shingle_hash_rows(df, key_col, text_col, shingle_k)
         .distinct()
         .localCheckpoint(eager=True)
     )

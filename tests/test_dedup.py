@@ -755,3 +755,39 @@ def test_driver_cc_shortcut_matches_distributed(spark):
         finally:
             dedup.CC_DRIVER_EDGE_THRESHOLD = old
         assert fast == slow
+
+
+def test_shingle_hash_rows_matches_hof_form(spark):
+    """The lead-window shingle rows must be BAG-identical to
+    explode(word_shingle_hashes(...)) for every k, including the
+    whole-doc fallback (n < k), empty and whitespace-only docs — the
+    short-doc case rides the same window stream via concat_ws's
+    NULL-skipping, so this differential pins that equivalence."""
+    from pyspark.sql import functions as F
+
+    from dataprofiler_spark.operators.dedup import (
+        _ws_words,
+        shingle_hash_rows,
+        word_shingle_hashes,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "two words"),
+        (4, "now three words"),
+        (5, "a much longer doc with many words in it"),
+        (6, "   \n\t  "),
+        (7, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2, 3, 5):
+        old = df.select(
+            F.col("doc_id").alias("key"),
+            F.explode_outer(
+                word_shingle_hashes(_ws_words(F.col("text")), k)
+            ).alias("s"),
+        )
+        new = shingle_hash_rows(df, "doc_id", "text", k)
+        assert old.exceptAll(new).count() == 0, k
+        assert new.exceptAll(old).count() == 0, k
