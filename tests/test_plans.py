@@ -679,6 +679,25 @@ def test_profile_split_median_wide_pass_stays_hash_aggregate(spark):
     assert "SortAggregate" not in plan, plan
 
 
+def test_shingle_hash_rows_window_partitions_by_key(spark):
+    """The lead-window shingle stage must hash-partition by the doc key
+    — a global window would funnel the whole corpus through ONE sorted
+    partition at scale (the W-lesson). Pins Exchange hashpartitioning on
+    key and no SinglePartition in the shingle subplan."""
+    from dataprofiler_spark.operators.dedup import shingle_hash_rows
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = (
+        shingle_hash_rows(df, "doc_id", "text", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(key" in plan, plan
+    assert "windowspecdefinition(key" in plan, plan
+
+
 def test_pair_family_sizes_aggregate_materialized_once(spark):
     """The per-doc size frame feeds BOTH the na and nb join sides; it is
     checkpointed at construction so the final plan carries exactly one
